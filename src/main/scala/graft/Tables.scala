@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's parquet fixtures (`TESTDATA.md`).
+  *
+  * One parquet file per table; Spark's vectorized parquet reader plus
+  * Catalyst column pruning / predicate pushdown make `spark.read.parquet`
+  * the right scan primitive at any scale (reference scans:
+  * silver_processor.py:26-34). At 100 TB the same call reads a
+  * partitioned directory tree instead of a single file — call sites do
+  * not change.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one fixture table from `dir` (e.g. /root/testdata/sf0.01).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by every session
+    * builder in this repo); we convert to a proper timestamp at
+    * microsecond precision here, using integer `div` so the ~1.7e18 nanos
+    * value never loses precision through a double. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every fixture table as a temp view (for spark.sql paths). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
