@@ -14,10 +14,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.CoreQueries.queries
+    ops.CoreQueries.queries ++
+    ops.JoinSetQueries.queries ++
+    ops.WindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.CoreQueries.oracleSql
+    ops.CoreQueries.oracleSql ++
+    ops.JoinSetQueries.oracleSql ++
+    ops.WindowQueries.oracleSql
 }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Window-function operators (ranking, running totals, lead/lag).
+  *
+  * Absent from the reference (SURVEY.md §2.5) but core engine surface.
+  * Every window ORDER BY ends in a unique key so frames and ranks are
+  * total-ordered — both for oracle determinism and because non-unique
+  * RANGE frames are a correctness trap at scale. A window shuffles once
+  * on its partition keys; chained windows below share the same
+  * partitioning so Catalyst plans a single exchange.
+  */
+object WindowQueries {
+
+  /** row_number / rank / dense_rank: top-3 orders per customer by price.
+    * The per-partition top-k pattern — at 100 TB this is one shuffle on
+    * o_custkey, no global sort. */
+  def orderRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running total per customer ordered by (date, key). The unique sort
+    * key makes the default RANGE frame equal a ROWS frame, and the
+    * sequential accumulation stays on the cents grid so round(…,2) is
+    * oracle-safe. */
+  def runningSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** lead/lag: month-over-month average-price momentum per brand.
+    * The monthly average uses the exact-DECIMAL-sum trick (see
+    * CoreQueries) so both engines produce bit-identical doubles, making
+    * the lag/delta columns comparable without rounding. */
+  def priceMomentum(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p  = t(s, dir, "part")
+    val monthly = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(
+        col("p_brand").as("brand"),
+        year(col("l_shipdate")).as("year"),
+        month(col("l_shipdate")).as("month"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("avg_price"))
+    val w = Window.partitionBy(col("brand")).orderBy(col("year"), col("month"))
+    monthly
+      .withColumn("prev_price", lag(col("avg_price"), 1).over(w))
+      .withColumn("delta", col("avg_price") - col("prev_price"))
+      .orderBy("brand", "year", "month")
+  }
+
+  /** ntile + percent_rank: quartile customers by account balance inside
+    * each nation (ties broken by key for determinism). */
+  def balanceQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy("c_nationkey", "c_acctbal", "c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_order_rank"        -> orderRank,
+    "q22_running_spend"     -> runningSpend,
+    "q23_price_momentum"    -> priceMomentum,
+    "q24_balance_quartiles" -> balanceQuartiles)
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_order_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    rank()       OVER w AS rk,
+        |    dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q22_running_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), 2) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q23_price_momentum" ->
+      """SELECT brand, year, month, avg_price,
+        |  lag(avg_price, 1) OVER (PARTITION BY brand ORDER BY year, month) AS prev_price,
+        |  avg_price - lag(avg_price, 1) OVER (PARTITION BY brand ORDER BY year, month) AS delta
+        |FROM (
+        |  SELECT p_brand AS brand,
+        |    CAST(year(l_shipdate) AS INTEGER) AS year,
+        |    CAST(month(l_shipdate) AS INTEGER) AS month,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY brand, year, month""".stripMargin,
+    "q24_balance_quartiles" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin)
+}
