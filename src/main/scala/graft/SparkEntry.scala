@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreQueries.queries ++
     ops.JoinSetQueries.queries ++
-    ops.WindowQueries.queries
+    ops.WindowQueries.queries ++
+    llm.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.CoreQueries.oracleSql ++
     ops.JoinSetQueries.oracleSql ++
-    ops.WindowQueries.oracleSql
+    ops.WindowQueries.oracleSql ++
+    llm.TextOps.oracleSql
 }
