@@ -17,7 +17,9 @@ object SparkEntry {
     ops.CoreQueries.queries ++
     ops.JoinSetQueries.queries ++
     ops.WindowQueries.queries ++
-    llm.TextOps.queries
+    llm.TextOps.queries ++
+    llm.VectorOps.queries ++
+    llm.NearDupOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +27,7 @@ object SparkEntry {
     ops.CoreQueries.oracleSql ++
     ops.JoinSetQueries.oracleSql ++
     ops.WindowQueries.oracleSql ++
-    llm.TextOps.oracleSql
+    llm.TextOps.oracleSql ++
+    llm.VectorOps.oracleSql ++
+    llm.NearDupOps.oracleSql
 }

@@ -1,0 +1,154 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Near-duplicate detection for document corpora (SURVEY.md §2.9):
+  * word-shingling, exact n-gram Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Scale architecture (the MinHash/LSH path is the 100 TB workhorse):
+  *   1. per-row shingling + signature computation — narrow, no shuffle,
+  *      all codegen'd array expressions over xxhash64;
+  *   2. explode only the B band keys per document (not the shingles) —
+  *      the shuffle volume is B rows/doc of (16-byte key, id), never the
+  *      document text;
+  *   3. groupBy band key → candidate pairs within buckets only.
+  * Exact Jaccard is kept for verification on bounded slices; it is the
+  * oracle for the probabilistic paths, not the production path.
+  */
+object NearDupOps {
+
+  /** Non-empty whitespace tokens. */
+  private def toks(c: Column): Column = filter(split(c, " "), x => x =!= "")
+
+  /** Distinct word n-gram shingles (1-based element_at; guarded so short
+    * docs yield an empty array rather than a descending sequence). */
+  def shingles(c: Column, n: Int): Column = {
+    val tk = toks(c)
+    val idx = sequence(lit(1), size(tk) - (n - 1))
+    array_distinct(
+      when(size(tk) < n, array().cast("array<string>"))
+        .otherwise(transform(idx, i =>
+          concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*))))
+  }
+
+  /** MinHash signature: for each of k seeded hash functions, the minimum
+    * xxhash64(shingle, seed) over the document's shingle set. Entirely
+    * per-row (no shuffle); k×|shingles| hashes through codegen. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(shingleCol, sh => xxhash64(sh, seed))))
+
+  /** LSH band keys: the k-length signature split into `bands` slices,
+    * each rendered as "band_sig-values". Docs sharing any band key are
+    * candidates. */
+  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws("_", b.cast("string"),
+        concat_ws(",", slice(sig, b * rows + 1, lit(rows)).cast("array<string>"))))
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs (k=32 hashes, 8 bands of
+    * 4): docs whose signatures collide in ≥1 band, with the number of
+    * colliding bands. Deterministic (xxhash64) but engine-specific, so
+    * driver-checked as rows-only; value-level checks live in
+    * NearDupSpec against exact Jaccard. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val k = 32; val bands = 8
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("band"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact word-3-gram Jaccard similarity over a bounded slice
+    * (doc_id < 60 per side): the ground-truth near-dup measure, and the
+    * one SQL-expressible enough for the DuckDB oracle. Intersection via
+    * shingle self-join; |A∪B| = |A|+|B|−|A∩B|. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docSh = t(s, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inter = ex.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document: every token votes ±1 on each bit of its
+    * xxhash64; the sign pattern becomes the fingerprint. Near-dups differ
+    * in few bits. Per-row fold — no shuffle, no UDF. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    // Bit masks are Scala-side literals (shift functions require them).
+    val bitVotes = aggregate(
+      tk,
+      array_repeat(lit(0L), 64),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        val votes = array((0 until 64).map(i =>
+          when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)): _*)
+        zip_with(acc, votes, (x, y) => x + y)
+      })
+    // Disjoint bit contributions sum to the fingerprint (plain + == OR).
+    val sh = (0 until 64).map(i =>
+      when(element_at(bitVotes, i + 1) > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    t(s, dir, "documents")
+      .select(col("doc_id"), sh.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_minhash_pairs" -> minhashPairs,
+    "q44_ngram_jaccard" -> ngramJaccard,
+    "q45_simhash"       -> simhash)
+
+  // q43/q45 hash with xxhash64 (not available in DuckDB) → rows-only
+  // driver check; their value-level verification is NearDupSpec.
+  val oracleSql: Map[String, String] = Map(
+    "q44_ngram_jaccard" ->
+      """WITH docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents WHERE doc_id < 60)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |  sa.n_sh + sb.n_sh - n_inter AS n_union,
+        |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin)
+}

@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Embedding similarity search (SURVEY.md §2.9 new surface).
+  *
+  * Vectors are `array<float>`; all math is done after an exact
+  * float→double cast so Spark's left-fold `aggregate` accumulates in the
+  * same IEEE order as the oracle's list kernels. Similarities are rounded
+  * to 4 decimals *before* ranking so cross-engine ulp noise cannot flip a
+  * rank.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus once — at 100 TB that is a single scan, no shuffle,
+  * with per-partition top-k folded by the window only over each query's
+  * candidates. The LSH-bucketed variant (NearDupOps) is the subquadratic
+  * path when the query set itself is large.
+  */
+object VectorOps {
+
+  /** Exact double-precision dot product of two array<double> columns,
+    * accumulated left-to-right (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Brute-force cosine top-10 neighbors for query vectors (vec_id < 5).
+    * The query side is broadcast; ranking happens per query partition. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .filter(col("query_id") < 5)
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Pairwise near-duplicate candidates by cosine threshold over a
+    * bounded slice (vec_id < 200 both sides, a < b). The all-pairs
+    * comparison is intentionally windowed to a fixed-size slice — the
+    * full-corpus path is LSH bucketing, not O(n²). */
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") > 0.35)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-label centroid profile: mean vector norm and count per label —
+    * the aggregation shape of IVF coarse quantization (group → centroid
+    * stats), one shuffle on the (tiny) label key. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+    e.select(col("label"), sqrt(dot(col("v"), col("v"))).as("norm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("norm")), 4).as("sum_norm"),
+        round(min(col("norm")), 4).as("min_norm"),
+        round(max(col("norm")), 4).as("max_norm"))
+      .orderBy("label")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cosine_topk"     -> cosineTopK,
+    "q41_cosine_near_dup" -> cosineNearDup,
+    "q42_label_centroids" -> labelCentroids)
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT query_id, e.vec_id,
+        |    ROUND(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims)
+        |SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin,
+    "q41_cosine_near_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) > 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q42_label_centroids" ->
+      """WITH e AS (SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))) AS norm FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vectors,
+        |  ROUND(SUM(norm), 4) AS sum_norm,
+        |  ROUND(MIN(norm), 4) AS min_norm,
+        |  ROUND(MAX(norm), 4) AS max_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{NearDupOps, VectorOps}
+
+/** Value-level verification of the probabilistic near-dup operators
+  * against controlled fixtures (the DuckDB oracle covers only exact
+  * Jaccard; MinHash/SimHash hash with xxhash64 which DuckDB lacks). */
+class NearDupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  /** near-dup: one word changed at the end */
+  private val nearDup = base.replace("tonight", "today")
+  private val different =
+    "spark executes distributed query plans with columnar parquet scans and hash joins"
+
+  private lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, nearDup, "en", "src0", nearDup.length.toLong),
+      (2L, different, "en", "src1", different.length.toLong),
+      (3L, base, "en", "src2", base.length.toLong) // exact copy of doc 0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact copies collide in every band; jaccard 1.0") {
+    val pairs = NearDupOps.minhashPairs(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 3L)) == 8, "identical docs must share all 8 bands")
+    val jac = NearDupOps.ngramJaccard(spark, fixtureDir)
+      .filter(col("doc_a") === 0 && col("doc_b") === 3)
+      .select("jaccard").head.getDouble(0)
+    assert(jac == 1.0)
+  }
+
+  test("near-duplicates are candidates; unrelated docs are not") {
+    val pairs = NearDupOps.minhashPairs(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "one-word-changed doc must collide in ≥1 band")
+    assert(!pairs.contains((0L, 2L)), "unrelated docs must not be candidates")
+    assert(!pairs.contains((1L, 2L)))
+  }
+
+  test("minhash candidate set tracks exact jaccard ranking") {
+    val jac = NearDupOps.ngramJaccard(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // the near-dup pair must have high but <1 similarity
+    assert(jac((0L, 1L)) > 0.7 && jac((0L, 1L)) < 1.0)
+    // unrelated pair shares no 3-grams → absent from join-based jaccard
+    assert(!jac.contains((0L, 2L)))
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val sh = NearDupOps.simhash(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(0L) == sh(3L))
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)),
+      s"near-dup hamming ${hamming(sh(0L), sh(1L))} should be < unrelated ${hamming(sh(0L), sh(2L))}")
+    assert(hamming(sh(0L), sh(1L)) <= 12)
+  }
+
+  test("cosine top-k is symmetric-sane and correctly ranked") {
+    val topk = VectorOps.cosineTopK(spark, sfDir).collect()
+    val byQuery = topk.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.length == 10)
+      assert(sims.sameElements(sims.sortBy(-(_: Double))), "ranks must follow sim desc")
+    }
+  }
+
+  test("shingling guards short documents") {
+    val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), NearDupOps.shingles(col("text"), 3).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(0L).isEmpty)
+    assert(m(1L).isEmpty)
+    assert(m(2L) == Seq("a b c", "b c d"))
+  }
+}
