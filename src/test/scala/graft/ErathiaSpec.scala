@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.erathia.{DataGen, Gold, Silver, Viewer}
+
+/** Golden/invariant tests for the erathia medallion pipeline — the
+  * fixed-seed 8-week fixture from FIXTURES.md §A. Deterministic because
+  * all DataGen randomness is xxhash64-keyed. */
+class ErathiaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("erathia").toString
+    DataGen.writeBronze(spark, s"$d/bronze", 8)
+    Silver.run(spark, s"$d/bronze", s"$d/silver")
+    Gold.run(spark, s"$d/gold")
+    d
+  }
+
+  test("dimensions have reference cardinalities and key namespaces") {
+    dir // force pipeline
+    assert(spark.table("dim_faction").count() == 9)
+    assert(spark.table("dim_town").count() == 45)
+    assert(spark.table("dim_product").count() == 47)
+    assert(spark.table("dim_product_category").count() == 7)
+    assert(spark.table("dim_customer").count() == 368)
+    assert(spark.table("dim_date").count() == 731)
+    def minKey(t: String, k: String) =
+      spark.table(t).agg(min(col(k))).head.getLong(0)
+    assert(minKey("dim_faction", "faction_key") == 100)
+    assert(minKey("dim_product_category", "category_key") == 200)
+    assert(minKey("dim_product", "product_key") == 1000)
+    assert(minKey("dim_customer", "customer_key") == 5000)
+    assert(minKey("dim_town", "town_key") == 10000)
+  }
+
+  test("fact volume matches the reference heuristic (~105 rows/week)") {
+    dir
+    val n = spark.table("fact_sales").count()
+    assert(n == 8 * 105)
+  }
+
+  test("fact is hive-partitioned by lore year and month") {
+    val parts = new java.io.File(s"$dir/silver/fact_sales").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(parts.forall(_.startsWith("year=")))
+    assert(parts.exists(_ == "year=1168"))
+  }
+
+  test("silver cleaning: no null keys, no zero quantities, is_hero matches segment") {
+    dir
+    val f = spark.table("fact_sales")
+    assert(f.filter(col("trade_key").isNull || col("customer_key").isNull
+      || col("product_key").isNull || col("date_key").isNull).count() == 0)
+    assert(f.filter(col("quantity") === 0).count() == 0)
+    val c = spark.table("dim_customer")
+    assert(c.filter(col("is_hero") =!= (col("customer_segment") === "VIP")).count() == 0)
+  }
+
+  test("silver dedup leaves unique keys per dim") {
+    dir
+    Silver.dims.foreach { d =>
+      val k = Silver.keyOf(d)
+      val dups = spark.table(d).groupBy(col(k)).count().filter("count > 1").count()
+      assert(dups == 0, s"$d has duplicate $k")
+    }
+  }
+
+  test("gold marts exist and respect the reference's shapes") {
+    dir
+    assert(Viewer.listMarts(spark) == Seq("dm_artifact_trade_summary",
+      "dm_faction_economy", "dm_resource_price_history", "dm_top_vip_customers"))
+    val fe = spark.table("dm_faction_economy")
+    assert(fe.count() == 9)
+    // Net Profit = Sell − Buy, within rounding
+    val bad = fe.filter(
+      abs(col("Net Profit") - (col("Total Sell Volume (Gold)")
+        - col("Total Buy Volume (Gold)"))) > 0.02).count()
+    assert(bad == 0)
+    assert(spark.table("dm_top_vip_customers").count() <= 100)
+  }
+
+  test("dataframe and SQL twins agree on faction economy") {
+    dir
+    val df = Gold.factionEconomy(spark).collect().map(_.toSeq)
+    val sql = spark.sql(Gold.sql("dm_faction_economy")).collect().map(_.toSeq)
+    assert(df.sameElements(sql))
+  }
+
+  test("artifact scarcity: relic trades bounded by pool cap") {
+    dir
+    val relicTrades = spark.table("fact_sales")
+      .filter(col("product_key") === 1046).count()
+    assert(relicTrades <= 2, s"Relic traded $relicTrades times, pool cap is 1 (≤2 trades)")
+  }
+
+  test("price evolution stays within reference clamps [0.1x, 10x]") {
+    val prices = DataGen.weeklyPrices(spark, 8)
+      .join(DataGen.dimProduct(spark), Seq("product_key"))
+      .filter(col("gold_per_unit") > col("base_value_gold") * 10.0 + 0.01 ||
+        col("gold_per_unit") < col("base_value_gold") * 0.1 - 0.01)
+    assert(prices.count() == 0)
+  }
+
+  test("datagen is deterministic across runs and partitionings") {
+    val a = DataGen.factSales(spark, 4).orderBy("trade_key").collect()
+    val b = DataGen.factSales(spark, 4).repartition(3).orderBy("trade_key").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("viewer drill-down filters one resource chronologically") {
+    dir
+    val names = Viewer.resourceNames(spark).collect().map(_.getString(0))
+    assert(names.length == 12)
+    val dd = Viewer.priceDrilldown(spark, names.head)
+    assert(dd.select(countDistinct(col("Resource Name"))).head.getLong(0) == 1)
+  }
+}
