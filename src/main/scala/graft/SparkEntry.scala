@@ -19,7 +19,8 @@ object SparkEntry {
     ops.WindowQueries.queries ++
     llm.TextOps.queries ++
     llm.VectorOps.queries ++
-    llm.NearDupOps.queries
+    llm.NearDupOps.queries ++
+    llm.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     ops.WindowQueries.oracleSql ++
     llm.TextOps.oracleSql ++
     llm.VectorOps.oracleSql ++
-    llm.NearDupOps.oracleSql
+    llm.NearDupOps.oracleSql ++
+    llm.MultimodalOps.oracleSql
 }

@@ -1,0 +1,166 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Multimodal-column plumbing (SURVEY.md §0 scope addendum): images /
+  * audio / video as opaque `binary` columns with typed metadata, plus the
+  * decode / feature-extract / resize / frame-sample stages of a training
+  * pipeline.
+  *
+  * No media codec ships in this environment, so the DECODE KERNEL IS A
+  * DETERMINISTIC STUB (clearly marked below); everything around it — the
+  * schema, the partition-preserving batched `mapPartitions` shape, frame
+  * explosion, and metadata math — is real Spark plumbing and is tested.
+  * Payload bytes here are the document text encoded UTF-8; in production
+  * they'd be image/audio/video bytes with identical plan shapes.
+  *
+  * Scale notes: payloads never enter a shuffle key; the only wide ops key
+  * on doc_id/format. Feature extraction is a narrow mapPartitions that
+  * processes fixed-size batches (the JVM analogue of Arrow-batched Pandas
+  * UDFs), so executor memory is bounded by batch × payload size.
+  */
+object MultimodalOps {
+
+  private val formats = array(lit("jpeg"), lit("png"), lit("wav"), lit("mp4"))
+
+  /** Synthesize the media table: binary payload + typed metadata. Format
+    * assignment is doc_id-keyed (parity-expressible for the oracle). */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        element_at(formats, (col("doc_id") % 4 + 1).cast("int")).as("format"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          (pmod(col("doc_id") * 37, lit(1024)) + 256).cast("int").as("width"),
+          (pmod(col("doc_id") * 53, lit(768)) + 144).cast("int").as("height"))
+          .as("meta"))
+
+  /** Media catalog: per-format byte volumes — the profiling pass before a
+    * decode job. */
+  def mediaCatalog(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .groupBy("format")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("meta.n_bytes").cast("long")).as("total_bytes"),
+        max(col("meta.n_bytes")).as("max_bytes"))
+      .orderBy("format")
+
+  case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
+    features: Array[Float])
+
+  /** Feature extraction over binary payloads in fixed-size batches.
+    *
+    * ===== STUB decode kernel =====
+    * A real pipeline would decode image/audio bytes here (e.g. JNI codec
+    * or model inference). This stub derives 8 deterministic floats from
+    * payload bytes so the surrounding plumbing (batching, schema,
+    * partition preservation) is fully testable.
+    */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a real kernel would run vectorized decode
+        batch.map { r =>
+          val feats = Array.tabulate(8) { i =>
+            if (r.payload.isEmpty) 0.0f
+            else {
+              val slice = r.payload.iterator.zipWithIndex
+                .filter(_._2 % 8 == i).map(_._1.toInt & 0xff).sum
+              (slice % 1000) / 1000.0f
+            }
+          }
+          MediaFeatures(r.doc_id, r.format, r.payload.length, feats)
+        }
+      }
+    }
+  }
+
+  /** Typed view of the media table for the feature path. */
+  def mediaDataset(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    mediaTable(s, dir).select("doc_id", "format", "payload").as[MediaRow]
+  }
+
+  /** q51: feature extraction end-to-end (rows-only driver check; value
+    * determinism pinned in MultimodalSpec). */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaDataset(s, dir)).toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        round(element_at(col("features"), 1), 3).as("f0"))
+      .orderBy("doc_id")
+
+  /** Frame sampling plan for video assets: one row per sampled frame with
+    * its timestamp offset — `explode(sequence(...))`, the scalable
+    * row-expansion primitive (no driver loop). */
+  def frameSamplePlan(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .filter(col("format") === "mp4")
+      .select(col("doc_id"),
+        (col("doc_id") % 5 + 2).cast("int").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        round(col("frame_idx") * 2.5, 1).as("ts_offset_sec"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Resize plan: scale metadata dims to fit 224×224 preserving aspect
+    * ratio — integer/double column math only. */
+  def resizePlan(s: SparkSession, dir: String): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    // long side lands exactly on the 224 target (floor(x*224/x) would
+    // drift to 223 through floating point); short side scales down
+    mediaTable(s, dir)
+      .filter(col("format").isin("jpeg", "png"))
+      .select(
+        col("doc_id"),
+        w.as("width"),
+        h.as("height"),
+        when(w >= h, 224).otherwise(floor(w * 224.0 / h).cast("int")).as("out_width"),
+        when(h >= w, 224).otherwise(floor(h * 224.0 / w).cast("int")).as("out_height"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_media_catalog" -> mediaCatalog,
+    "q51_media_features" -> mediaFeatures,
+    "q52_frame_sample"  -> frameSamplePlan,
+    "q53_resize_plan"   -> resizePlan)
+
+  // q51's feature floats come from the JVM stub kernel → rows-only check.
+  val oracleSql: Map[String, String] = Map(
+    "q50_media_catalog" ->
+      """SELECT format, COUNT(*) AS n_assets,
+        |  SUM(octet_length(encode(text))) AS total_bytes,
+        |  CAST(MAX(octet_length(encode(text))) AS INTEGER) AS max_bytes
+        |FROM (SELECT ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] AS format, text
+        |      FROM documents)
+        |GROUP BY format ORDER BY format""".stripMargin,
+    "q52_frame_sample" ->
+      """SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_idx,
+        |  ROUND(CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) * 2.5, 1) AS ts_offset_sec
+        |FROM (SELECT doc_id, CAST(doc_id % 5 + 2 AS INTEGER) AS n_frames
+        |      FROM documents
+        |      WHERE ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] = 'mp4')
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q53_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] AS format,
+        |    CAST((doc_id * 37) % 1024 + 256 AS INTEGER) AS width,
+        |    CAST((doc_id * 53) % 768 + 144 AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN width >= height THEN 224
+        |       ELSE CAST(FLOOR(width * 224.0 / height) AS INTEGER) END AS out_width,
+        |  CASE WHEN height >= width THEN 224
+        |       ELSE CAST(FLOOR(height * 224.0 / width) AS INTEGER) END AS out_height
+        |FROM m WHERE format IN ('jpeg', 'png')
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** events.parquet copied into a dir so the streaming file source can
+    * discover it as a micro-batch. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("part-000.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly counts equal the batch computation") {
+    val streamed = StreamOps.runToMemory(spark,
+      StreamOps.hourlyTypeCounts(StreamOps.readEvents(spark, streamDir)),
+      "hourly_counts", OutputMode.Complete)
+    val batch = StreamOps.hourlyTypeCounts(
+      StreamOps.withEventTime(
+        spark.read.schema(StreamOps.eventsRawSchema).parquet(streamDir)))
+    val a = streamed.orderBy("window_start", "event_type").collect().map(_.toSeq)
+    val b = batch.orderBy("window_start", "event_type").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    val sessions = StreamOps.runToMemory(spark,
+      StreamOps.sessionWindows(StreamOps.readEvents(spark, streamDir)),
+      "session_windows", OutputMode.Complete)
+    assert(sessions.count() > 0)
+    // session bounds are consistent
+    assert(sessions.filter(col("session_end") < col("session_start")).count() == 0)
+  }
+
+  test("custom sessionizer agrees with session_window on session counts") {
+    import spark.implicits._
+    val events = StreamOps.withEventTime(
+      spark.read.schema(StreamOps.eventsRawSchema).parquet(streamDir))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.Event]
+    val custom = StreamOps.sessionize(events)
+    val builtin = StreamOps.sessionWindows(
+      StreamOps.withEventTime(
+        spark.read.schema(StreamOps.eventsRawSchema).parquet(streamDir)))
+    // same number of sessions per user (semantics match: 30-min gap)
+    val a = custom.groupBy("user_id").count().orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = builtin.groupBy("user_id").count().orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    // event totals conserved
+    val nCustom = custom.agg(sum("n_events")).head.getLong(0)
+    assert(nCustom == events.count())
+  }
+}
