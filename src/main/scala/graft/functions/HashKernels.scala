@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused MinHash signature kernel.
+  *
+  * The composed form (k nested `transform`/`array_min` lambdas, one
+  * xxhash64 per (shingle, seed)) runs interpreted — higher-order
+  * functions are outside whole-stage codegen — and took ~290 s for 50k
+  * docs at sf0.1. This kernel makes one pass per shingle: a single
+  * XXH64 over the bytes, then k universal-hash perturbations
+  * `a_i·h + b_i` (odd multipliers — a bijection on Z/2^64, so min
+  * uniformity holds), tracking mins in a primitive array. Same LSH
+  * properties (identical shingle sets ⇒ identical signatures; similar
+  * sets ⇒ bandwise collisions), ~100× less work. Codegen emits a
+  * single static call to the shared kernel so eval and codegen paths
+  * cannot diverge.
+  */
+object MinHashKernel {
+  private final val GOLD = 0x9E3779B97F4A7C15L
+  private final val MIX  = 0xC2B2AE3D27D4EB4FL
+
+  def multiplier(i: Int): Long = GOLD * (2L * i + 1) | 1L
+  def addend(i: Int): Long = MIX * i
+
+  /** One pass over the shingle array → k-long minhash signature. */
+  def signature(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    val n = shingles.numElements()
+    while (j < n) {
+      val s = shingles.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      accumulate(h, mins, k)
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Fully fused: raw text → word n-gram shingles → signature, no
+    * intermediate arrays. Shingle dedup is skipped on purpose — repeated
+    * shingles cannot change a minimum. Returns null when the document has
+    * fewer than n tokens (no shingles). Hashes the identical "w1 w2 w3"
+    * UTF-8 bytes as the array form, so signatures match `signature`
+    * applied to `shingles()` output. */
+  def shingleSignature(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val words = text.toString.split(' ').filter(_.nonEmpty)
+    if (words.length < n) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(j))
+      var m = 1
+      while (m < n) { sb.append(' ').append(words(j + m)); m += 1 }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      accumulate(h, mins, k)
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Fused 64-bit SimHash over whitespace tokens: per token one XXH64
+    * (seed 42 — identical to Spark's xxhash64 builtin, so results match
+    * the composed expression bit-for-bit), ±1 votes per bit, sign
+    * pattern becomes the fingerprint. Empty docs hash to 0. */
+  def simhash64(text: UTF8String): Long = {
+    val words = text.toString.split(' ')
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < words.length) {
+      if (words(j).nonEmpty) {
+        val bytes = words(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var r = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) r |= (1L << i); i += 1 }
+    r
+  }
+
+  private def accumulate(h: Long, mins: Array[Long], k: Int): Unit = {
+    var i = 0
+    while (i < k) {
+      val hi = h * multiplier(i) + addend(i)
+      if (hi < mins(i)) mins(i) = hi
+      i += 1
+    }
+  }
+}
+
+/** Catalyst expression: array<string> shingles → array<long> signature. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.signature(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.signature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: text string → array<long> signature (nullable:
+  * null when the document is too short to shingle). */
+case class ShingleMinHash(child: Expression, n: Int, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.shingleSignature(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.MinHashKernel.shingleSignature($c, $n, $k);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: text string → 64-bit simhash fingerprint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashKernels {
+  def minhash_signature(shingles: Column, k: Int): Column =
+    GraftSqlBridge.column(MinHashSignature(GraftSqlBridge.expression(shingles), k))
+
+  def shingle_minhash(text: Column, n: Int, k: Int): Column =
+    GraftSqlBridge.column(ShingleMinHash(GraftSqlBridge.expression(text), n, k))
+
+  def simhash64(text: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
+}

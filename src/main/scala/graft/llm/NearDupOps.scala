@@ -33,12 +33,14 @@ object NearDupOps {
           concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*))))
   }
 
-  /** MinHash signature: for each of k seeded hash functions, the minimum
-    * xxhash64(shingle, seed) over the document's shingle set. Entirely
-    * per-row (no shuffle); k×|shingles| hashes through codegen. */
+  /** MinHash signature: for each of k hash functions, the minimum hash
+    * over the document's shingle set. Entirely per-row (no shuffle).
+    * Delegates to the fused Catalyst kernel
+    * (graft.functions.MinHashSignature): the composed
+    * transform/array_min form runs interpreted and was ~100× slower at
+    * sf0.1 (289 s → <3 s). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(shingleCol, sh => xxhash64(sh, seed))))
+    graft.functions.HashKernels.minhash_signature(shingleCol, k)
 
   /** LSH band keys: the k-length signature split into `bands` slices,
     * each rendered as "band_sig-values". Docs sharing any band key are
@@ -58,9 +60,9 @@ object NearDupOps {
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val k = 32; val bands = 8
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.HashKernels.shingle_minhash(col("text"), 3, k).as("sig"))
+      .filter(col("sig").isNotNull)
       .select(col("doc_id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
     val a = docs.select(col("doc_id").as("doc_a"), col("band"))
     val b = docs.select(col("doc_id").as("doc_b"), col("band"))
@@ -99,8 +101,17 @@ object NearDupOps {
 
   /** 64-bit SimHash per document: every token votes ±1 on each bit of its
     * xxhash64; the sign pattern becomes the fingerprint. Near-dups differ
-    * in few bits. Per-row fold — no shuffle, no UDF. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+    * in few bits. Per-row, no shuffle; uses the fused Catalyst kernel
+    * (bit-identical to this composed form — pinned in NearDupSpec). */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.HashKernels.simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Composed-builtin simhash, kept as the cross-check reference for the
+    * fused kernel. */
+  def simhashComposed(s: SparkSession, dir: String): DataFrame = {
     val tk = toks(col("text"))
     // Bit masks are Scala-side literals (shift functions require them).
     val bitVotes = aggregate(

@@ -32,15 +32,22 @@ object VectorOps {
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Brute-force cosine top-10 neighbors for query vectors (vec_id < 5).
-    * The query side is broadcast; ranking happens per query partition. */
+    * The query side is broadcast; ranking happens per query partition.
+    * Norms are computed once per vector (not once per pair), and the
+    * per-pair work is a single fused codegen'd dot product
+    * (functions.VectorFunctions.DotProduct) over the raw float arrays —
+    * same accumulation order as the composed form, so oracle-identical. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
     val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .filter(col("query_id") < 5)
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("norm").as("qnorm")).filter(col("query_id") < 5)
     val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 4).as("sim"))
+        round(dot_product(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)
+          .as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w))
@@ -53,14 +60,16 @@ object VectorOps {
     * comparison is intentionally windowed to a fixed-size slice — the
     * full-corpus path is LSH bucketing, not O(n²). */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
     val e = t(s, dir, "embeddings")
       .filter(col("vec_id") < 200)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 4).as("sim"))
+        round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") > 0.35)
       .orderBy("id_a", "id_b")
   }
@@ -69,9 +78,11 @@ object VectorOps {
     * the aggregation shape of IVF coarse quantization (group → centroid
     * stats), one shuffle on the (tiny) label key. */
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
     val e = t(s, dir, "embeddings")
-      .select(col("label"), asDouble(col("embedding")).as("v"))
-    e.select(col("label"), sqrt(dot(col("v"), col("v"))).as("norm"))
+      .select(col("label"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    e
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vectors"),

@@ -78,6 +78,29 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("fused shingle_minhash equals signature over explicit shingles") {
+    import graft.functions.HashKernels
+    val docs = Tables.t(spark, sfDir, "documents").limit(100)
+    val fused = docs.select(col("doc_id"),
+      HashKernels.shingle_minhash(col("text"), 3, 32).as("sig"))
+      .filter(col("sig").isNotNull)
+    val composed = docs.select(col("doc_id"),
+      NearDupOps.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), HashKernels.minhash_signature(col("sh"), 32).as("sig"))
+    val a = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = composed.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
+  test("fused simhash equals composed simhash bit-for-bit") {
+    val a = NearDupOps.simhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = NearDupOps.simhashComposed(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("shingling guards short documents") {
     val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d"))
       .toDF("doc_id", "text")

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+import graft.llm.VectorOps
+
+/** The fused Catalyst kernels must be bit-identical to the composed
+  * built-in forms (same left-to-right double accumulation) — that is
+  * what keeps the DuckDB oracle valid after the optimization. */
+class VectorFunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val pairs = {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      .filter(col("ida") < 30)
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      .filter(col("idb") >= 30 && col("idb") < 60)
+    a.crossJoin(b)
+  }
+
+  private def asD(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+
+  test("fused dot product is bit-identical to zip_with/aggregate") {
+    val diff = pairs.select(
+      VectorFunctions.dot_product(col("va"), col("vb")).as("fused"),
+      VectorOps.dot(asD(col("va")), asD(col("vb"))).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
+  test("fused cosine is bit-identical to composed cosine") {
+    val diff = pairs.select(
+      VectorFunctions.cosine_sim(col("va"), col("vb")).as("fused"),
+      VectorOps.cosine(asD(col("va")), asD(col("vb"))).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
+  test("interpreted eval matches codegen") {
+    // force the interpreted path via a driver-side eval
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(0.5f, -1.0f, 2.0f)
+    val expr = graft.functions.DotProduct(
+      Literal.create(a, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      Literal.create(b, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val got = expr.eval(null).asInstanceOf[Double]
+    val want = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    assert(got == want)
+  }
+
+  test("SQL registration works") {
+    VectorFunctions.register(spark)
+    Tables.t(spark, sfDir, "embeddings").limit(5).createOrReplaceTempView("emb5")
+    val r = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c, dot_product(embedding, embedding) AS d FROM emb5")
+      .collect()
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
+    assert(r.forall(_.getDouble(1) > 0))
+  }
+}
