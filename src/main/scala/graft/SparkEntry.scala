@@ -17,6 +17,7 @@ object SparkEntry {
     ops.CoreQueries.queries ++
     ops.JoinSetQueries.queries ++
     ops.WindowQueries.queries ++
+    ops.AdvancedQueries.queries ++
     llm.TextOps.queries ++
     llm.VectorOps.queries ++
     llm.NearDupOps.queries ++
@@ -28,6 +29,7 @@ object SparkEntry {
     ops.CoreQueries.oracleSql ++
     ops.JoinSetQueries.oracleSql ++
     ops.WindowQueries.oracleSql ++
+    ops.AdvancedQueries.oracleSql ++
     llm.TextOps.oracleSql ++
     llm.VectorOps.oracleSql ++
     llm.NearDupOps.oracleSql ++

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -104,6 +104,57 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket for an array<float> embedding: bit b of
+  * the code is the sign of the dot product with a pseudo-random ±1
+  * hyperplane derived from a splitmix64 mix of (b, i). Cosine-similar
+  * vectors agree on most sign bits, so they collide in buckets —
+  * the subquadratic candidate-generation step for ANN / embedding dedup
+  * at corpus scale. Deterministic across partitions and engines. */
+case class HyperplaneBucket(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.hyperplaneBucket($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorKernels {
+  /** splitmix64 finalizer — stateless pseudo-randomness from an index. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def hyperplaneBucket(v: ArrayData, bits: Int): Int = {
+    val n = v.numElements()
+    val acc = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      var b = 0
+      while (b < bits) {
+        if ((mix64(b.toLong * 1048573L + i) & 1L) == 1L) acc(b) += x
+        else acc(b) -= x
+        b += 1
+      }
+      i += 1
+    }
+    var code = 0
+    var b = 0
+    while (b < bits) { if (acc(b) > 0) code |= (1 << b); b += 1 }
+    code
+  }
+}
+
 object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     GraftSqlBridge.column(
@@ -112,6 +163,9 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def hyperplane_bucket(v: Column, bits: Int): Column =
+    GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(v), bits))
 
   /** SQL registration: SELECT cosine_sim(v1, v2), dot_product(v1, v2). */
   def register(s: SparkSession): Unit = {

@@ -92,10 +92,39 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** LSH-bucketed approximate nearest neighbors: the subquadratic scale
+    * path. Vectors are bucketed once by an 8-bit hyperplane code (a
+    * narrow codegen'd projection); each query only scores candidates in
+    * its own bucket — at N vectors the pair count drops from N·|Q| to
+    * ~N·|Q|/2^bits, and the bucket join shuffles on a 4-byte key.
+    * Approximate by construction → rows-only driver check; mechanism
+    * correctness (bucket agreement, planted-duplicate recall,
+    * within-bucket ranking) is pinned in VectorFunctionsSpec. */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, hyperplane_bucket}
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        hyperplane_bucket(col("embedding"), 8).as("bucket"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("bucket"), col("norm").as("qnorm")).filter(col("query_id") < 5)
+    val sims = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot_product(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk"     -> cosineTopK,
     "q41_cosine_near_dup" -> cosineNearDup,
-    "q42_label_centroids" -> labelCentroids)
+    "q42_label_centroids" -> labelCentroids,
+    "q46_ann_topk"        -> annTopK)
 
   val oracleSql: Map[String, String] = Map(
     "q40_cosine_topk" ->

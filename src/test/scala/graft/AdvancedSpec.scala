@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.AdvancedQueries
+
+class AdvancedSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("asof join: every matched click precedes its purchase") {
+    val r = AdvancedQueries.asofJoin(spark, sfDir)
+    assert(r.count() > 0)
+    assert(r.filter(col("click_ts_us") > col("purchase_ts_us")).count() == 0)
+  }
+
+  test("asof join picks the latest qualifying click, not just any") {
+    // recompute with an explicit per-purchase max over all prior clicks
+    val ev = Tables.t(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), unix_micros(col("ts")).as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cts"))
+    val expected = p.join(c, col("pu") === col("cu") && col("cts") <= col("pts"))
+      .groupBy("event_id").agg(max("cts").as("click_ts_us"))
+    val got = AdvancedQueries.asofJoin(spark, sfDir)
+      .select("event_id", "click_ts_us")
+    assert(got.join(expected, "event_id")
+      .filter(got("click_ts_us") =!= expected("click_ts_us")).count() == 0)
+    assert(got.count() == expected.count())
+  }
+
+  test("approx profile tracks exact distincts within HLL error bounds") {
+    val exact = AdvancedQueries.distinctProfile(spark, sfDir).head
+    val approx = AdvancedQueries.approxProfile(spark, sfDir).head
+    def rel(a: Long, b: Long) = math.abs(a - b).toDouble / b
+    assert(rel(approx.getAs[Long]("n_orders_approx"), exact.getAs[Long]("n_orders")) < 0.1)
+    assert(rel(approx.getAs[Long]("n_parts_approx"), exact.getAs[Long]("n_parts")) < 0.1)
+  }
+}

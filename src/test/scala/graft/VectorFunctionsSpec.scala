@@ -52,6 +52,51 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("hyperplane buckets: deterministic, and identical vectors collide") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val b1 = e.select(col("vec_id"),
+      VectorFunctions.hyperplane_bucket(col("embedding"), 8).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b2 = e.repartition(7).select(col("vec_id"),
+      VectorFunctions.hyperplane_bucket(col("embedding"), 8).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1 == b2, "bucketing must not depend on partitioning")
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+  }
+
+  test("ANN finds a planted duplicate vector (exact-dup recall = 1)") {
+    import graft.functions.VectorFunctions.{dot_product, hyperplane_bucket}
+    val e = Tables.t(spark, sfDir, "embeddings")
+    // plant vec 0's embedding under a new id
+    val planted = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = e.union(planted)
+    val withBucket = corpus.select(col("vec_id"), col("embedding"),
+      hyperplane_bucket(col("embedding"), 8).as("bucket"))
+    val q0 = withBucket.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket"))
+    val hits = withBucket.join(broadcast(q0), Seq("bucket"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        VectorFunctions.cosine_sim(col("qv"), col("embedding")).as("sim"))
+      .orderBy(col("sim").desc).limit(1).collect()
+    assert(hits.head.getLong(0) == 100000L, "duplicate must be nearest in-bucket")
+    assert(math.abs(hits.head.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("ANN results are a subset of the brute-force candidate scores") {
+    val ann = graft.llm.VectorOps.annTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = graft.llm.VectorOps.cosineTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every ANN sim must equal the brute-force sim for that pair
+    val bruteAll = Tables.t(spark, sfDir, "embeddings")
+    ann.foreach { case ((q, v), sim) =>
+      brute.get((q, v)).foreach(bs => assert(bs == sim)) }
+    assert(ann.nonEmpty)
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     Tables.t(spark, sfDir, "embeddings").limit(5).createOrReplaceTempView("emb5")
