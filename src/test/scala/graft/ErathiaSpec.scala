@@ -109,6 +109,20 @@ class ErathiaSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("nested JSON definitions flatten via explode (S3 ingest path)") {
+    val p = java.nio.file.Files.createTempDirectory("defs").resolve("defs.json").toString
+    erathia.Definitions.writeSample(p)
+    val f = erathia.Definitions.factions(spark, p)
+    assert(f.count() == 9)
+    assert(f.agg(min(col("faction_key"))).head.getLong(0) == 100)
+    val u = erathia.Definitions.units(spark, p)
+    assert(u.count() == 36)
+    assert(u.filter(col("base_income") <= 0).count() == 0)
+    val c = erathia.Definitions.categories(spark, p)
+    assert(c.count() == 7)
+    assert(c.select(countDistinct(col("category_name"))).head.getLong(0) == 2)
+  }
+
   test("viewer drill-down filters one resource chronologically") {
     dir
     val names = Viewer.resourceNames(spark).collect().map(_.getString(0))

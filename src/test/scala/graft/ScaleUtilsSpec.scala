@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.ScaleUtils
+
+class ScaleUtilsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("extensions expose kernel functions in plain SQL (no register call)") {
+    Tables.t(spark, sfDir, "embeddings").limit(3).createOrReplaceTempView("e3")
+    val r = spark.sql(
+      """SELECT cosine_sim(embedding, embedding) AS c,
+        |       hyperplane_bucket(embedding, 8) AS b FROM e3""".stripMargin).collect()
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
+    assert(r.forall(row => row.getInt(1) >= 0 && row.getInt(1) < 256))
+    val sh = spark.sql(
+      "SELECT simhash64('a b c') AS s, shingle_minhash('a b c d', 3, 8) AS m").head
+    assert(sh.getLong(0) != 0L)
+    assert(sh.getSeq[Long](1).length == 8)
+  }
+
+  test("salted join equals plain join (inner)") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey")).agg(
+      count(lit(1)), round(sum(col("l_quantity")), 2)).head
+    val salted = ScaleUtils.saltedJoin(li, o, "l_orderkey", 4).agg(
+      count(lit(1)), round(sum(col("l_quantity")), 2)).head
+    assert(plain == salted)
+    val saltedDet = ScaleUtils.saltedJoinDeterministic(
+      li, o, "l_orderkey", col("l_quantity"), 4).agg(
+      count(lit(1)), round(sum(col("l_quantity")), 2)).head
+    assert(plain == saltedDet)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val c = Tables.t(spark, sfDir, "customer").select("c_custkey", "c_name")
+    val o = Tables.t(spark, sfDir, "orders").select("o_custkey", "o_totalprice")
+    ScaleUtils.writeBucketed(c, "bkt_customer", "c_custkey", 4)
+    ScaleUtils.writeBucketed(
+      o.withColumnRenamed("o_custkey", "c_custkey"), "bkt_orders", "c_custkey", 4)
+    // disable auto-broadcast so the planner must consider the bucketed
+    // layout (at real scale neither side would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_customer").join(spark.table("bkt_orders"), "c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan was:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
