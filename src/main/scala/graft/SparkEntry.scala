@@ -18,6 +18,7 @@ object SparkEntry {
     ops.JoinSetQueries.queries ++
     ops.WindowQueries.queries ++
     ops.AdvancedQueries.queries ++
+    ops.ShapeQueries.queries ++
     llm.TextOps.queries ++
     llm.VectorOps.queries ++
     llm.NearDupOps.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     ops.JoinSetQueries.oracleSql ++
     ops.WindowQueries.oracleSql ++
     ops.AdvancedQueries.oracleSql ++
+    ops.ShapeQueries.oracleSql ++
     llm.TextOps.oracleSql ++
     llm.VectorOps.oracleSql ++
     llm.NearDupOps.oracleSql ++

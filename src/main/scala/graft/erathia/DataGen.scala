@@ -232,4 +232,25 @@ object DataGen {
     factSales(s, weeks).write.mode("overwrite")
       .partitionBy("year", "month").parquet(s"$outDir/fact_sales")
   }
+
+  /** Chunked fact generation: append one partitioned write per
+    * `chunkWeeks` block, like the reference's DEFAULT_CHUNK_SIZE=100
+    * incremental writer (bronze_generator.py:456-484, config.py:13-14).
+    * Each chunk filters the same deterministic plan by week range, so
+    * chunked output is row-identical to the single-shot write. */
+  def writeFactChunked(s: SparkSession, outDir: String, weeks: Int,
+    chunkWeeks: Int = 100): Unit = {
+    val fact = factSales(s, weeks)
+    var start = 0
+    var first = true
+    while (start < weeks) {
+      val end = math.min(start + chunkWeeks, weeks)
+      val lo = start.toLong * 105 + 1; val hi = end.toLong * 105
+      fact.filter(col("trade_key") >= lo && col("trade_key") <= hi)
+        .write.mode(if (first) "overwrite" else "append")
+        .partitionBy("year", "month").parquet(s"$outDir/fact_sales")
+      first = false
+      start = end
+    }
+  }
 }

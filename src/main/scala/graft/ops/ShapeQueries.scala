@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Reshaping + scalar-function breadth: PIVOT (the first-class form of
+  * the reference's SUM(CASE WHEN) marts), CUBE, and the string/null
+  * scalar surface.
+  */
+object ShapeQueries {
+
+  /** PIVOT on return flag: quantity totals per (linestatus × flag).
+    * Explicit pivot values keep the plan a single pass (no distinct-scan
+    * to discover columns — required at scale). */
+  def pivotFlags(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus").as("linestatus"))
+      .pivot("l_returnflag", Seq("N", "A", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy("linestatus")
+
+  /** CUBE over (region, nation): all four grouping combinations in one
+    * pass. */
+  def regionCube(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(asc_nulls_first("region_name"), asc_nulls_first("nation_name"))
+  }
+
+  /** String + null-handling scalar surface over part. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("upper_name"),
+        lower(col("p_type")).as("lower_type"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+        lpad(col("p_brand"), 10, "*").as("brand_padded"),
+        length(col("p_name")).as("name_len"),
+        reverse(col("p_type")).as("type_rev"),
+        coalesce(nullif(col("p_size"), lit(0)), lit(-1)).as("size_or_default"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_pivot_flags"  -> pivotFlags,
+    "q29_region_cube"  -> regionCube,
+    "q38_string_funcs" -> stringFuncs)
+
+  val oracleSql: Map[String, String] = Map(
+    "q28_pivot_flags" ->
+      """SELECT l_linestatus AS linestatus,
+        |  ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |  ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |  ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY linestatus""".stripMargin,
+    "q29_region_cube" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |  COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)
+        |ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST""".stripMargin,
+    "q38_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS upper_name,
+        |  lower(p_type) AS lower_type,
+        |  substring(p_name, 1, 5) AS prefix5,
+        |  replace(p_name, ' ', '_') AS snake_name,
+        |  lpad(p_brand, 10, '*') AS brand_padded,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  reverse(p_type) AS type_rev,
+        |  COALESCE(NULLIF(p_size, 0), -1) AS size_or_default,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin)
+}

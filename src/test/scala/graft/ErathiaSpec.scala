@@ -109,6 +109,29 @@ class ErathiaSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("chunked append write equals single-shot write") {
+    val d = java.nio.file.Files.createTempDirectory("chunked").toString
+    DataGen.writeFactChunked(spark, d, 12, chunkWeeks = 5)
+    val chunked = spark.read.parquet(s"$d/fact_sales")
+      .orderBy("trade_key").collect()
+    val single = DataGen.factSales(spark, 12).orderBy("trade_key").collect()
+    assert(chunked.length == single.length)
+    assert(chunked.map(_.getLong(0)).sameElements(single.map(_.getLong(0))))
+  }
+
+  test("gold marts conserve fact totals") {
+    dir
+    val fe = spark.table("dm_faction_economy")
+    assert(fe.agg(sum(col("Transactions"))).head.getLong(0) ==
+      spark.table("fact_sales").count())
+    val martGold = fe.agg(
+      sum(col("Total Buy Volume (Gold)")) + sum(col("Total Sell Volume (Gold)")))
+      .head.getDouble(0)
+    val factGold = spark.table("fact_sales").agg(sum(col("gold_total")))
+      .head.getDouble(0)
+    assert(math.abs(martGold - factGold) < 0.1)
+  }
+
   test("nested JSON definitions flatten via explode (S3 ingest path)") {
     val p = java.nio.file.Files.createTempDirectory("defs").resolve("defs.json").toString
     erathia.Definitions.writeSample(p)
