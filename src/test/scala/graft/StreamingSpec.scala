@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -37,6 +39,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.count() > 0)
     // session bounds are consistent
     assert(sessions.filter(col("session_end") < col("session_start")).count() == 0)
+  }
+
+  test("new files become incremental micro-batches") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val d = java.nio.file.Files.createTempDirectory("events-inc")
+    // first half / second half of events as two separate arrivals
+    val all = StreamOps.withEventTime(
+      spark.read.schema(StreamOps.eventsRawSchema).parquet(streamDir))
+    val half = all.count() / 2
+    def arrive(tag: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory(s"stage-$tag")
+      spark.read.schema(StreamOps.eventsRawSchema).parquet(streamDir)
+        .filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, d.resolve(s"$tag.parquet"))
+    }
+    arrive("batch1", org.apache.spark.sql.functions.col("event_id") < half)
+    val counts = StreamOps.readEvents(spark, d.toString)
+      .groupBy("event_type").count()
+    val q = counts.writeStream.format("memory")
+      .queryName("inc_counts").outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("inc_counts")
+        .agg(org.apache.spark.sql.functions.sum("count")).head.getLong(0)
+      assert(n1 == half)
+      arrive("batch2", org.apache.spark.sql.functions.col("event_id") >= half)
+      q.processAllAvailable()
+      val n2 = spark.table("inc_counts")
+        .agg(org.apache.spark.sql.functions.sum("count")).head.getLong(0)
+      assert(n2 == all.count(), s"second arrival must be incorporated ($n1 -> $n2)")
+    } finally q.stop()
   }
 
   test("custom sessionizer agrees with session_window on session counts") {
