@@ -2,8 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 import graft.functions._
+
+/** Optimizer rule: `cosine_sim(x, x)` over a deterministic child is
+  * identically 1.0 (a vector's angle with itself) — fold it to a literal
+  * so the O(dim) kernel never runs. A small but genuine algebraic rule,
+  * the `injectOptimizerRule` counterpart to the function injection
+  * below; plan-level effect asserted in ScaleUtilsSpec. */
+object SimplifySelfCosine extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        Literal(1.0, DoubleType)
+    }
+}
 
 /** SparkSessionExtensions installer: registers the native kernels as SQL
   * functions for any session built with
@@ -19,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.eval().asInstanceOf[Number].intValue()
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => SimplifySelfCosine)
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))

@@ -108,6 +108,15 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup on event_id with bounded state: duplicates
+    * arriving within the watermark window are dropped, state for ids
+    * older than the watermark is evicted — the at-least-once →
+    * effectively-once repair stage of an ingest pipeline. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming DataFrame to completion against the files currently
     * in the source directory, returning the materialized result (memory
     * sink, one query name per call). */

@@ -20,6 +20,15 @@ class ScaleUtilsSpec extends AnyFunSuite {
     assert(sh.getSeq[Long](1).length == 8)
   }
 
+  test("optimizer rule folds cosine_sim(x, x) to literal 1.0") {
+    Tables.t(spark, sfDir, "embeddings").limit(3).createOrReplaceTempView("eopt")
+    val df = spark.sql("SELECT cosine_sim(embedding, embedding) AS c FROM eopt")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosinesimilarity") && optimized.contains("1.0"),
+      s"self-cosine must fold to a literal; plan was:\n$optimized")
+    assert(df.collect().forall(_.getDouble(0) == 1.0))
+  }
+
   test("salted join equals plain join (inner)") {
     val li = Tables.t(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")

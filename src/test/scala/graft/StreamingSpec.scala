@@ -75,6 +75,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val d = java.nio.file.Files.createTempDirectory("events-dup")
+    // the same file twice = every event duplicated
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), d.resolve("b.parquet"))
+    val deduped = StreamOps.runToMemory(spark,
+      StreamOps.dedupEvents(StreamOps.readEvents(spark, d.toString))
+        .groupBy().count(),
+      "dedup_events", OutputMode.Complete)
+    val expected = spark.read.schema(StreamOps.eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet").count()
+    assert(deduped.head.getLong(0) == expected)
+  }
+
   test("custom sessionizer agrees with session_window on session counts") {
     import spark.implicits._
     val events = StreamOps.withEventTime(
