@@ -67,10 +67,37 @@ object AdvancedQueries {
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
       percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
 
+  /** Batch sessionization via the islands pattern: lag → gap flag →
+    * running sum as session id → per-session aggregates. Two windows and
+    * one aggregation, all partitioned on user_id (a single shuffle);
+    * the streaming equivalents live in streaming.StreamOps. 30-minute
+    * gap, timestamps as epoch micros for cross-engine parity. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_asof_join"        -> asofJoin,
     "q26_distinct_profile" -> distinctProfile,
-    "q27_approx_profile"   -> approxProfile)
+    "q27_approx_profile"   -> approxProfile,
+    "q47_sessionize"       -> sessionize)
 
   val oracleSql: Map[String, String] = Map(
     "q25_asof_join" ->
@@ -81,6 +108,26 @@ object AdvancedQueries {
         |  epoch_us(c.ts) AS click_ts_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q47_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  MIN(ts_us) AS session_start_us,
+        |  MAX(ts_us) AS session_end_us,
+        |  COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q26_distinct_profile" ->
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

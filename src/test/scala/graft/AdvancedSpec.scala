@@ -29,6 +29,22 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got.count() == expected.count())
   }
 
+  test("islands sessionization agrees with the stateful sessionizer") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val islands = AdvancedQueries.sessionize(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = StreamOps.withEventTime(
+      spark.read.schema(StreamOps.eventsRawSchema).parquet(s"$sfDir/events.parquet"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.Event]
+    val stateful = StreamOps.sessionize(events)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(islands == stateful)
+  }
+
   test("approx profile tracks exact distincts within HLL error bounds") {
     val exact = AdvancedQueries.distinctProfile(spark, sfDir).head
     val approx = AdvancedQueries.approxProfile(spark, sfDir).head
