@@ -120,11 +120,38 @@ object VectorOps {
       .orderBy("query_id", "rn")
   }
 
+  /** Full-corpus embedding near-duplicate candidates: bucket every
+    * vector by a 12-bit hyperplane code, self-join within buckets only
+    * (expected bucket size N/4096), keep pairs above the cosine
+    * threshold. This is the embedding analogue of MinHash banding — the
+    * subquadratic full-dedup pass; recall for true near-identical pairs
+    * is high because vectors at cosine ≈ 1 agree on almost every
+    * hyperplane sign. Approximate → rows-only driver check; planted-pair
+    * recall pinned in VectorFunctionsSpec. */
+  def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, hyperplane_bucket}
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        hyperplane_bucket(col("embedding"), 12).as("bucket"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") > 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk"     -> cosineTopK,
     "q41_cosine_near_dup" -> cosineNearDup,
     "q42_label_centroids" -> labelCentroids,
-    "q46_ann_topk"        -> annTopK)
+    "q46_ann_topk"        -> annTopK,
+    "q48_embed_neardup_lsh" -> embedNearDupLsh)
 
   val oracleSql: Map[String, String] = Map(
     "q40_cosine_topk" ->

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5): algebraic invariants of the engine's
+  * building blocks over generated inputs. Cases come from a fixed-seed
+  * generator (scalatestplus bridge is not in the offline cache), so runs
+  * are deterministic. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val rnd = new scala.util.Random(42)
+  private def word: String =
+    (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+  private def words(n: Int): List[String] = List.fill(n)(word)
+
+  test("smart date key round-trips for every day of 2000-2001") {
+    val bad = spark.sql(
+      """SELECT * FROM (
+        |  SELECT d, date_key,
+        |    make_date(CAST(date_key / 10000 AS INT),
+        |              CAST(date_key / 100 AS INT) % 100,
+        |              date_key % 100) AS back
+        |  FROM (SELECT d, year(d)*10000 + month(d)*100 + day(d) AS date_key
+        |        FROM (SELECT explode(sequence(to_date('2000-01-01'),
+        |                                      to_date('2001-12-31'))) AS d)))
+        |WHERE back <> d""".stripMargin)
+    assert(bad.count() == 0)
+  }
+
+  test("identical docs have identical shingle sets (jaccard = 1)") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val text = words(3 + rnd.nextInt(10)).mkString(" ")
+      val sets = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+        .select(graft.llm.NearDupOps.shingles(col("text"), 3).as("s"))
+        .collect().map(_.getSeq[String](0).toSet)
+      assert(sets(0) == sets(1) && sets(0).nonEmpty)
+    }
+  }
+
+  test("simhash is token-order invariant (same multiset, same hash)") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val ws = words(2 + rnd.nextInt(10))
+      val a = ws.mkString(" ")
+      val b = new scala.util.Random(rnd.nextInt()).shuffle(ws).mkString(" ")
+      val r = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+        .select(graft.functions.HashKernels.simhash64(col("text")).as("s"))
+        .collect().map(_.getLong(0))
+      assert(r(0) == r(1), s"'$a' vs '$b'")
+    }
+  }
+
+  test("minhash of a token superset is elementwise <= (min monotone)") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val base = words(3 + rnd.nextInt(6))
+      val small = base.mkString(" ")
+      val big = (base ++ base.take(2) ++ words(1 + rnd.nextInt(4))).mkString(" ")
+      val rows = Seq((0L, small), (1L, big)).toDF("doc_id", "text")
+        .select(graft.functions.HashKernels.shingle_minhash(col("text"), 1, 16).as("sig"))
+        .collect().map(_.getSeq[Long](0))
+      assert(rows(0).zip(rows(1)).forall { case (s, b) => b <= s })
+    }
+  }
+
+  test("hyperplane bucket is scale-invariant (depends on angle only)") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val v = Array.fill(8)((rnd.nextInt(201) - 100).toFloat / 10)
+        match { case a if a.forall(_ == 0f) => a.updated(0, 1.0f); case a => a }
+      val scaled = v.map(_ * 3.0f)
+      val r = Seq((0L, v.toSeq), (1L, scaled.toSeq)).toDF("id", "v")
+        .select(graft.functions.VectorFunctions.hyperplane_bucket(col("v"), 8).as("b"))
+        .collect().map(_.getInt(0))
+      assert(r(0) == r(1))
+    }
+  }
+}

@@ -97,6 +97,25 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("full-corpus LSH near-dup finds planted near-identical vectors") {
+    import graft.functions.VectorFunctions.{dot_product, hyperplane_bucket}
+    val d = java.nio.file.Files.createTempDirectory("embdup").toString
+    val e = Tables.t(spark, sfDir, "embeddings")
+    // plant: copies of vecs 0..4 with a tiny perturbation (cosine ≈ 1)
+    val planted = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"), x => x * 1.001f + 0.0001f).as("embedding"),
+        col("label"))
+    e.union(planted).coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/embeddings.parquet")
+    val pairs = graft.llm.VectorOps.embedNearDupLsh(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 200000L)),
+        s"planted near-dup of vec $i must be found")
+    }
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     Tables.t(spark, sfDir, "embeddings").limit(5).createOrReplaceTempView("emb5")
