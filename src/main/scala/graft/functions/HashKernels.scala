@@ -93,6 +93,36 @@ object MinHashKernel {
     r
   }
 
+  /** Hashing-trick TF embedding: each whitespace token increments the
+    * dimension `hash(token) mod dim` (sign split on another hash bit to
+    * reduce bias, as in feature hashing), then L2-normalize. Gives every
+    * document a dense `array<float>` representation with cosine ≈ token
+    * multiset similarity — the model-free vectorizer that lets text flow
+    * into the ANN / embedding-dedup operators. Empty docs → zero vector. */
+  def hashedTfVector(text: UTF8String, dim: Int): ArrayData = {
+    val acc = new Array[Double](dim)
+    val words = text.toString.split(' ')
+    var j = 0
+    while (j < words.length) {
+      if (words(j).nonEmpty) {
+        val bytes = words(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        val idx = java.lang.Math.floorMod(h, dim.toLong).toInt
+        acc(idx) += (if (((h >>> 62) & 1L) == 1L) 1.0 else -1.0)
+      }
+      j += 1
+    }
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) { n2 += acc(i) * acc(i); i += 1 }
+    val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) { out(i) = (acc(i) * inv).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
   private def accumulate(h: Long, mins: Array[Long], k: Int): Unit = {
     var i = 0
     while (i < k) {
@@ -156,6 +186,22 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Catalyst expression: text → L2-normalized array<float> embedding. */
+case class HashedTfVector(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.hashedTfVector(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.hashedTfVector($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashKernels {
   def minhash_signature(shingles: Column, k: Int): Column =
     GraftSqlBridge.column(MinHashSignature(GraftSqlBridge.expression(shingles), k))
@@ -165,4 +211,7 @@ object HashKernels {
 
   def simhash64(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
+
+  def hashed_tf_vector(text: Column, dim: Int): Column =
+    GraftSqlBridge.column(HashedTfVector(GraftSqlBridge.expression(text), dim))
 }

@@ -106,20 +106,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Random-hyperplane LSH bucket for an array<float> embedding: bit b of
   * the code is the sign of the dot product with a pseudo-random ±1
-  * hyperplane derived from a splitmix64 mix of (b, i). Cosine-similar
-  * vectors agree on most sign bits, so they collide in buckets —
-  * the subquadratic candidate-generation step for ANN / embedding dedup
-  * at corpus scale. Deterministic across partitions and engines. */
-case class HyperplaneBucket(child: Expression, bits: Int) extends UnaryExpression {
+  * hyperplane derived from a splitmix64 mix of (table, b, i).
+  * Cosine-similar vectors agree on most sign bits, so they collide in
+  * buckets — the subquadratic candidate-generation step for ANN /
+  * embedding dedup at corpus scale. A single code table misses pairs
+  * at moderate similarity (P[collide] = (1−θ/π)^bits), so near-dup
+  * operators probe several independent tables (distinct `table` values)
+  * and union the candidates, exactly like MinHash banding.
+  * Deterministic across partitions and engines. */
+case class HyperplaneBucket(child: Expression, bits: Int, table: Int = 0)
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(input: Any): Any =
-    VectorKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], bits)
+    VectorKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], bits, table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorKernels.hyperplaneBucket($c, $bits)")
+      s"graft.functions.VectorKernels.hyperplaneBucket($c, $bits, $table)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -134,7 +139,7 @@ object VectorKernels {
     z ^ (z >>> 31)
   }
 
-  def hyperplaneBucket(v: ArrayData, bits: Int): Int = {
+  def hyperplaneBucket(v: ArrayData, bits: Int, table: Int): Int = {
     val n = v.numElements()
     val acc = new Array[Double](bits)
     var i = 0
@@ -142,7 +147,7 @@ object VectorKernels {
       val x = v.getFloat(i).toDouble
       var b = 0
       while (b < bits) {
-        if ((mix64(b.toLong * 1048573L + i) & 1L) == 1L) acc(b) += x
+        if ((mix64((table.toLong * 64 + b) * 1048573L + i) & 1L) == 1L) acc(b) += x
         else acc(b) -= x
         b += 1
       }
@@ -164,8 +169,16 @@ object VectorFunctions {
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  def hyperplane_bucket(v: Column, bits: Int): Column =
-    GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(v), bits))
+  def hyperplane_bucket(v: Column, bits: Int, table: Int = 0): Column =
+    GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(v), bits, table))
+
+  /** Multi-table LSH band keys: one "table:code" string per probe table.
+    * Explode + equi-join = union of per-table candidate sets. */
+  def lshBandKeys(v: Column, bits: Int, tables: Int): Column =
+    org.apache.spark.sql.functions.array((0 until tables).map(t =>
+      org.apache.spark.sql.functions.concat_ws(":",
+        org.apache.spark.sql.functions.lit(t.toString),
+        hyperplane_bucket(v, bits, t).cast("string"))): _*)
 
   /** SQL registration: SELECT cosine_sim(v1, v2), dot_product(v1, v2). */
   def register(s: SparkSession): Unit = {

@@ -132,10 +132,48 @@ object NearDupOps {
       .orderBy("doc_id")
   }
 
+  /** Model-free embedding near-dup over documents: hashed-TF vectorize
+    * each doc (codegen'd kernel, no external model), hyperplane-bucket,
+    * compare within buckets only. The complete text→vector→LSH→dedup
+    * loop in one plan: two narrow projections + one bucket self-join.
+    * Cosine here approximates token-multiset similarity. */
+  def docEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashKernels.hashed_tf_vector
+    import graft.functions.VectorFunctions.{cosine_sim, lshBandKeys}
+    // Bits size the buckets (candidate cost ~ N²/2^bits per table),
+    // tables buy back recall: 8 tables × 12 bits ≈ 0.86 recall at cosine
+    // .93 with ~N²/4096-per-table candidate volume. 6-bit tables looked
+    // cheaper but left 64 buckets → ~N²/64 pairs: 7.5 s at sf0.1 vs ~1 s.
+    val e = t(s, dir, "documents")
+      .select(col("doc_id"), hashed_tf_vector(col("text"), 64).as("v"))
+      .select(col("doc_id"), col("v"),
+        explode(lshBandKeys(col("v"), 12, 8)).as("band"))
+    // Degenerate-bucket guard: a band holding >100 docs means that code
+    // region is saturated (tiny-vocab corpora cluster hard); such bands
+    // generate O(size²) candidates and no dedup signal — drop them.
+    // Window count shares the band partitioning with the self-join, so
+    // the exchange is planned once and reused for both sides.
+    val pruned = e
+      .withColumn("band_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+      .filter(col("band_n") > 1 && col("band_n") <= 100)
+      .drop("band_n")
+    val a = pruned.select(col("band"), col("doc_id").as("doc_a"), col("v").as("va"))
+    val b = pruned.select(col("band"), col("doc_id").as("doc_b"), col("v").as("vb"))
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(cosine_sim(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") > 0.9)
+      .dropDuplicates("doc_a", "doc_b") // pair may collide in several tables
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_minhash_pairs" -> minhashPairs,
     "q44_ngram_jaccard" -> ngramJaccard,
-    "q45_simhash"       -> simhash)
+    "q45_simhash"       -> simhash,
+    "q49_doc_embed_neardup" -> docEmbedNearDup)
 
   // q43/q45 hash with xxhash64 (not available in DuckDB) → rows-only
   // driver check; their value-level verification is NearDupSpec.

@@ -129,20 +129,23 @@ object VectorOps {
     * hyperplane sign. Approximate → rows-only driver check; planted-pair
     * recall pinned in VectorFunctionsSpec. */
   def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.{dot_product, hyperplane_bucket}
+    import graft.functions.VectorFunctions.{dot_product, lshBandKeys}
+    // 4 independent 8-bit tables (multi-probe banding — a single table
+    // has only (1−θ/π)^bits recall at moderate similarity)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"),
-        hyperplane_bucket(col("embedding"), 12).as("bucket"),
-        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
-    val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"),
+        explode(lshBandKeys(col("embedding"), 8, 4)).as("band"))
+    val a = e.select(col("band"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+    val b = e.select(col("band"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") > 0.8)
+      .dropDuplicates("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
 

@@ -101,6 +101,24 @@ class NearDupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hashed-TF vectors: unit norm, deterministic, dup-doc recall") {
+    import graft.functions.HashKernels.hashed_tf_vector
+    import graft.functions.VectorFunctions.cosine_sim
+    val docs = Tables.t(spark, sfDir, "documents").limit(50)
+      .select(col("doc_id"), hashed_tf_vector(col("text"), 64).as("v"))
+    val norms = docs.select(
+      graft.functions.VectorFunctions.dot_product(col("v"), col("v")).as("n2"),
+      size(col("v")).as("d")).collect()
+    assert(norms.forall(_.getInt(1) == 64))
+    assert(norms.forall(r => r.getDouble(0) == 0.0 || math.abs(r.getDouble(0) - 1.0) < 1e-6))
+    // the planted-duplicate corpus: exact copies must appear at sim ~1
+    val pairs = NearDupOps.docEmbedNearDup(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((0L, 3L)) - 1.0) < 1e-9, "exact copies at cosine 1")
+    assert(pairs.contains((0L, 1L)), "near-dup (one word changed) found")
+    assert(!pairs.contains((0L, 2L)), "unrelated docs not near-dups")
+  }
+
   test("shingling guards short documents") {
     val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d"))
       .toDF("doc_id", "text")
