@@ -93,13 +93,42 @@ object AdvancedQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Range (theta) join: classify events into non-uniform value bands.
+    * The band table is tiny and broadcast, so the non-equi predicate
+    * costs one broadcast-nested-loop pass over the fact — the correct
+    * physical shape when the range dim is small. (A large range dim
+    * would first be binned to an equi key; that path is the
+    * hyperplane/banding pattern used by the LSH operators.) */
+  def rangeJoinBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("micro", 0.0, 10.0), ("small", 10.0, 25.0), ("medium", 25.0, 75.0),
+      ("large", 75.0, 150.0), ("huge", 150.0, 1e12))
+      .toDF("band", "lo", "hi")
+    t(s, dir, "events")
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_range_join_bands" -> rangeJoinBands,
     "q25_asof_join"        -> asofJoin,
     "q26_distinct_profile" -> distinctProfile,
     "q27_approx_profile"   -> approxProfile,
     "q47_sessionize"       -> sessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q39_range_join_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('micro', 0.0, 10.0), ('small', 10.0, 25.0), ('medium', 25.0, 75.0),
+        |  ('large', 75.0, 150.0), ('huge', 150.0, 1e12))
+        |SELECT band, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
     "q25_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
