@@ -123,6 +123,55 @@ object MinHashKernel {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint (the MOSS scheme): Karp-Rabin rolling hash
+    * over char n-grams, then the minimum hash of every w-hash window,
+    * deduplicated. Guarantees any shared substring of length ≥ n+w−1
+    * yields a shared fingerprint — robust to insertions that shift the
+    * rest of the document, which fixed-stride chunk hashing is not.
+    * Returns a sorted distinct array; null for docs shorter than n. */
+  def winnowFingerprint(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < n) return null
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < n - 1) { pow *= B; i += 1 }
+    val nHashes = s.length - n + 1
+    val hashes = new Array[Long](nHashes)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = mix(h)
+    i = 1
+    while (i < nHashes) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + n - 1)
+      hashes(i) = mix(h)
+      i += 1
+    }
+    // SLIDING window (stride 1): each position's window picks its local
+    // minimum, so selected minima are alignment-independent — a prefix
+    // insertion shifts indices but the same local minima win. Fixed-
+    // stride chunking (stride w) loses exactly this property.
+    val sel = scala.collection.mutable.SortedSet[Long]()
+    val lastStart = math.max(0, nHashes - w)
+    var start = 0
+    while (start <= lastStart) {
+      val end = math.min(start + w, nHashes)
+      var m = Long.MaxValue
+      var j = start
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      sel += m
+      start += 1
+    }
+    new GenericArrayData(sel.toArray)
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 * GOLD
+    z ^= (z >>> 29)
+    z * MIX ^ (z >>> 32)
+  }
+
   private def accumulate(h: Long, mins: Array[Long], k: Int): Unit = {
     var i = 0
     while (i < k) {
@@ -214,4 +263,27 @@ object HashKernels {
 
   def hashed_tf_vector(text: Column, dim: Int): Column =
     GraftSqlBridge.column(HashedTfVector(GraftSqlBridge.expression(text), dim))
+
+  def winnow_fingerprint(text: Column, n: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowFingerprint(GraftSqlBridge.expression(text), n, w))
+}
+
+/** Catalyst expression: text → sorted distinct winnowing fingerprints
+  * (null for docs shorter than the n-gram size). */
+case class WinnowFingerprint(child: Expression, n: Int, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.winnowFingerprint(input.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.MinHashKernel.winnowFingerprint($c, $n, $w);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -139,7 +139,42 @@ object TextOps {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Rolling-hash document fingerprinting (winnowing): char-8-gram
+    * Karp-Rabin hashes, window minima, distinct — shared substrings of
+    * length ≥ 23 guarantee shared fingerprints even when edits shift
+    * the rest of the document. Kernel-hashed → rows-only driver check;
+    * shift-robustness pinned in NearDupSpec. */
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.HashKernels.winnow_fingerprint(col("text"), 8, 16).as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+        element_at(col("fp"), 1).as("fp_min"))
+      .orderBy("doc_id")
+
+  /** Character-n-gram language ID: per-class trigram evidence counts →
+    * argmax, the classic n-gram heuristic expressed as pure column
+    * algebra (no join, no shuffle — profile trigrams are inline
+    * literals; a full model would broadcast a (lang, trigram, logp)
+    * dim instead, same plan shape). */
+  def charNgramLangId(s: SparkSession, dir: String): DataFrame = {
+    val tri = when(length(col("text")) < 3, array().cast("array<string>"))
+      .otherwise(expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
+    val enHits = size(filter(tri, t => t.isin("the", "he ", " th", "ing", "nd ")))
+    val jarHits = size(filter(tri, t => t.isin("spa", "par", "ark", "sca", "que")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), enHits.as("en_score"), jarHits.as("jargon_score"),
+        when(length(col("text")) < 3, "und")
+          .when(enHits > jarHits, "en")
+          .when(jarHits > enHits, "jargon")
+          .otherwise("und").as("guess"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_rolling_fingerprint" -> rollingFingerprint,
+    "q55_char_ngram_langid"   -> charNgramLangId,
     "q30_text_stats"    -> textStats,
     "q31_quality_score" -> qualityScore,
     "q32_lang_profile"  -> langProfile,
@@ -150,6 +185,24 @@ object TextOps {
     "q37_json_props"    -> jsonProps)
 
   val oracleSql: Map[String, String] = Map(
+    "q55_char_ngram_langid" ->
+      """WITH tri AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) < 3 THEN []
+        |         ELSE list_transform(generate_series(1, length(text) - 2),
+        |                             i -> substr(text, i, 3)) END AS t3,
+        |    length(text) AS len
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(t3, t -> t IN ('the', 'he ', ' th', 'ing', 'nd '))) AS INTEGER) AS en_score,
+        |  CAST(len(list_filter(t3, t -> t IN ('spa', 'par', 'ark', 'sca', 'que'))) AS INTEGER) AS jargon_score,
+        |  CASE WHEN len < 3 THEN 'und'
+        |       WHEN len(list_filter(t3, t -> t IN ('the', 'he ', ' th', 'ing', 'nd ')))
+        |          > len(list_filter(t3, t -> t IN ('spa', 'par', 'ark', 'sca', 'que'))) THEN 'en'
+        |       WHEN len(list_filter(t3, t -> t IN ('spa', 'par', 'ark', 'sca', 'que')))
+        |          > len(list_filter(t3, t -> t IN ('the', 'he ', ' th', 'ing', 'nd '))) THEN 'jargon'
+        |       ELSE 'und' END AS guess
+        |FROM tri ORDER BY doc_id""".stripMargin,
     "q30_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars,

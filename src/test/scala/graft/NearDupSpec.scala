@@ -119,6 +119,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)), "unrelated docs not near-dups")
   }
 
+  test("winnowing fingerprints survive a prefix shift (rolling-hash property)") {
+    import graft.functions.HashKernels.winnow_fingerprint
+    import spark.implicits._
+    val shifted = "NEW PREFIX WORDS HERE " + base
+    val fps = Seq((0L, base), (1L, shifted), (2L, different))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), winnow_fingerprint(col("text"), 8, 16).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def overlap(a: Set[Long], b: Set[Long]) =
+      a.intersect(b).size.toDouble / math.min(a.size, b.size)
+    assert(overlap(fps(0L), fps(1L)) > 0.6,
+      s"prefix-shifted doc must share most fingerprints, got ${overlap(fps(0L), fps(1L))}")
+    assert(overlap(fps(0L), fps(2L)) < 0.2,
+      "unrelated docs must share almost none")
+  }
+
   test("shingling guards short documents") {
     val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d"))
       .toDF("doc_id", "text")
