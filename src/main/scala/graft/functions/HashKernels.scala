@@ -9,6 +9,13 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused MinHash signature kernel.
   *
+  * Algorithms are the published classics: MinHash resemblance sketches
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * SimHash (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002), winnowing fingerprints (Schleimer, Wilkerson,
+  * Aiken, "Winnowing: local algorithms for document fingerprinting",
+  * SIGMOD 2003), and feature hashing (Weinberger et al., ICML 2009).
+  *
   * The composed form (k nested `transform`/`array_min` lambdas, one
   * xxhash64 per (shingle, seed)) runs interpreted — higher-order
   * functions are outside whole-stage codegen — and took ~290 s for 50k

@@ -104,7 +104,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Random-hyperplane LSH bucket for an array<float> embedding: bit b of
+/** Random-hyperplane LSH (Charikar, STOC 2002; Indyk–Motwani 1998 for
+  * the LSH framework) bucket for an array<float> embedding: bit b of
   * the code is the sign of the dot product with a pseudo-random ±1
   * hyperplane derived from a splitmix64 mix of (table, b, i).
   * Cosine-similar vectors agree on most sign bits, so they collide in
