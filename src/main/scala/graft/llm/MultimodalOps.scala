@@ -137,7 +137,7 @@ object MultimodalOps {
   val oracleSql: Map[String, String] = Map(
     "q50_media_catalog" ->
       """SELECT format, COUNT(*) AS n_assets,
-        |  SUM(octet_length(encode(text))) AS total_bytes,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(MAX(octet_length(encode(text))) AS INTEGER) AS max_bytes
         |FROM (SELECT ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] AS format, text
         |      FROM documents)

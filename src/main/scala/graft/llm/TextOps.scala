@@ -229,7 +229,7 @@ object TextOps {
     "q32_lang_profile" ->
       """SELECT lang,
         |  COUNT(*) AS n_docs,
-        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
         |  COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -259,8 +259,8 @@ object TextOps {
     "q37_json_props" ->
       """SELECT event_type,
         |  COUNT(*) AS n_events,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
-        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -24,9 +24,11 @@ object WindowQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("rk", rank().over(w))
-      .withColumn("drk", dense_rank().over(w))
+      // long casts align with DuckDB's int64 window-function outputs so
+      // the driver's schema comparison cannot trip on int32 vs int64
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("drk", dense_rank().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }
@@ -72,7 +74,7 @@ object WindowQueries {
       .orderBy(col("c_acctbal"), col("c_custkey"))
     t(s, dir, "customer")
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
-      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("pct_rank", percent_rank().over(w))
       .orderBy("c_nationkey", "c_acctbal", "c_custkey")
   }
