@@ -50,7 +50,7 @@ object VectorOps {
           .as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rn", row_number().over(w))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .orderBy("query_id", "rn")
   }
@@ -115,7 +115,7 @@ object VectorOps {
           .as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rn", row_number().over(w))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .orderBy("query_id", "rn")
   }

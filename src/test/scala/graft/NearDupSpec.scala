@@ -72,7 +72,7 @@ class NearDupSpec extends AnyFunSuite {
     val byQuery = topk.groupBy(_.getLong(0))
     assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
     byQuery.values.foreach { rows =>
-      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(sims.length == 10)
       assert(sims.sameElements(sims.sortBy(-(_: Double))), "ranks must follow sim desc")
     }

@@ -30,6 +30,10 @@ def cmp_frames(a, b):
         return f"rowcount differs: spark={len(a)} oracle={len(b)}"
     a, b = canon(a), canon(b)
     for col in a.columns:
+        if str(a[col].dtype) != str(b[col].dtype):
+            return (f"dtype differs on {col}: spark={a[col].dtype} "
+                    f"oracle={b[col].dtype}")
+    for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             same = (x == y)
