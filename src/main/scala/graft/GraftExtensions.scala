@@ -2,22 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
 import graft.functions._
 
-/** Optimizer rule: `cosine_sim(x, x)` over a deterministic child is
-  * identically 1.0 (a vector's angle with itself) — fold it to a literal
-  * so the O(dim) kernel never runs. A small but genuine algebraic rule,
-  * the `injectOptimizerRule` counterpart to the function injection
-  * below; plan-level effect asserted in ScaleUtilsSpec. */
+/** Optimizer rule: `cosine_sim(x, x)` needs only the self-norm, not the
+  * full three-accumulator kernel. Rewrites to SelfCosine — NOT a literal
+  * 1.0, which would erase NULL propagation (nullable parquet columns)
+  * and the NaN a zero/empty vector produces. Plan-level effect asserted
+  * in ScaleUtilsSpec. */
 object SimplifySelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
-        Literal(1.0, DoubleType)
+        SelfCosine(a)
     }
 }
 

@@ -26,10 +26,13 @@ object Tables {
     * value never loses precision through a double. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") nanosTsToMicros(df) else df
   }
+
+  /** Raw nanos long → micros timestamp; the one conversion rule, shared
+    * with the streaming reader. */
+  def nanosTsToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Register every fixture table as a temp view (for spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -53,15 +53,19 @@ object Definitions {
         col("u.income").cast("double").as("base_income"),
         (col("fidx") + 100).cast("long").as("faction_key"))
 
-  /** categories × tiers → one row per (category, tier), keys from 200. */
+  /** categories × tiers → one row per (category, tier), keys from 200 in
+    * DOCUMENT order (Resources' tiers before Artifacts', matching
+    * DataGen.dimProductCategory and bronze_generator.py:114-123 —
+    * alphabetical ordering would invert the namespace and silently
+    * mis-attribute categories on key joins). */
   def categories(s: SparkSession, path: String): DataFrame =
     readDoc(s, path)
-      .select(explode(col("categories")).as("c"))
-      .select(col("c.name").as("category_name"),
+      .select(posexplode(col("categories")).as(Seq("cidx", "c")))
+      .select(col("cidx"), col("c.name").as("category_name"),
         posexplode(col("c.tiers")).as(Seq("tidx", "tier_level")))
       .withColumn("category_key",
         row_number().over(
           org.apache.spark.sql.expressions.Window
-            .orderBy(col("category_name"), col("tidx"))) + 199L)
+            .orderBy(col("cidx"), col("tidx"))) + 199L)
       .select("category_key", "category_name", "tier_level")
 }

@@ -29,9 +29,10 @@ object Pipeline {
     val factRows = Silver.run(spark, s"$outDir/bronze", s"$outDir/silver")
     Gold.run(spark, s"$outDir/gold")
 
+    val marts = Viewer.listMarts(spark)
     println(f"[pipeline] $weeks weeks → $factRows fact rows in " +
-      f"${(System.nanoTime() - t0) / 1e9}%.1fs; marts: ${Viewer.listMarts(spark).mkString(", ")}")
-    Viewer.listMarts(spark).foreach { m =>
+      f"${(System.nanoTime() - t0) / 1e9}%.1fs; marts: ${marts.mkString(", ")}")
+    marts.foreach { m =>
       println(s"== $m")
       Viewer.report(spark, m).show(5, truncate = false)
     }

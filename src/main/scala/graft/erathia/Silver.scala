@@ -34,9 +34,13 @@ object Silver {
       .filter(col("quantity") =!= 0)
 
   /** Deterministic key dedup (vs. dropDuplicates' arbitrary pick —
-    * silver_processor.py:47): keep the first row per key in key order. */
+    * silver_processor.py:47): keep the first row per key under a total
+    * order over ALL columns, so the survivor is identical across runs,
+    * partitionings, and task retries. (Ordering by the key alone would
+    * be vacuous inside its own partition.) */
   def dedupByKey(key: String)(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(key))
+    val w = Window.partitionBy(col(key))
+      .orderBy(df.columns.map(col).toIndexedSeq: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -35,8 +35,13 @@ object MinHashKernel {
   def multiplier(i: Int): Long = GOLD * (2L * i + 1) | 1L
   def addend(i: Int): Long = MIX * i
 
-  /** One pass over the shingle array → k-long minhash signature. */
+  /** One pass over the shingle array → k-long minhash signature.
+    * Null (not a MaxValue sentinel) for an empty shingle set — otherwise
+    * every shingle-less doc would share one signature and collide in all
+    * LSH bands, quadratically exploding false candidates. Matches
+    * `shingleSignature`'s null-for-short-docs behavior. */
   def signature(shingles: ArrayData, k: Int): ArrayData = {
+    if (shingles.numElements() == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     val n = shingles.numElements()
@@ -179,6 +184,23 @@ object MinHashKernel {
     z * MIX ^ (z >>> 32)
   }
 
+  /** Count sliding 3-char windows of `text` that appear in `set` —
+    * every occurrence counts, matching
+    * `len(list_filter(trigrams, t -> t IN set))` exactly. One pass,
+    * no substring materialization. */
+  def trigramHits(text: UTF8String, set: java.util.HashSet[String]): Int = {
+    val s = text.toString
+    if (s.length < 3) return 0
+    var hits = 0
+    var i = 0
+    val last = s.length - 3
+    while (i <= last) {
+      if (set.contains(s.substring(i, i + 3))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   private def accumulate(h: Long, mins: Array[Long], k: Int): Unit = {
     var i = 0
     while (i < k) {
@@ -189,17 +211,21 @@ object MinHashKernel {
   }
 }
 
-/** Catalyst expression: array<string> shingles → array<long> signature. */
+/** Catalyst expression: array<string> shingles → array<long> signature
+  * (null for an empty shingle set). */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     MinHashKernel.signature(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashKernel.signature($c, $k)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.MinHashKernel.signature($c, $k);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -273,6 +299,35 @@ object HashKernels {
 
   def winnow_fingerprint(text: Column, n: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowFingerprint(GraftSqlBridge.expression(text), n, w))
+
+  def trigram_hits(text: Column, trigrams: Seq[String]): Column =
+    GraftSqlBridge.column(TrigramHits(GraftSqlBridge.expression(text), trigrams))
+}
+
+/** Catalyst expression: count of 3-char windows present in a fixed
+  * trigram set (the n-gram language-ID evidence counter). The set is a
+  * per-expression reference object shared across rows. */
+case class TrigramHits(child: Expression, trigrams: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    trigrams.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.trigramHits(input.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("trigramSet", set, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.trigramHits($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Catalyst expression: text → sorted distinct winnowing fingerprints

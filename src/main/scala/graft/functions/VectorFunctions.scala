@@ -104,6 +104,45 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** cosine_sim(x, x) reduced to one pass over x: na/(sqrt(na)·sqrt(na))
+  * with na accumulated in the same element order as CosineSimilarity —
+  * bit-identical results (including NULL for null input and NaN for
+  * zero/empty vectors, which a fold to literal 1.0 would erase) at a
+  * third of the FLOPs. Target of the SimplifySelfCosine optimizer rule. */
+case class SelfCosine(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    var na = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    na / (math.sqrt(na) * math.sqrt(na))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val na = ctx.freshName("na")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  $na += $x * $x;
+         |}
+         |${ev.value} = $na / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($na));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH (Charikar, STOC 2002; Indyk–Motwani 1998 for
   * the LSH framework) bucket for an array<float> embedding: bit b of
   * the code is the sign of the dot product with a pseudo-random ±1

@@ -19,8 +19,8 @@ import graft.Tables.t
   */
 object NearDupOps {
 
-  /** Non-empty whitespace tokens. */
-  private def toks(c: Column): Column = filter(split(c, " "), x => x =!= "")
+  /** Non-empty whitespace tokens — the shared rule (functions.Tokenize). */
+  private def toks(c: Column): Column = graft.functions.Tokenize.tokens(c)
 
   /** Distinct word n-gram shingles (1-based element_at; guarded so short
     * docs yield an empty array rather than a descending sequence). */

@@ -18,11 +18,10 @@ import graft.Tables.t
   */
 object TextOps {
 
-  /** Whitespace tokens, empty-safe: split on single space, drop empties.
-    * (The fixture corpus is single-space separated; a real corpus would
-    * widen the delimiter class — the plan shape is identical.) */
+  /** Whitespace tokens — the shared rule (see functions.Tokenize for why
+    * it is defined exactly once). */
   private def tokens(c: org.apache.spark.sql.Column) =
-    filter(split(c, " "), x => x =!= "")
+    graft.functions.Tokenize.tokens(c)
 
   /** Per-document statistics: char count, token count, regex-token count
     * (BPE-ish `[a-z]+|[0-9]+` word/number pieces), mean token length. */
@@ -159,10 +158,11 @@ object TextOps {
     * literals; a full model would broadcast a (lang, trigram, logp)
     * dim instead, same plan shape). */
   def charNgramLangId(s: SparkSession, dir: String): DataFrame = {
-    val tri = when(length(col("text")) < 3, array().cast("array<string>"))
-      .otherwise(expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
-    val enHits = size(filter(tri, t => t.isin("the", "he ", " th", "ing", "nd ")))
-    val jarHits = size(filter(tri, t => t.isin("spa", "par", "ark", "sca", "que")))
+    // fused kernel: the composed transform(sequence…substr) + filter form
+    // materializes every trigram interpreted — 18 s at sf0.1 vs <1 s
+    import graft.functions.HashKernels.trigram_hits
+    val enHits = trigram_hits(col("text"), Seq("the", "he ", " th", "ing", "nd "))
+    val jarHits = trigram_hits(col("text"), Seq("spa", "par", "ark", "sca", "que"))
     t(s, dir, "documents")
       .select(col("doc_id"), enHits.as("en_score"), jarHits.as("jargon_score"),
         when(length(col("text")) < 3, "und")

@@ -27,9 +27,10 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Convert raw nanos to a micros timestamp (same rule as Tables.t). */
+  /** Convert raw nanos to a micros timestamp (delegates to Tables' one
+    * conversion rule). */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.nanosTsToMicros(df)
 
   /** Streaming file source over a directory of events parquet files.
     * New files appearing under `dir` become micro-batches. */
@@ -70,40 +71,73 @@ object StreamOps {
 
   val SessionGapMs: Long = 30 * 60 * 1000L
 
-  /** Per-user sessionizer with explicit state — the custom-state template
-    * (timeout-driven emission in streaming; full-group fold in batch
-    * mode, where Spark runs the same function over each complete group).
-    */
+  /** Split a user's time-sorted event list into gap-separated sessions. */
+  private def assemble(userId: Long, sorted: Seq[Event]): Seq[UserSession] = {
+    if (sorted.isEmpty) return Nil
+    val sessions = scala.collection.mutable.ArrayBuffer[UserSession]()
+    var st = SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime, 0L, 0.0)
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      if (t - st.lastTs > SessionGapMs) {
+        sessions += UserSession(userId,
+          new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastTs),
+          st.n, math.round(st.total * 100) / 100.0)
+        st = SessionState(t, t, 1L, e.value)
+      } else {
+        st = SessionState(t, st.start, st.n + 1, st.total + e.value)
+      }
+    }
+    sessions += UserSession(userId,
+      new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastTs),
+      st.n, math.round(st.total * 100) / 100.0)
+    sessions.toSeq
+  }
+
+  /** Batch per-user sessionizer: each group arrives complete in a single
+    * call (flatMapGroupsWithState in batch mode), so sessions are
+    * assembled directly — no cross-call state exists in batch. For
+    * unbounded streams use `sessionizeStreaming`. */
   def sessionize(events: Dataset[Event]): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // batch mode: the iterator holds the whole group; sessions split
-          // on >30min gaps after an in-memory event-time sort per user.
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val sessions = scala.collection.mutable.ArrayBuffer[UserSession]()
-            var st = SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime,
-              0L, 0.0)
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (t - st.lastTs > SessionGapMs) {
-                sessions += UserSession(userId,
-                  new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastTs),
-                  st.n, math.round(st.total * 100) / 100.0)
-                st = SessionState(t, t, 1L, e.value)
-              } else {
-                st = SessionState(t, st.start, st.n + 1, st.total + e.value)
-              }
-            }
-            sessions += UserSession(userId,
-              new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastTs),
-              st.n, math.round(st.total * 100) / 100.0)
-            sessions.iterator
+        (userId: Long, it: Iterator[Event], _: GroupState[SessionState]) =>
+          assemble(userId, it.toSeq.sortBy(_.ts.getTime)).iterator
+      }
+  }
+
+  /** Buffered events per user carried across micro-batches. */
+  case class SessionBuffer(events: List[(Long, Double)])
+
+  /** Streaming per-user sessionizer with genuine cross-batch state:
+    * events buffer in GroupState, an event-time timeout is armed at
+    * lastEvent + gap, and sessions are emitted only when the watermark
+    * passes that point — so a session spanning three micro-batches comes
+    * out once, complete. Input must carry a watermark on `ts`. */
+  def sessionizeStreaming(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuffer, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuffer]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastEvent + gap: every buffered session is
+            // closed — emit them all and clear
+            val buffered = state.get.events.sortBy(_._1)
+            state.remove()
+            assemble(userId, buffered.map { case (t, v) =>
+              Event(0L, new java.sql.Timestamp(t), userId, "", v)
+            }).iterator
+          } else {
+            val incoming = it.map(e => (e.ts.getTime, e.value)).toList
+            val merged = (state.getOption.map(_.events).getOrElse(Nil) ++ incoming)
+            state.update(SessionBuffer(merged))
+            val lastTs = merged.iterator.map(_._1).max
+            state.setTimeoutTimestamp(lastTs + SessionGapMs + 1)
+            Iterator.empty
           }
       }
   }
@@ -119,9 +153,12 @@ object StreamOps {
 
   /** Run a streaming DataFrame to completion against the files currently
     * in the source directory, returning the materialized result (memory
-    * sink, one query name per call). */
+    * sink, one query name per call). `mode` is deliberately explicit:
+    * Append on a watermarked aggregate withholds every window the
+    * watermark has not passed — silently missing the newest rows — so
+    * the caller must choose the semantics. */
   def runToMemory(s: SparkSession, streamed: DataFrame, name: String,
-    mode: OutputMode = OutputMode.Append): DataFrame = {
+    mode: OutputMode): DataFrame = {
     val q = streamed.writeStream
       .format("memory").queryName(name).outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()

@@ -144,6 +144,14 @@ class ErathiaSpec extends AnyFunSuite {
     val c = erathia.Definitions.categories(spark, p)
     assert(c.count() == 7)
     assert(c.select(countDistinct(col("category_name"))).head.getLong(0) == 2)
+    // key namespace must match DataGen/reference document order:
+    // 200..202 = Resources tiers, 203..206 = Artifacts tiers
+    val first = c.orderBy("category_key").head
+    assert(first.getLong(0) == 200L && first.getString(1) == "Resources")
+    val gen = erathia.DataGen.dimProductCategory(spark)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ing = c.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gen == ing, "ingested keys must align with generated namespace")
   }
 
   test("viewer drill-down filters one resource chronologically") {

@@ -20,13 +20,30 @@ class ScaleUtilsSpec extends AnyFunSuite {
     assert(sh.getSeq[Long](1).length == 8)
   }
 
-  test("optimizer rule folds cosine_sim(x, x) to literal 1.0") {
+  test("optimizer rule rewrites cosine_sim(x, x) to the one-pass SelfCosine") {
     Tables.t(spark, sfDir, "embeddings").limit(3).createOrReplaceTempView("eopt")
     val df = spark.sql("SELECT cosine_sim(embedding, embedding) AS c FROM eopt")
-    val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("cosinesimilarity") && optimized.contains("1.0"),
-      s"self-cosine must fold to a literal; plan was:\n$optimized")
-    assert(df.collect().forall(_.getDouble(0) == 1.0))
+    val optimized = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!optimized.contains("cosinesimilarity") && optimized.contains("selfcosine"),
+      s"self-cosine must rewrite to SelfCosine; plan was:\n$optimized")
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("self-cosine rewrite preserves NULL and zero-vector semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Some(Seq(1.0f, 2.0f))),
+      (1L, None),
+      (2L, Some(Seq(0.0f, 0.0f))),
+      (3L, Some(Seq.empty[Float])))
+      .toDF("id", "v")
+    df.createOrReplaceTempView("edge_vecs")
+    val rows = spark.sql("SELECT id, cosine_sim(v, v) AS c FROM edge_vecs ORDER BY id")
+      .collect()
+    assert(math.abs(rows(0).getDouble(1) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(1), "NULL vector must stay NULL, not fold to 1.0")
+    assert(rows(2).getDouble(1).isNaN, "zero vector must stay NaN")
+    assert(rows(3).getDouble(1).isNaN, "empty vector must stay NaN")
   }
 
   test("salted join equals plain join (inner)") {

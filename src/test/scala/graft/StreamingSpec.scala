@@ -91,6 +91,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.head.getLong(0) == expected)
   }
 
+  test("streaming sessionizer stitches sessions across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val d = java.nio.file.Files.createTempDirectory("events-sess")
+    val all = spark.read.schema(StreamOps.eventsRawSchema).parquet(streamDir)
+    val midTs = all.agg(org.apache.spark.sql.functions
+      .percentile_approx(c("ts"), org.apache.spark.sql.functions.lit(0.5),
+        org.apache.spark.sql.functions.lit(1000))).head.getLong(0)
+    def arrive(tag: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory(s"sess-$tag")
+      all.filter(pred).coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, d.resolve(s"$tag.parquet"))
+    }
+    // time-split so some sessions span the batch boundary
+    arrive("early", c("ts") < midTs)
+    val streamed = StreamOps.sessionizeStreaming(
+      StreamOps.readEvents(spark, d.toString)
+        .withWatermark("ts", "10 minutes")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamOps.Event])
+    val q = streamed.toDF().writeStream.format("memory")
+      .queryName("sess_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      arrive("late", c("ts") >= midTs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("sess_stream").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(emitted.nonEmpty, "watermark-closed sessions must be emitted")
+    // every emitted session must exactly match a full-data batch session —
+    // a per-batch split would emit partials that match nothing
+    val batchSessions = StreamOps.sessionize(
+      StreamOps.withEventTime(all)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamOps.Event]).collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+    val unmatched = emitted.diff(batchSessions)
+    assert(unmatched.isEmpty,
+      s"streamed sessions must match complete sessions; bad: ${unmatched.take(3)}")
+  }
+
   test("custom sessionizer agrees with session_window on session counts") {
     import spark.implicits._
     val events = StreamOps.withEventTime(
