@@ -179,6 +179,40 @@ object VectorKernels {
     z ^ (z >>> 31)
   }
 
+  /** All probe tables in one traversal of the vector: accumulators for
+    * tables×bits planes update per element, then fold to one code per
+    * table. Same results as `hyperplaneBucket` per table, one pass. */
+  def hyperplaneBuckets(v: ArrayData, bits: Int, tables: Int): ArrayData = {
+    val n = v.numElements()
+    val acc = new Array[Double](tables * bits)
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      var t = 0
+      while (t < tables) {
+        var b = 0
+        while (b < bits) {
+          if ((mix64((t.toLong * 64 + b) * 1048573L + i) & 1L) == 1L)
+            acc(t * bits + b) += x
+          else acc(t * bits + b) -= x
+          b += 1
+        }
+        t += 1
+      }
+      i += 1
+    }
+    val codes = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0
+      var b = 0
+      while (b < bits) { if (acc(t * bits + b) > 0) code |= (1 << b); b += 1 }
+      codes(t) = code
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
   def hyperplaneBucket(v: ArrayData, bits: Int, table: Int): Int = {
     val n = v.numElements()
     val acc = new Array[Double](bits)
@@ -200,6 +234,24 @@ object VectorKernels {
   }
 }
 
+/** Catalyst expression: all probe-table hyperplane codes in one pass →
+  * array<int> of length `tables`. */
+case class HyperplaneBuckets(child: Expression, bits: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.hyperplaneBuckets(input.asInstanceOf[ArrayData], bits, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.hyperplaneBuckets($c, $bits, $tables)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     GraftSqlBridge.column(
@@ -212,13 +264,20 @@ object VectorFunctions {
   def hyperplane_bucket(v: Column, bits: Int, table: Int = 0): Column =
     GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(v), bits, table))
 
-  /** Multi-table LSH band keys: one "table:code" string per probe table.
-    * Explode + equi-join = union of per-table candidate sets. */
-  def lshBandKeys(v: Column, bits: Int, tables: Int): Column =
-    org.apache.spark.sql.functions.array((0 until tables).map(t =>
-      org.apache.spark.sql.functions.concat_ws(":",
-        org.apache.spark.sql.functions.lit(t.toString),
-        hyperplane_bucket(v, bits, t).cast("string"))): _*)
+  /** Multi-table LSH band keys: one `table*2^bits + code` int per probe
+    * table, computed in a single vector traversal (HyperplaneBuckets).
+    * Explode + equi-join = union of per-table candidate sets; the band
+    * key is a 4-byte int, not a string. */
+  def lshBandKeys(v: Column, bits: Int, tables: Int): Column = {
+    val codes = GraftSqlBridge.column(
+      HyperplaneBuckets(GraftSqlBridge.expression(v), bits, tables))
+    org.apache.spark.sql.functions.zip_with(
+      codes,
+      org.apache.spark.sql.functions.sequence(
+        org.apache.spark.sql.functions.lit(0),
+        org.apache.spark.sql.functions.lit(tables - 1)),
+      (code, t) => t * (1 << bits) + code)
+  }
 
   /** SQL registration: SELECT cosine_sim(v1, v2), dot_product(v1, v2). */
   def register(s: SparkSession): Unit = {

@@ -97,6 +97,21 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("fused multi-table buckets equal the per-table kernel") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val e = Tables.t(spark, sfDir, "embeddings").limit(100)
+    val fused = e.select(col("vec_id"), GraftSqlBridge.column(
+      graft.functions.HyperplaneBuckets(
+        GraftSqlBridge.expression(col("embedding")), 8, 4)).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0 until 4).foreach { t =>
+      val single = e.select(col("vec_id"),
+        VectorFunctions.hyperplane_bucket(col("embedding"), 8, t).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      single.foreach { case (id, b) => assert(fused(id)(t) == b) }
+    }
+  }
+
   test("full-corpus LSH near-dup finds planted near-identical vectors") {
     import graft.functions.VectorFunctions.{dot_product, hyperplane_bucket}
     val d = java.nio.file.Files.createTempDirectory("embdup").toString
