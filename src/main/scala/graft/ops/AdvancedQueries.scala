@@ -114,7 +114,22 @@ object AdvancedQueries {
       .orderBy("band")
   }
 
+  /** Recency dedup: the latest event per user (ingest compaction /
+    * changelog upsert semantics). One shuffle on user_id; ties broken by
+    * event_id so the survivor is total-ordered. */
+  def latestPerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_latest_per_user"  -> latestPerUser,
     "q39_range_join_bands" -> rangeJoinBands,
     "q25_asof_join"        -> asofJoin,
     "q26_distinct_profile" -> distinctProfile,
@@ -122,6 +137,12 @@ object AdvancedQueries {
     "q47_sessionize"       -> sessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q56_latest_per_user" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "q39_range_join_bands" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('micro', 0.0, 10.0), ('small', 10.0, 25.0), ('medium', 25.0, 75.0),
