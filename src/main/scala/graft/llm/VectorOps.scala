@@ -149,7 +149,45 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors: k-means coarse
+    * quantization via Spark ML (k=16, fixed seed, few iterations — the
+    * index build), every vector assigned to its nearest centroid cell,
+    * queries probe only their own cell. The classic ANN index structure:
+    * at N vectors a probe scores ~N/k candidates; more probes (nearest
+    * P cells) buy recall linearly. Model-fit is distributed
+    * (mllib's parallel Lloyd iterations); assignment is a narrow
+    * transform. Approximate → rows-only driver check; mechanism pinned
+    * in VectorFunctionsSpec. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(e.select("features"))
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("v"), col("cell"),
+        sqrt(graft.functions.VectorFunctions.dot_product(col("v"), col("v"))).as("norm"))
+    val q = assigned
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cell"), col("norm").as("qnorm"))
+      .filter(col("query_id") < 5)
+    val sims = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions.dot_product(col("qv"), col("v"))
+          / (col("qnorm") * col("norm")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_ivf_topk"        -> ivfTopK,
     "q40_cosine_topk"     -> cosineTopK,
     "q41_cosine_near_dup" -> cosineNearDup,
     "q42_label_centroids" -> labelCentroids,

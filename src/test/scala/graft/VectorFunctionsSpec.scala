@@ -131,6 +131,24 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k probes the query's cell and ranks correctly") {
+    val r = graft.llm.VectorOps.ivfTopK(spark, sfDir).collect()
+    val byQuery = r.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { rows =>
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.nonEmpty && sims.length <= 10)
+      assert(sims.sameElements(sims.sortBy(-(_: Double))))
+    }
+    // IVF sims must equal brute-force sims for the same pairs
+    val brute = graft.llm.VectorOps.cosineTopK(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    r.foreach { x =>
+      brute.get((x.getLong(0), x.getLong(1)))
+        .foreach(bs => assert(bs == x.getDouble(2)))
+    }
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     Tables.t(spark, sfDir, "embeddings").limit(5).createOrReplaceTempView("emb5")
