@@ -184,21 +184,33 @@ object MinHashKernel {
     z * MIX ^ (z >>> 32)
   }
 
-  /** Count sliding 3-char windows of `text` that appear in `set` —
-    * every occurrence counts, matching
-    * `len(list_filter(trigrams, t -> t IN set))` exactly. One pass,
-    * no substring materialization. */
-  def trigramHits(text: UTF8String, set: java.util.HashSet[String]): Int = {
-    val s = text.toString
-    if (s.length < 3) return 0
+  /** Count sliding 3-byte windows of `text` whose packed key appears in
+    * the sorted key array — every occurrence counts, matching
+    * `len(list_filter(trigrams, t -> t IN set))` for ASCII profiles
+    * (a 3-ASCII-byte window is exactly a 3-ASCII-char window; windows
+    * touching multi-byte sequences can never match an ASCII key).
+    * Operates on raw UTF-8 bytes: zero allocation per window, no
+    * toString copy. */
+  def trigramHits(text: UTF8String, sortedKeys: Array[Int]): Int = {
+    val n = text.numBytes
+    if (n < 3) return 0
     var hits = 0
     var i = 0
-    val last = s.length - 3
+    val last = n - 3
     while (i <= last) {
-      if (set.contains(s.substring(i, i + 3))) hits += 1
+      val key = ((text.getByte(i) & 0xff) << 16) |
+        ((text.getByte(i + 1) & 0xff) << 8) | (text.getByte(i + 2) & 0xff)
+      if (java.util.Arrays.binarySearch(sortedKeys, key) >= 0) hits += 1
       i += 1
     }
     hits
+  }
+
+  /** Pack an ASCII trigram into the binary-search key format. */
+  def trigramKey(t: String): Int = {
+    require(t.length == 3 && t.forall(_ < 128),
+      s"trigram profile entries must be 3 ASCII chars, got '$t'")
+    (t.charAt(0) << 16) | (t.charAt(1) << 8) | t.charAt(2)
   }
 
   private def accumulate(h: Long, mins: Array[Long], k: Int): Unit = {
@@ -305,25 +317,23 @@ object HashKernels {
 }
 
 /** Catalyst expression: count of 3-char windows present in a fixed
-  * trigram set (the n-gram language-ID evidence counter). The set is a
-  * per-expression reference object shared across rows. */
+  * ASCII trigram set (the n-gram language-ID evidence counter). Keys
+  * are packed ints in a sorted array shared across rows — the kernel
+  * probes by binary search with zero per-window allocation. */
 case class TrigramHits(child: Expression, trigrams: Seq[String]) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
-  @transient private lazy val set: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    trigrams.foreach(s.add)
-    s
-  }
+  @transient private lazy val sortedKeys: Array[Int] =
+    trigrams.map(MinHashKernel.trigramKey).sorted.toArray
 
   override def nullSafeEval(input: Any): Any =
-    MinHashKernel.trigramHits(input.asInstanceOf[UTF8String], set)
+    MinHashKernel.trigramHits(input.asInstanceOf[UTF8String], sortedKeys)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val setRef = ctx.addReferenceObj("trigramSet", set, "java.util.HashSet<String>")
+    val keysRef = ctx.addReferenceObj("trigramKeys", sortedKeys, "int[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashKernel.trigramHits($c, $setRef)")
+      s"graft.functions.MinHashKernel.trigramHits($c, $keysRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

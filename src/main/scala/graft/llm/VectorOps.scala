@@ -31,6 +31,23 @@ object VectorOps {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Shared ANN ranking tail: rounded cosine per (query, candidate)
+    * pair from precomputed norms, then top-10 per query with vec_id
+    * tie-break. One definition so the three ANN variants (brute, LSH,
+    * IVF) cannot drift in rounding or tie-break semantics. Input needs
+    * columns (query_id, vec_id, qv, v, qnorm, norm). */
+  private def rankTop10(pairs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val sims = pairs.select(col("query_id"), col("vec_id"),
+      round(dot_product(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)
+        .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy("query_id", "rn")
+  }
+
   /** Brute-force cosine top-10 neighbors for query vectors (vec_id < 5).
     * The query side is broadcast; ranking happens per query partition.
     * Norms are computed once per vector (not once per pair), and the
@@ -44,15 +61,7 @@ object VectorOps {
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("norm").as("qnorm")).filter(col("query_id") < 5)
-    val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(dot_product(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)
-          .as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
-      .orderBy("query_id", "rn")
+    rankTop10(e.join(broadcast(q), col("vec_id") =!= col("query_id")))
   }
 
   /** Pairwise near-duplicate candidates by cosine threshold over a
@@ -108,16 +117,8 @@ object VectorOps {
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("bucket"), col("norm").as("qnorm")).filter(col("query_id") < 5)
-    val sims = e.join(broadcast(q), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(dot_product(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)
-          .as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
-      .orderBy("query_id", "rn")
+    rankTop10(e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id")))
   }
 
   /** Full-corpus embedding near-duplicate candidates: bucket every
@@ -174,16 +175,8 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("cell"), col("norm").as("qnorm"))
       .filter(col("query_id") < 5)
-    val sims = assigned.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(graft.functions.VectorFunctions.dot_product(col("qv"), col("v"))
-          / (col("qnorm") * col("norm")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
-      .orderBy("query_id", "rn")
+    rankTop10(assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

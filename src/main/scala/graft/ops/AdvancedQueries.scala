@@ -140,7 +140,7 @@ object AdvancedQueries {
     "q56_latest_per_user" ->
       """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
     "q39_range_join_bands" ->

@@ -71,20 +71,20 @@ object StreamOps {
 
   val SessionGapMs: Long = 30 * 60 * 1000L
 
-  /** Split a user's time-sorted event list into gap-separated sessions. */
-  private def assemble(userId: Long, sorted: Seq[Event]): Seq[UserSession] = {
+  /** Split a user's time-sorted (ts-millis, value) list into
+    * gap-separated sessions. */
+  private def assemble(userId: Long, sorted: Seq[(Long, Double)]): Seq[UserSession] = {
     if (sorted.isEmpty) return Nil
     val sessions = scala.collection.mutable.ArrayBuffer[UserSession]()
-    var st = SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime, 0L, 0.0)
-    sorted.foreach { e =>
-      val t = e.ts.getTime
+    var st = SessionState(sorted.head._1, sorted.head._1, 0L, 0.0)
+    sorted.foreach { case (t, value) =>
       if (t - st.lastTs > SessionGapMs) {
         sessions += UserSession(userId,
           new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastTs),
           st.n, math.round(st.total * 100) / 100.0)
-        st = SessionState(t, t, 1L, e.value)
+        st = SessionState(t, t, 1L, value)
       } else {
-        st = SessionState(t, st.start, st.n + 1, st.total + e.value)
+        st = SessionState(t, st.start, st.n + 1, st.total + value)
       }
     }
     sessions += UserSession(userId,
@@ -104,18 +104,25 @@ object StreamOps {
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], _: GroupState[SessionState]) =>
-          assemble(userId, it.toSeq.sortBy(_.ts.getTime)).iterator
+          assemble(userId,
+            it.map(e => (e.ts.getTime, e.value)).toSeq.sortBy(_._1)).iterator
       }
   }
 
   /** Buffered events per user carried across micro-batches. */
   case class SessionBuffer(events: List[(Long, Double)])
 
-  /** Streaming per-user sessionizer with genuine cross-batch state:
-    * events buffer in GroupState, an event-time timeout is armed at
-    * lastEvent + gap, and sessions are emitted only when the watermark
-    * passes that point — so a session spanning three micro-batches comes
-    * out once, complete. Input must carry a watermark on `ts`. */
+  /** Streaming per-user sessionizer with genuine cross-batch state.
+    *
+    * Events buffer in GroupState; on every batch the buffered+incoming
+    * events are assembled into sessions and every session already CLOSED
+    * by the watermark (end + gap < watermark, so no admissible late
+    * event can extend or merge it) is emitted immediately, keeping only
+    * the open tail in state. This bounds state for an always-active
+    * user — without the in-update emission, such a user re-arms the
+    * timeout forever, buffers unboundedly, and never emits. The
+    * event-time timeout covers users who simply go quiet. Input must
+    * carry a watermark on `ts`. */
   def sessionizeStreaming(events: Dataset[Event]): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
@@ -124,20 +131,28 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionBuffer]) =>
           if (state.hasTimedOut) {
-            // watermark passed lastEvent + gap: every buffered session is
-            // closed — emit them all and clear
+            // watermark passed lastEvent + gap: everything left is closed
             val buffered = state.get.events.sortBy(_._1)
             state.remove()
-            assemble(userId, buffered.map { case (t, v) =>
-              Event(0L, new java.sql.Timestamp(t), userId, "", v)
-            }).iterator
+            assemble(userId, buffered).iterator
           } else {
             val incoming = it.map(e => (e.ts.getTime, e.value)).toList
             val merged = (state.getOption.map(_.events).getOrElse(Nil) ++ incoming)
-            state.update(SessionBuffer(merged))
-            val lastTs = merged.iterator.map(_._1).max
-            state.setTimeoutTimestamp(lastTs + SessionGapMs + 1)
-            Iterator.empty
+              .sortBy(_._1)
+            val watermark = state.getCurrentWatermarkMs()
+            val closed = assemble(userId, merged).filter(
+              s => s.session_end.getTime + SessionGapMs < watermark)
+            val cutoff = closed.lastOption.map(_.session_end.getTime)
+              .getOrElse(Long.MinValue)
+            val retained = merged.filter(_._1 > cutoff) // the open tail
+            if (retained.isEmpty) state.remove()
+            else {
+              state.update(SessionBuffer(retained))
+              state.setTimeoutTimestamp(
+                math.max(retained.iterator.map(_._1).max + SessionGapMs + 1,
+                  watermark + 1))
+            }
+            closed.iterator
           }
       }
   }
