@@ -29,8 +29,6 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
-
   /** Shared ANN ranking tail: rounded cosine per (query, candidate)
     * pair from precomputed norms, then top-10 per query with vec_id
     * tie-break. One definition so the three ANN variants (brute, LSH,
