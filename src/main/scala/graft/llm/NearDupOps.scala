@@ -140,14 +140,18 @@ object NearDupOps {
   def docEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashKernels.hashed_tf_vector
     import graft.functions.VectorFunctions.{cosine_sim, lshBandKeys}
-    // Bits size the buckets (candidate cost ~ N²/2^bits per table),
-    // tables buy back recall: 8 tables × 12 bits ≈ 0.86 recall at cosine
-    // .93 with ~N²/4096-per-table candidate volume. 6-bit tables looked
-    // cheaper but left 64 buckets → ~N²/64 pairs: 7.5 s at sf0.1 vs ~1 s.
+    // Bits size the buckets (candidate cost ~ N²/2^bits per table) and
+    // adapt to the corpus (~50 docs/bucket target); tables buy back
+    // recall: 8 tables × 12 bits ≈ 0.86 recall at cosine .93. 6-bit
+    // tables looked cheaper but left 64 buckets → ~N²/64 pairs: 7.5 s
+    // at sf0.1 vs ~1 s.
+    val n = t(s, dir, "documents").count()
+    val bits = math.min(16, math.max(12,
+      math.ceil(math.log(math.max(n / 50.0, 2.0)) / math.log(2)).toInt))
     val e = t(s, dir, "documents")
       .select(col("doc_id"), hashed_tf_vector(col("text"), 64).as("v"))
       .select(col("doc_id"), col("v"),
-        explode(lshBandKeys(col("v"), 12, 8)).as("band"))
+        explode(lshBandKeys(col("v"), bits, 8)).as("band"))
     // Degenerate-bucket guard: a band holding >100 docs means that code
     // region is saturated (tiny-vocab corpora cluster hard); such bands
     // generate O(size²) candidates and no dedup signal — drop them.

@@ -129,12 +129,18 @@ object VectorOps {
     * recall pinned in VectorFunctionsSpec. */
   def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, lshBandKeys}
-    // 4 independent 8-bit tables (multi-probe banding — a single table
-    // has only (1−θ/π)^bits recall at moderate similarity)
+    // Bits sized to the corpus: target ~64 vectors per bucket, so
+    // candidate volume stays ~N·64/2 per table instead of N²/2^fixed —
+    // with fixed bits the pair count grows quadratically (observed 20×
+    // runtime at 10× corpus in the soak). 4 independent tables buy back
+    // the recall that narrower buckets cost.
+    val n = t(s, dir, "embeddings").count()
+    val bits = math.min(16, math.max(8,
+      math.ceil(math.log(math.max(n / 64.0, 2.0)) / math.log(2)).toInt))
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"),
-        explode(lshBandKeys(col("embedding"), 8, 4)).as("band"))
+        explode(lshBandKeys(col("embedding"), bits, 4)).as("band"))
     val a = e.select(col("band"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("band"), col("vec_id").as("id_b"),

@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling soak: replicate the sf0.1 documents/embeddings tables Nx with
+  * perturbed ids and time the subquadratic near-dup pipelines at each
+  * scale, to observe how the LSH paths grow. Usage:
+  *   runMain graft.tools.ScaleSoak [replication]
+  */
+object ScaleSoak {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val dir = java.nio.file.Files.createTempDirectory("soak").toString
+
+    // Two corpus modes:
+    //  - replicate (args(1)="rep"): every replica is a near-dup of its
+    //    base → dup-DENSE corpus, stresses candidate-pair volume
+    //    (quadratic genuine output inside each replica cluster);
+    //  - synthetic (default): hash-generated docs over a shared
+    //    vocabulary → dup-SPARSE corpus, measures clean scaling.
+    val mode = args.lift(1).getOrElse("synthetic")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    if (mode == "rep") {
+      docs.crossJoin(spark.range(reps.toLong).select(col("id").as("rep")))
+        .select(
+          (col("doc_id") + col("rep") * nDocs).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat_ws(" ", col("text"), concat(lit("rep"), col("rep"))))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    } else {
+      val n = nDocs * reps
+      val vocabArr = array((0 until 1000).map(i => lit(s"w$i")): _*)
+      spark.range(n).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          concat_ws(" ", transform(
+            sequence(lit(1), lit(40) + pmod(xxhash64(col("doc_id")), lit(40)).cast("int")),
+            i => element_at(vocabArr,
+              (pmod(xxhash64(col("doc_id"), i), lit(1000)) + 1).cast("int"))))
+            .as("text"))
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("synth").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nEmb = emb.count()
+    if (mode == "rep") {
+      emb.crossJoin(spark.range(reps.toLong).select(col("id").as("rep")))
+        .select(
+          (col("vec_id") + col("rep") * nEmb).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    } else {
+      // hash-derived pseudo-gaussian-ish vectors: dup-sparse
+      spark.range(nEmb * reps).select(col("id").as("vec_id"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            ((pmod(xxhash64(col("vec_id"), i), lit(2001)) - 1000) / 1000.0)
+              .cast("float")).as("embedding"),
+          pmod(col("vec_id"), lit(10)).cast("int").as("label"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[soak] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs  ($n rows)")
+    }
+    println(s"[soak] corpus: ${nDocs * reps} docs, ${nEmb * reps} vectors")
+    time("minhash_pairs") {
+      graft.llm.NearDupOps.minhashPairs(spark, dir)
+        .write.format("noop").mode("overwrite").save(); -1L
+    }
+    time("doc_embed_neardup") {
+      graft.llm.NearDupOps.docEmbedNearDup(spark, dir)
+        .write.format("noop").mode("overwrite").save(); -1L
+    }
+    time("embed_neardup_lsh") {
+      graft.llm.VectorOps.embedNearDupLsh(spark, dir)
+        .write.format("noop").mode("overwrite").save(); -1L
+    }
+    time("simhash") {
+      graft.llm.NearDupOps.simhash(spark, dir)
+        .write.format("noop").mode("overwrite").save(); -1L
+    }
+    spark.stop()
+  }
+}
