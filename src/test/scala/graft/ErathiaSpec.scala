@@ -81,6 +81,21 @@ class ErathiaSpec extends AnyFunSuite {
     assert(spark.table("dm_top_vip_customers").count() <= 100)
   }
 
+  test("golden: faction economy mart values pinned for the 8-week fixture") {
+    dir
+    val top = spark.table("dm_faction_economy").collect().head
+    // values recorded from a verified run; DataGen is deterministic, so
+    // any drift here is a real behavior change
+    assert(top.getString(0) == "Faction 2")
+    assert(top.getAs[Double]("Total Buy Volume (Gold)") == 70203.07)
+    assert(top.getAs[Double]("Total Sell Volume (Gold)") == 56105.06)
+    assert(top.getAs[Double]("Net Profit") == -14098.01)
+    assert(top.getAs[Long]("Transactions") == 86L)
+    val totals = spark.table("dm_faction_economy")
+      .agg(sum(col("Transactions"))).head.getLong(0)
+    assert(totals == 840L)
+  }
+
   test("dataframe and SQL twins agree on faction economy") {
     dir
     val df = Gold.factionEconomy(spark).collect().map(_.toSeq)

@@ -119,6 +119,27 @@ class NearDupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)), "unrelated docs not near-dups")
   }
 
+  test("minhash signature agreement estimates jaccard within sketch error") {
+    import graft.functions.HashKernels.shingle_minhash
+    // estimator: fraction of equal positions in two k=128 signatures
+    // ≈ true Jaccard, stderr ≈ sqrt(J(1-J)/k) ≈ 0.04
+    val k = 128
+    val pairs = NearDupOps.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val sigs = graft.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), shingle_minhash(col("text"), 3, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val checked = pairs.toSeq.filter(_._2 > 0.05).take(20)
+    assert(checked.nonEmpty)
+    checked.foreach { case ((a, b), jac) =>
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / k
+      assert(math.abs(est - jac) < 0.15,
+        s"pair ($a,$b): estimate $est vs exact $jac")
+    }
+  }
+
   test("winnowing fingerprints survive a prefix shift (rolling-hash property)") {
     import graft.functions.HashKernels.winnow_fingerprint
     import spark.implicits._
