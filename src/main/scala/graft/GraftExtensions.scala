@@ -51,5 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
+      (exprs: Seq[Expression]) =>
+        WinnowFingerprint(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("hashed_tf_vector"),
+      new ExpressionInfo(classOf[HashedTfVector].getName, "hashed_tf_vector"),
+      (exprs: Seq[Expression]) => HashedTfVector(exprs(0), intArg(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("self_cosine"),
+      new ExpressionInfo(classOf[SelfCosine].getName, "self_cosine"),
+      (exprs: Seq[Expression]) => SelfCosine(exprs(0))))
   }
 }

@@ -18,6 +18,32 @@ class ScaleUtilsSpec extends AnyFunSuite {
       "SELECT simhash64('a b c') AS s, shingle_minhash('a b c d', 3, 8) AS m").head
     assert(sh.getLong(0) != 0L)
     assert(sh.getSeq[Long](1).length == 8)
+    val more = spark.sql(
+      """SELECT winnow_fingerprint('abcdefghijklmnop', 8, 4) AS w,
+        |       hashed_tf_vector('a b c', 16) AS v,
+        |       self_cosine(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS sc
+        |""".stripMargin).head
+    assert(more.getSeq[Long](0).nonEmpty)
+    assert(more.getSeq[Float](1).length == 16)
+    assert(math.abs(more.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("trigram kernel byte windows equal composed char windows (incl. non-ASCII)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, size, filter}
+    val profile = Seq("the", "he ", " th", "ing", "nd ")
+    val texts = Seq("the thing and the rest", "héllo the wörld thing",
+      "日本語 the テキスト", "", "th", "ththth the the")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fused = df.select(col("id"),
+      graft.functions.HashKernels.trigram_hits(col("text"), profile).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val composed = df.select(col("id"),
+      size(filter(
+        expr("CASE WHEN length(text) < 3 THEN array() ELSE transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)) END"),
+        t => t.isin(profile.map(org.apache.spark.sql.functions.lit): _*))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fused == composed, s"fused=$fused composed=$composed")
   }
 
   test("optimizer rule rewrites cosine_sim(x, x) to the one-pass SelfCosine") {
