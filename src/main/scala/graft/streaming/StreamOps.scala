@@ -61,6 +61,32 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: attribute each purchase to clicks by
+    * the same user in the preceding 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state for both streams is evictable — the canonical scalable
+    * stream-stream join shape (unbounded conditions would accumulate
+    * state forever). */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"),
+        unix_micros(col("p_ts")).as("purchase_ts_us"),
+        unix_micros(col("c_ts")).as("click_ts_us"),
+        col("purchase_value"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer ------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -91,6 +91,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.head.getLong(0) == expected)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = StreamOps.runToMemory(spark,
+      StreamOps.purchaseAttribution(StreamOps.readEvents(spark, streamDir)),
+      "attribution", OutputMode.Append)
+    val batch = StreamOps.purchaseAttribution(
+      StreamOps.withEventTime(
+        spark.read.schema(StreamOps.eventsRawSchema).parquet(streamDir)))
+    val a = streamed.orderBy("purchase_id", "click_id").collect().map(_.toSeq)
+    val b = batch.orderBy("purchase_id", "click_id").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b),
+      s"stream ${a.length} rows vs batch ${b.length}")
+    // attribution window is honored
+    assert(streamed.filter(col("click_ts_us") > col("purchase_ts_us")).count() == 0)
+    assert(streamed.filter(
+      col("click_ts_us") < col("purchase_ts_us") - 30L * 60 * 1000000).count() == 0)
+  }
+
   test("streaming sessionizer stitches sessions across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => c}
