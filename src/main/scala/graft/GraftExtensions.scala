@@ -24,9 +24,10 @@ object SimplifySelfCosine extends Rule[LogicalPlan] {
   * functions for any session built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`). This is the deployment path
-  * for a cluster: users get `cosine_sim`, `dot_product`,
-  * `hyperplane_bucket`, `shingle_minhash`, `simhash64` in plain SQL with
-  * full codegen.
+  * for a cluster: users get `cosine_sim`, `dot_product`, `self_cosine`,
+  * `hyperplane_bucket`, `shingle_minhash`, `simhash64`,
+  * `winnow_fingerprint`, and `hashed_tf_vector` in plain SQL with full
+  * codegen, plus the SimplifySelfCosine optimizer rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

@@ -34,6 +34,16 @@ object Tables {
   def nanosTsToMicros(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** On-disk size of a fixture table from filesystem metadata only — no
+    * Spark job. Used to size LSH structures at plan-construction time
+    * (an eager count() there would execute a scan just to build the
+    * plan). */
+  def tableSizeBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(path).getLength
+  }
+
   /** Register every fixture table as a temp view (for spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))

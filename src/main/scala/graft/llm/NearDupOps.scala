@@ -141,17 +141,20 @@ object NearDupOps {
     import graft.functions.HashKernels.hashed_tf_vector
     import graft.functions.VectorFunctions.{cosine_sim, lshBandKeys}
     // Bits size the buckets (candidate cost ~ N²/2^bits per table) and
-    // adapt to the corpus (~50 docs/bucket target); tables buy back
-    // recall: 8 tables × 12 bits ≈ 0.86 recall at cosine .93. 6-bit
-    // tables looked cheaper but left 64 buckets → ~N²/64 pairs: 7.5 s
-    // at sf0.1 vs ~1 s.
-    val n = t(s, dir, "documents").count()
+    // adapt to corpus size from file metadata (no job at plan
+    // construction). Narrower buckets cost per-table recall, so tables
+    // scale with bits to hold union recall ≈ 0.86 at the cosine-.93
+    // design point (8 tables at the 12-bit floor, ×1/0.88 per extra
+    // bit). 6-bit tables once left 64 buckets → ~N²/64 pairs: 7.5 s at
+    // sf0.1 vs ~1 s.
+    val bytes = graft.Tables.tableSizeBytes(s, dir, "documents")
     val bits = math.min(16, math.max(12,
-      math.ceil(math.log(math.max(n / 50.0, 2.0)) / math.log(2)).toInt))
+      math.ceil(math.log(math.max(bytes / 16384.0, 2.0)) / math.log(2)).toInt))
+    val tables = math.ceil(8.0 * math.pow(1.0 / 0.88, (bits - 12).toDouble)).toInt
     val e = t(s, dir, "documents")
       .select(col("doc_id"), hashed_tf_vector(col("text"), 64).as("v"))
       .select(col("doc_id"), col("v"),
-        explode(lshBandKeys(col("v"), bits, 8)).as("band"))
+        explode(lshBandKeys(col("v"), bits, tables)).as("band"))
     // Degenerate-bucket guard: a band holding >100 docs means that code
     // region is saturated (tiny-vocab corpora cluster hard); such bands
     // generate O(size²) candidates and no dedup signal — drop them.

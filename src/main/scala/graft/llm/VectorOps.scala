@@ -129,18 +129,21 @@ object VectorOps {
     * recall pinned in VectorFunctionsSpec. */
   def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, lshBandKeys}
-    // Bits sized to the corpus: target ~64 vectors per bucket, so
-    // candidate volume stays ~N·64/2 per table instead of N²/2^fixed —
-    // with fixed bits the pair count grows quadratically (observed 20×
-    // runtime at 10× corpus in the soak). 4 independent tables buy back
-    // the recall that narrower buckets cost.
-    val n = t(s, dir, "embeddings").count()
+    // Bits sized to the corpus (from file metadata — no job at plan
+    // construction): target ~constant vectors per bucket, so candidate
+    // volume stays ~N·bucket/2 per table instead of N²/2^fixed (fixed
+    // bits grew 20× runtime at 10× corpus in the soak). Narrower buckets
+    // cost per-table recall (p^bits at plane-agreement p), so the table
+    // count grows with bits to hold union recall ≈ constant at the
+    // p≈0.88 (cosine ≈ .93) design point: tables ×(1/p) per extra bit.
+    val bytes = graft.Tables.tableSizeBytes(s, dir, "embeddings")
     val bits = math.min(16, math.max(8,
-      math.ceil(math.log(math.max(n / 64.0, 2.0)) / math.log(2)).toInt))
+      math.ceil(math.log(math.max(bytes / 2048.0, 2.0)) / math.log(2)).toInt))
+    val tables = math.ceil(4.0 * math.pow(1.0 / 0.88, (bits - 8).toDouble)).toInt
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"),
-        explode(lshBandKeys(col("embedding"), bits, 4)).as("band"))
+        explode(lshBandKeys(col("embedding"), bits, tables)).as("band"))
     val a = e.select(col("band"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("band"), col("vec_id").as("id_b"),

@@ -76,27 +76,27 @@ object ScaleSoak {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"[soak] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs  ($n rows)")
+      f
+      println(f"[soak] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs")
     }
     println(s"[soak] corpus: ${nDocs * reps} docs, ${nEmb * reps} vectors")
     time("minhash_pairs") {
       graft.llm.NearDupOps.minhashPairs(spark, dir)
-        .write.format("noop").mode("overwrite").save(); -1L
+        .write.format("noop").mode("overwrite").save()
     }
     time("doc_embed_neardup") {
       graft.llm.NearDupOps.docEmbedNearDup(spark, dir)
-        .write.format("noop").mode("overwrite").save(); -1L
+        .write.format("noop").mode("overwrite").save()
     }
     time("embed_neardup_lsh") {
       graft.llm.VectorOps.embedNearDupLsh(spark, dir)
-        .write.format("noop").mode("overwrite").save(); -1L
+        .write.format("noop").mode("overwrite").save()
     }
     time("simhash") {
       graft.llm.NearDupOps.simhash(spark, dir)
-        .write.format("noop").mode("overwrite").save(); -1L
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }
