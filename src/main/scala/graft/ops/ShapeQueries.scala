@@ -49,12 +49,34 @@ object ShapeQueries {
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy("p_partkey")
 
+  /** Explicit GROUPING SETS — independent aggregation shapes in one
+    * pass (per-returnflag totals and per-linestatus totals, but not the
+    * cross product that CUBE would compute). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_rows,
+        |  ROUND(SUM(l_extendedprice), 2) AS total_price
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_pivot_flags"  -> pivotFlags,
     "q29_region_cube"  -> regionCube,
-    "q38_string_funcs" -> stringFuncs)
+    "q38_string_funcs" -> stringFuncs,
+    "q58_grouping_sets" -> groupingSets)
 
   val oracleSql: Map[String, String] = Map(
+    "q58_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_rows,
+        |  ROUND(SUM(l_extendedprice), 2) AS total_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q28_pivot_flags" ->
       """SELECT l_linestatus AS linestatus,
         |  ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
