@@ -63,13 +63,50 @@ object ShapeQueries {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Pure-SQL CTE pipeline over registered views — the reference's gold
+    * stage is exactly this shape (CTE + pivot-by-CASE + sort,
+    * gold_aggregator.py:27-48); Catalyst inlines the CTE and plans the
+    * same broadcast-join + hash-agg as the DataFrame form. */
+  def cteSql(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """WITH nation_sales AS (
+        |  SELECT n_name, l_returnflag, l_extendedprice
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey)
+        |SELECT n_name AS nation_name,
+        |  ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0 END), 2) AS gold_in,
+        |  ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS gold_out,
+        |  COUNT(*) AS trades
+        |FROM nation_sales
+        |GROUP BY n_name
+        |ORDER BY nation_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_cte_sql"      -> cteSql,
     "q28_pivot_flags"  -> pivotFlags,
     "q29_region_cube"  -> regionCube,
     "q38_string_funcs" -> stringFuncs,
     "q58_grouping_sets" -> groupingSets)
 
   val oracleSql: Map[String, String] = Map(
+    "q59_cte_sql" ->
+      """WITH nation_sales AS (
+        |  SELECT n_name, l_returnflag, l_extendedprice
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey)
+        |SELECT n_name AS nation_name,
+        |  ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0 END), 2) AS gold_in,
+        |  ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS gold_out,
+        |  COUNT(*) AS trades
+        |FROM nation_sales
+        |GROUP BY n_name
+        |ORDER BY nation_name""".stripMargin,
     "q58_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  COUNT(*) AS n_rows,
