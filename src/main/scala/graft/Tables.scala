@@ -44,6 +44,20 @@ object Tables {
     fs.getContentSummary(path).getLength
   }
 
+  /** Like [[t]], but fans small inputs out to the session's default
+    * parallelism. A small fixture table is one parquet file → one input
+    * split, so a CPU-dense per-row kernel (shingle-TF, hyperplane
+    * codes, minhash) would run single-threaded; redistributing a few
+    * hundred KB costs nothing. Guarded by size so it never triggers at
+    * scale — a big table is already split by `files.maxPartitionBytes`,
+    * and repartitioning it would be a full-corpus shuffle. */
+  def tSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    if (tableSizeBytes(spark, dir, name) < 64L * 1024 * 1024)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
   /** Register every fixture table as a temp view (for spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))

@@ -119,14 +119,29 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id")))
   }
 
-  /** Full-corpus embedding near-duplicate candidates: bucket every
-    * vector by a 12-bit hyperplane code, self-join within buckets only
-    * (expected bucket size N/4096), keep pairs above the cosine
-    * threshold. This is the embedding analogue of MinHash banding — the
-    * subquadratic full-dedup pass; recall for true near-identical pairs
-    * is high because vectors at cosine ≈ 1 agree on almost every
-    * hyperplane sign. Approximate → rows-only driver check; planted-pair
-    * recall pinned in VectorFunctionsSpec. */
+  /** Full-corpus embedding near-duplicate pass: bucket every vector by
+    * multi-table hyperplane codes, self-join within buckets only, keep
+    * pairs above the cosine threshold. This is the embedding analogue of
+    * MinHash banding — the subquadratic full-dedup pass; recall for true
+    * near-identical pairs is high because vectors at cosine ≈ 1 agree on
+    * almost every hyperplane sign.
+    *
+    * Two hardening pieces vs the naive form:
+    *   - saturated-bucket guard: a band holding >100 vectors is a
+    *     degenerate code region (dense cluster) that would generate
+    *     O(size²) candidates and no dedup signal — dropped, same rule as
+    *     [[NearDupOps.docEmbedNearDup]];
+    *   - planted twins: the driver fixtures contain no natural pair
+    *     above the 0.8 threshold (max natural cosine is 0.60 at sf0.1),
+    *     so the query unions an exact twin of each vec_id < 25
+    *     (id + 1,000,000) derived from the corpus itself. Identical
+    *     vectors share every band key in every table, so their recall is
+    *     1 **by construction** — which makes this approximate operator's
+    *     output a deterministic function of its input (exactly the pairs
+    *     whose true cosine rounds above 0.8) and therefore fully
+    *     hash-checkable against a brute-force DuckDB oracle. Recall for
+    *     *near*-identical (perturbed) vectors is pinned separately in
+    *     VectorFunctionsSpec. */
   def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, lshBandKeys}
     // Bits sized to the corpus (from file metadata — no job at plan
@@ -136,17 +151,31 @@ object VectorOps {
     // cost per-table recall (p^bits at plane-agreement p), so the table
     // count grows with bits to hold union recall ≈ constant at the
     // p≈0.88 (cosine ≈ .93) design point: tables ×(1/p) per extra bit.
+    // Cap at 24 bits / 31 tables: at ~10^9 vectors that is ~60 per
+    // bucket (guarded at 100), with shuffle volume growing only 1.14×
+    // per extra bit while per-table candidate volume halves — the
+    // table-count formula keeps union recall flat all the way up, so
+    // the cap is a cost ceiling, not a recall cliff.
     val bytes = graft.Tables.tableSizeBytes(s, dir, "embeddings")
-    val bits = math.min(16, math.max(8,
+    val bits = math.min(24, math.max(8,
       math.ceil(math.log(math.max(bytes / 2048.0, 2.0)) / math.log(2)).toInt))
     val tables = math.ceil(4.0 * math.pow(1.0 / 0.88, (bits - 8).toDouble)).toInt
-    val e = t(s, dir, "embeddings")
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") < 25)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val e = base.unionByName(twins)
       .select(col("vec_id"), col("embedding").as("v"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"),
         explode(lshBandKeys(col("embedding"), bits, tables)).as("band"))
-    val a = e.select(col("band"), col("vec_id").as("id_a"),
+    // Window count shares the band partitioning with the self-join, so
+    // the exchange is planned once and reused for both sides.
+    val pruned = e
+      .withColumn("band_n", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("band_n") > 1 && col("band_n") <= 100)
+      .drop("band_n")
+    val a = pruned.select(col("band"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("band"), col("vec_id").as("id_b"),
+    val b = pruned.select(col("band"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
@@ -194,7 +223,26 @@ object VectorOps {
     "q46_ann_topk"        -> annTopK,
     "q48_embed_neardup_lsh" -> embedNearDupLsh)
 
+  // q46 stays rows-only by necessity: its output is the top-10 of an
+  // approximate (bucket-restricted) candidate set, and "which candidates
+  // the single 8-bit table surfaced" has no closed-form SQL — unlike the
+  // thresholded near-dup ops (q48 here, q43/q49 in NearDupOps) whose
+  // exact-rescored outputs are deterministic functions of the input.
+  // q57's IVF probe is approximate for the same reason (cell membership
+  // comes from the k-means fit). Both are value-pinned in
+  // VectorFunctionsSpec instead.
   val oracleSql: Map[String, String] = Map(
+    "q48_embed_neardup_lsh" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |allv AS (SELECT vec_id, v FROM base
+        |         UNION ALL
+        |         SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id < 25),
+        |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM allv)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) > 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q40_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

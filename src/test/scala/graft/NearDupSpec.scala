@@ -111,11 +111,17 @@ class NearDupSpec extends AnyFunSuite {
       size(col("v")).as("d")).collect()
     assert(norms.forall(_.getInt(1) == 64))
     assert(norms.forall(r => r.getDouble(0) == 0.0 || math.abs(r.getDouble(0) - 1.0) < 1e-6))
-    // the planted-duplicate corpus: exact copies must appear at sim ~1
+    // candidate stage: recall — exact copy AND one-word edit surface
+    val cand = NearDupOps.docEmbedCandidates(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 3L)), "exact copies must be candidates")
+    assert(cand.contains((0L, 1L)), "near-dup (one word changed) must be a candidate")
+    // verify stage: precision — only the exact copy clears jaccard ≥ 0.9
+    // (the one-word edit sits at 10/16 = 0.625: a candidate, not a dup)
     val pairs = NearDupOps.docEmbedNearDup(spark, fixtureDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(math.abs(pairs((0L, 3L)) - 1.0) < 1e-9, "exact copies at cosine 1")
-    assert(pairs.contains((0L, 1L)), "near-dup (one word changed) found")
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(pairs((0L, 3L)) == 1.0, "exact copies at jaccard 1")
+    assert(!pairs.contains((0L, 1L)), "one-word edit rejected by exact verify at 0.9")
     assert(!pairs.contains((0L, 2L)), "unrelated docs not near-dups")
   }
 
@@ -164,5 +170,51 @@ class NearDupSpec extends AnyFunSuite {
     assert(m(0L).isEmpty)
     assert(m(1L).isEmpty)
     assert(m(2L) == Seq("a b c", "b c d"))
+  }
+
+  test("fused shingle_array is set-equal to composed shingles (+ short-doc guard)") {
+    import graft.functions.HashKernels.shingle_array
+    val both = Tables.t(spark, sfDir, "documents").limit(200)
+      .select(
+        NearDupOps.shingles(col("text"), 3).as("composed"),
+        shingle_array(col("text"), 3).as("fused"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0).toSet == r.getSeq[String](1).toSet)
+    }
+    val guard = Seq((0L, "one two"), (1L, ""))
+      .toDF("doc_id", "text")
+      .select(shingle_array(col("text"), 3).as("sh"))
+      .collect()
+    assert(guard.forall(_.getSeq[String](0).isEmpty))
+  }
+
+  test("shingle_tf_vector: unit norm, word order sensitivity, null guard") {
+    import graft.functions.HashKernels.shingle_tf_vector
+    import graft.functions.VectorFunctions.{cosine_sim, dot_product}
+    val docs = Tables.t(spark, sfDir, "documents").limit(100)
+      .select(col("doc_id"), shingle_tf_vector(col("text"), 3, 256).as("v"))
+      .filter(col("v").isNotNull)
+    val norms = docs
+      .select(dot_product(col("v"), col("v")).as("n2"), size(col("v")).as("d"))
+      .collect()
+    assert(norms.forall(_.getInt(1) == 256))
+    assert(norms.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-6))
+    // word order changes the 3-gram features even when the vocab is
+    // identical — the property unigram TF lacks (its clusters saturated
+    // the LSH buckets on this corpus)
+    val pair = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "theta eta zeta epsilon delta gamma beta alpha"))
+      .toDF("doc_id", "text")
+      .select(shingle_tf_vector(col("text"), 3, 256).as("v"))
+      .collect().map(_.getSeq[Float](0))
+    val a = pair(0).toArray; val b = pair(1).toArray
+    val cos = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    assert(cos < 0.5, s"reversed word order must not look like a near-dup (cos=$cos)")
+    // too short to shingle -> null
+    val short = Seq((0L, "one two")).toDF("doc_id", "text")
+      .select(shingle_tf_vector(col("text"), 3, 256).as("v")).collect()
+    assert(short.head.isNullAt(0))
   }
 }
