@@ -192,14 +192,21 @@ object DataGen {
       .when(col("product_key") >= 1012, 20L)             // Treasure/Minor
       .otherwise(1000000000L)
     // each pooled unit can change hands at most twice (one BUY + one SELL)
+    // The ranking window runs over artifact rows only (~4% of trades):
+    // ranking the full fact table would funnel each of the 12 resource
+    // products — which can never hit a cap — through a single reducer,
+    // making the cap stage the widest, most skewed sort at high week
+    // counts. Resources bypass the window untouched and are unioned
+    // back; semantics are identical because art_rank was only ever
+    // consulted for artifact rows.
     val wArt = Window.partitionBy(col("product_key")).orderBy(col("trade_key"))
-    val capped = joined
-      .withColumn("art_rank",
-        when(col("product_key") >= 1012, row_number().over(wArt)).otherwise(lit(0)))
+    val artifacts = joined.filter(col("product_key") >= 1012)
+      .withColumn("art_rank", row_number().over(wArt))
       .withColumn("product_key",
         when(col("art_rank") > cap * 2, uInt("fallback", 12, col("trade_key")) + 1000)
           .otherwise(col("product_key")))
       .drop("art_rank")
+    val capped = joined.filter(col("product_key") < 1012).unionByName(artifacts)
 
     val qty = when(col("product_key") >= 1012, lit(1.0)) // artifacts unit qty
       .otherwise(round(lit(0.1) + u01("qty", col("trade_key")) * 4.9, 1))

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline IVF (inverted-file) ANN index: k-means coarse quantization
+  * (the build step) materialized as parquet, probed by the online query
+  * ([[VectorOps.ivfTopK]]).
+  *
+  * The round-1 form re-ran `KMeans.fit` (5 distributed Lloyd
+  * iterations) inside every query execution — pure per-query waste that
+  * dominated the probe cost and would only grow with corpus size. This
+  * is the standard offline-index/online-probe split instead (reference
+  * behavior: an ETL pipeline stages derived tables once and queries them
+  * many times; same shape as Silver→Gold staging):
+  *
+  *   - `lists/` — the inverted lists, `(vec_id, v, norm)` partitioned by
+  *     `cell` exactly like a FAISS IVF stores vectors grouped by their
+  *     nearest centroid. A probe filters on cell values, so the scan
+  *     prunes to the probed partitions — at N vectors a 1-cell probe
+  *     reads ~N/k rows and the planner proves it from directory names
+  *     alone (PartitionFilters, no footer reads of other cells).
+  *   - `centroids/` — `(cell, centroid)` for assigning out-of-corpus
+  *     query vectors / multi-probe cell ranking.
+  *
+  * The cache key hashes (fixture dir, byte size, mtime): content drift
+  * invalidates the key, so a stale index is never probed; indices live
+  * under the JVM temp dir (or `GRAFT_INDEX_DIR`) and rebuild lazily.
+  */
+object IvfIndex {
+
+  private def cacheRoot: String =
+    sys.env.getOrElse("GRAFT_INDEX_DIR",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
+
+  /** Deterministic per-(dir, size, mtime) index location. */
+  def indexDir(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val bytes = fs.getContentSummary(p).getLength
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir|$bytes|${st.getModificationTime}"))
+    s"$cacheRoot/ivf_$key"
+  }
+
+  /** Offline build: fit k-means (k=16, fixed seed, 5 Lloyd iterations,
+    * distributed), then write the inverted lists + centroids. Runs as a
+    * scheduled pipeline stage at scale; here it is invoked lazily by
+    * [[ensure]] on first probe of a corpus version. */
+  def build(s: SparkSession, dir: String, k: Int = 16): String = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.VectorFunctions.dot_product
+    val idx = indexDir(s, dir)
+    val e = graft.Tables.tSpread(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(e.select("features"))
+    model.transform(e)
+      .select(col("vec_id"), col("cell"), col("v"),
+        sqrt(dot_product(col("v"), col("v"))).as("norm"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$idx/lists")
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray)
+    }
+    import s.implicits._
+    centroids.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/centroids")
+    idx
+  }
+
+  /** Build-if-absent, keyed by corpus version. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val idx = indexDir(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/lists/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) build(s, dir) else idx
+  }
+
+  /** The inverted lists of the (built-if-needed) index. */
+  def lists(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensure(s, dir)}/lists")
+}

@@ -149,6 +149,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF probe-after-build equals the inline fit+probe form") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val split = graft.llm.VectorOps.ivfTopK(spark, sfDir).collect().map(key)
+    val inline = graft.llm.VectorOps.ivfTopKInline(spark, sfDir).collect().map(key)
+    assert(split.sameElements(inline))
+    // second probe must reuse the materialized index, not rebuild it
+    val idx = graft.llm.IvfIndex.indexDir(spark, sfDir)
+    val marker = new java.io.File(s"$idx/lists/_SUCCESS")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    graft.llm.VectorOps.ivfTopK(spark, sfDir).collect()
+    assert(marker.lastModified() == mtime, "probe must not rebuild the index")
+    // and the probe plan must partition-prune on cell (the inverted-list
+    // layout pays off as a PartitionFilters entry, not a full scan)
+    val probedCells = graft.llm.IvfIndex.lists(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("cell") === 0)
+    val scan = probedCells.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"cell filter should prune partitions:\n$scan")
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     Tables.t(spark, sfDir, "embeddings").limit(5).createOrReplaceTempView("emb5")
