@@ -19,13 +19,21 @@ object Tables {
 
   /** Read one fixture table from `dir` (e.g. /root/testdata/sf0.01).
     *
+    * Schema-on-read is declared, not inferred (schema.Schemas, SURVEY
+    * §1.3): the footer is validated against the declaration once per
+    * path (fail-fast on drift, a metadata-only check), then the scan
+    * runs with the declared StructType.
+    *
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by every session
     * builder in this repo); we convert to a proper timestamp at
     * microsecond precision here, using integer `div` so the ~1.7e18 nanos
     * value never loses precision through a double. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val declared = graft.schema.Schemas.fixture(name)
+    graft.schema.Schemas.validateOnce(spark, path, name, declared)
+    val df = spark.read.schema(declared).parquet(path)
     if (name == "events") nanosTsToMicros(df) else df
   }
 

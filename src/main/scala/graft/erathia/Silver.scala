@@ -52,12 +52,15 @@ object Silver {
     * views named like the reference's DuckDB tables. Returns the cleaned
     * fact row count (the verification probe, silver_processor.py:88-93). */
   def run(s: SparkSession, bronzeDir: String, silverDir: String): Long = {
-    val fact = cleanFact(s.read.parquet(s"$bronzeDir/fact_sales"))
+    // Bronze is the ingest boundary: every read is validated against the
+    // declared schema (schema.Schemas.erathia) and fails fast on drift.
+    val fact = cleanFact(
+      graft.schema.Schemas.readErathia(s, s"$bronzeDir/fact_sales", "fact_sales"))
     fact.write.mode("overwrite").partitionBy("year", "month")
       .parquet(s"$silverDir/fact_sales")
 
     dims.foreach { d =>
-      val cleaned = s.read.parquet(s"$bronzeDir/$d")
+      val cleaned = graft.schema.Schemas.readErathia(s, s"$bronzeDir/$d", d)
         .transform(dedupByKey(keyOf(d)))
         .transform(df => if (d == "dim_customer") enrichCustomer(df) else df)
       cleaned.coalesce(1).write.mode("overwrite").parquet(s"$silverDir/$d")
