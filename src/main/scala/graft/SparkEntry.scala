@@ -19,10 +19,12 @@ object SparkEntry {
     ops.WindowQueries.queries ++
     ops.AdvancedQueries.queries ++
     ops.ShapeQueries.queries ++
+    ops.ScaleUtils.queries ++
     llm.TextOps.queries ++
     llm.VectorOps.queries ++
     llm.NearDupOps.queries ++
-    llm.MultimodalOps.queries
+    llm.MultimodalOps.queries ++
+    streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,8 +34,10 @@ object SparkEntry {
     ops.WindowQueries.oracleSql ++
     ops.AdvancedQueries.oracleSql ++
     ops.ShapeQueries.oracleSql ++
+    ops.ScaleUtils.oracleSql ++
     llm.TextOps.oracleSql ++
     llm.VectorOps.oracleSql ++
     llm.NearDupOps.oracleSql ++
-    llm.MultimodalOps.oracleSql
+    llm.MultimodalOps.oracleSql ++
+    streaming.StreamOps.oracleSql
 }

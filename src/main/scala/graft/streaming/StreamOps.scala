@@ -192,6 +192,48 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Batch twin of [[sessionWindows]] — the same built-in
+    * `session_window` aggregation applied to the static events table
+    * (one declarative shape for both execution modes is the Structured
+    * Streaming contract, so this is the form that puts the streaming
+    * surface under the driver's DuckDB oracle: session start = first
+    * event, end = last event + gap, checked against a gaps-and-islands
+    * SQL twin). Timestamps export as unix micros; total_value follows
+    * q47's round(sum, 2) convention. */
+  def sessionWindowBatch(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start_us")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q61_session_window" -> sessionWindowBatch)
+
+  val oracleSql: Map[String, String] = Map(
+    "q61_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value, event_id FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  MIN(ts_us) AS session_start_us,
+        |  MAX(ts_us) + 1800000000 AS session_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin)
+
   /** Run a streaming DataFrame to completion against the files currently
     * in the source directory, returning the materialized result (memory
     * sink, one query name per call). `mode` is deliberately explicit:

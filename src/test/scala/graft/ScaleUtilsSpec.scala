@@ -88,6 +88,29 @@ class ScaleUtilsSpec extends AnyFunSuite {
     assert(plain == saltedDet)
   }
 
+  test("skew-salted join: plan spreads the hot key, result equals plain join") {
+    val q = ScaleUtils.skewSaltedJoin(spark, sfDir)
+    // the salted join must shuffle on (grp_key, __salt), not grp_key
+    // alone — that is what spreads the 70%-hot key over 8 reducers
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"join must be salted; plan was:\n$plan")
+    assert(plan.toLowerCase.contains("sortmergejoin"),
+      "merge hint must hold (a broadcast would erase the skew the salt is for)")
+    // correctness: salting is plan surgery only — equal to the plain join
+    val ev = Tables.t(spark, sfDir, "events")
+      .withColumn("grp_key",
+        when(col("user_id") % 10 < 7, lit(0L)).otherwise(col("user_id")))
+    val dim = ev.select(col("grp_key")).distinct()
+      .withColumn("grp_label",
+        concat(lit("grp_"), (col("grp_key") % 7).cast("string")))
+    val plain = ev.join(dim, Seq("grp_key"))
+      .groupBy("grp_label")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("grp_label").collect().toSeq
+    assert(q.collect().toSeq == plain)
+  }
+
   test("bucketed tables join without an exchange") {
     val c = Tables.t(spark, sfDir, "customer").select("c_custkey", "c_name")
     val o = Tables.t(spark, sfDir, "orders").select("o_custkey", "o_totalprice")

@@ -174,4 +174,18 @@ class StreamingSpec extends AnyFunSuite {
     val nCustom = custom.agg(sum("n_events")).head.getLong(0)
     assert(nCustom == events.count())
   }
+
+  test("q61 batch twin equals the streamed session_window result") {
+    val batch = StreamOps.sessionWindowBatch(spark, sfDir).collect().toSeq
+    val streamed = StreamOps.runToMemory(spark,
+      StreamOps.sessionWindows(StreamOps.readEvents(spark, sfDir)),
+      "q61_stream_twin", org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    assert(batch == streamed,
+      s"batch/stream session_window results differ: ${batch.size} vs ${streamed.size}")
+  }
 }
