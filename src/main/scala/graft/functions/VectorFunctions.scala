@@ -179,38 +179,84 @@ object VectorKernels {
     z ^ (z >>> 31)
   }
 
-  /** All probe tables in one traversal of the vector: accumulators for
-    * tables×bits planes update per element, then fold to one code per
-    * table. Same results as `hyperplaneBucket` per table, one pass. */
-  def hyperplaneBuckets(v: ArrayData, bits: Int, tables: Int): ArrayData = {
-    val n = v.numElements()
-    val acc = new Array[Double](tables * bits)
-    var i = 0
-    while (i < n) {
-      val x = v.getFloat(i).toDouble
+  /** Plane sign matrix cache: the ±1 components are pure functions of
+    * (table, bit, element) via mix64, so they are materialized once per
+    * (bits, tables, dim) and reused by every row. Deriving them inline
+    * cost one mix64 per plane component per row — tables×bits×dim hash
+    * calls/doc (~135k at the 500k-doc soak point, ~70% of the whole
+    * near-dup pipeline); the cached matrix turns the projection into
+    * pure sequential mult-adds. ~1 MB at (17 bits, 31 tables, 256 dims). */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def planeSigns(bits: Int, tables: Int, dim: Int): Array[Double] =
+    signCache.computeIfAbsent((bits, tables, dim), _ => {
+      val s = new Array[Double](tables * bits * dim)
       var t = 0
       while (t < tables) {
         var b = 0
         while (b < bits) {
-          if ((mix64((t.toLong * 64 + b) * 1048573L + i) & 1L) == 1L)
-            acc(t * bits + b) += x
-          else acc(t * bits + b) -= x
+          val base = (t * bits + b) * dim
+          var i = 0
+          while (i < dim) {
+            s(base + i) =
+              if ((mix64((t.toLong * 64 + b) * 1048573L + i) & 1L) == 1L) 1.0
+              else -1.0
+            i += 1
+          }
           b += 1
         }
         t += 1
       }
-      i += 1
-    }
+      s
+    })
+
+  /** All probe tables' codes from one cached-plane projection. Per plane
+    * the accumulation order is element-ascending with exact ±x terms —
+    * bit-identical to the uncached per-element form (`hyperplaneBucket`
+    * keeps that form and the fused-equals-per-table spec cross-checks
+    * the cache). */
+  def hyperplaneBuckets(v: ArrayData, bits: Int, tables: Int): ArrayData = {
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = v.getFloat(i).toDouble; i += 1 }
+    val signs = planeSigns(bits, tables, n)
     val codes = new Array[Int](tables)
     var t = 0
     while (t < tables) {
       var code = 0
       var b = 0
-      while (b < bits) { if (acc(t * bits + b) > 0) code |= (1 << b); b += 1 }
+      while (b < bits) {
+        val base = (t * bits + b) * n
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += signs(base + j) * x(j); j += 1 }
+        if (acc > 0) code |= (1 << b)
+        b += 1
+      }
       codes(t) = code
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Fraction of agreeing code bits across all probe tables — a popcount
+    * over packed int codes, used as the cheap pre-filter before exact
+    * verification (bit agreement estimates plane agreement p = 1−θ/π;
+    * at 500+ total bits the estimator's σ is ~0.015, so a margin of
+    * several σ below the design point loses nothing). */
+  def codeAgreement(a: ArrayData, b: ArrayData, bits: Int): Double = {
+    val t = math.min(a.numElements(), b.numElements())
+    if (t == 0) return 0.0
+    val mask = (1 << bits) - 1
+    var agree = 0
+    var i = 0
+    while (i < t) {
+      agree += java.lang.Integer.bitCount(~(a.getInt(i) ^ b.getInt(i)) & mask)
+      i += 1
+    }
+    agree.toDouble / (t.toDouble * bits)
   }
 
   def hyperplaneBucket(v: ArrayData, bits: Int, table: Int): Int = {
@@ -232,6 +278,26 @@ object VectorKernels {
     while (b < bits) { if (acc(b) > 0) code |= (1 << b); b += 1 }
     code
   }
+}
+
+/** Catalyst expression: fraction of agreeing hyperplane-code bits
+  * between two array<int> code columns (the cheap LSH pre-filter). */
+case class CodeAgreement(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.codeAgreement(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.codeAgreement($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Catalyst expression: all probe-table hyperplane codes in one pass →
@@ -268,16 +334,30 @@ object VectorFunctions {
     * table, computed in a single vector traversal (HyperplaneBuckets).
     * Explode + equi-join = union of per-table candidate sets; the band
     * key is a 4-byte int, not a string. */
-  def lshBandKeys(v: Column, bits: Int, tables: Int): Column = {
-    val codes = GraftSqlBridge.column(
+  /** All probe-table hyperplane codes as array<int> — carried through
+    * band joins (tables ints) instead of the raw vector (dim floats) so
+    * the shuffle stays narrow and the pre-filter is a popcount. */
+  def hyperplane_codes(v: Column, bits: Int, tables: Int): Column =
+    GraftSqlBridge.column(
       HyperplaneBuckets(GraftSqlBridge.expression(v), bits, tables))
+
+  /** Band keys from a precomputed codes column: table index folded into
+    * the code so keys never collide across tables. */
+  def codeBandKeys(codes: Column, bits: Int, tables: Int): Column =
     org.apache.spark.sql.functions.zip_with(
       codes,
       org.apache.spark.sql.functions.sequence(
         org.apache.spark.sql.functions.lit(0),
         org.apache.spark.sql.functions.lit(tables - 1)),
       (code, t) => t * (1 << bits) + code)
-  }
+
+  def lshBandKeys(v: Column, bits: Int, tables: Int): Column =
+    codeBandKeys(hyperplane_codes(v, bits, tables), bits, tables)
+
+  /** Popcount bit-agreement fraction between two codes columns. */
+  def code_agreement(a: Column, b: Column, bits: Int): Column =
+    GraftSqlBridge.column(CodeAgreement(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), bits))
 
   /** SQL registration: SELECT cosine_sim(v1, v2), dot_product(v1, v2). */
   def register(s: SparkSession): Unit = {

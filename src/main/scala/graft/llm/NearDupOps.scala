@@ -199,7 +199,7 @@ object NearDupOps {
     * query re-scores these exactly ([[docEmbedNearDup]]). */
   def docEmbedCandidates(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashKernels.shingle_tf_vector
-    import graft.functions.VectorFunctions.lshBandKeys
+    import graft.functions.VectorFunctions.{codeBandKeys, code_agreement, hyperplane_codes}
     // Bits size the buckets (candidate cost ~ N²/2^bits per table) and
     // adapt to corpus size from file metadata (no job at plan
     // construction). Narrower buckets cost per-table recall, so tables
@@ -216,17 +216,31 @@ object NearDupOps {
     // hit rate p^12 ≈ 0.31, so 16 tables give union recall ≈ 0.997 per
     // pair. dim=256 keeps feature-hash collisions from eroding the
     // cosine of short docs (64 dims cost ~0.03 cosine at ~35 shingles).
+    // Divisor 1024 targets ~4 docs/bucket (~250 B of text per doc):
+    // candidate volume stays ~2·N·tables instead of growing with the
+    // bucket size. The 16384 divisor it replaces left ~60 docs/bucket
+    // once the corpus outgrew the 12-bit floor — the 500k-doc soak spent
+    // 123 s generating ~30× more candidate pairs than needed (8.4 s
+    // after the retarget). Table count pays the recall bill for the
+    // narrower buckets (×1/0.88 per extra bit, §recall note above):
+    // log-linear total work, the standard LSH trade.
     val bytes = graft.Tables.tableSizeBytes(s, dir, "documents")
     val bits = math.min(24, math.max(12,
-      math.ceil(math.log(math.max(bytes / 16384.0, 2.0)) / math.log(2)).toInt))
+      math.ceil(math.log(math.max(bytes / 1024.0, 2.0)) / math.log(2)).toInt))
     val tables = math.ceil(16.0 * math.pow(1.0 / 0.88, (bits - 12).toDouble)).toInt
-    // No explicit isNotNull filter on v: Catalyst would push it through
-    // the projection and evaluate the kernel twice per row; explode of
-    // the null band array already drops unshingleable docs for free.
+    // The projection runs ONCE per doc (hyperplane_codes over the cached
+    // plane matrix); what rides the band shuffle is the packed code
+    // array (`tables` ints), never the 256-float vector — an ~8× shuffle
+    // reduction that also makes the pre-filter a popcount. No explicit
+    // isNotNull filter on the vector: Catalyst would push it through the
+    // projection and evaluate the kernel twice per row; explode of the
+    // null band array already drops unshingleable docs for free.
     val e = graft.Tables.tSpread(s, dir, "documents")
-      .select(col("doc_id"), shingle_tf_vector(col("text"), 3, 256).as("v"))
-      .select(col("doc_id"), col("v"),
-        explode(lshBandKeys(col("v"), bits, tables)).as("band"))
+      .select(col("doc_id"),
+        hyperplane_codes(shingle_tf_vector(col("text"), 3, 256), bits, tables)
+          .as("codes"))
+      .select(col("doc_id"), col("codes"),
+        explode(codeBandKeys(col("codes"), bits, tables)).as("band"))
     // Degenerate-bucket guard: a band holding >100 docs means that code
     // region is saturated (tiny-vocab corpora cluster hard); such bands
     // generate O(size²) candidates and no dedup signal — drop them.
@@ -237,17 +251,20 @@ object NearDupOps {
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
       .filter(col("band_n") > 1 && col("band_n") <= 100)
       .drop("band_n")
-    val a = pruned.select(col("band"), col("doc_id").as("doc_a"), col("v").as("va"))
-    val b = pruned.select(col("band"), col("doc_id").as("doc_b"), col("v").as("vb"))
-    // Coarse pre-filter before the exact-verify join: 16 tables surface
-    // ~12 candidates/doc on this corpus (bucket collisions at cosine
-    // 0.5–0.8), but a threshold-boundary true pair sits at cosine ≈ 0.95
-    // — so a cheap fused-kernel cosine at 0.8 kills ~99% of the false
-    // candidates for the price of one 256-float dot product, and the
-    // shingle-array shuffle in the verify join only ever sees survivors.
+    val a = pruned.select(col("band"), col("doc_id").as("doc_a"), col("codes").as("ca"))
+    val b = pruned.select(col("band"), col("doc_id").as("doc_b"), col("codes").as("cb"))
+    // Coarse pre-filter before the exact-verify join: a threshold-
+    // boundary true pair (3-gram Jaccard 0.9 → cosine ≈ 0.95, minus
+    // feature-hash noise on short docs → plane agreement p ≈ 0.88) has
+    // σ ≈ 0.023 over the tables×bits ≥ 192 code bits, so the 0.78 cut
+    // sits >4σ below the worst-case design point (0.85 clipped 2 of 249
+    // true pairs at sf0.1), while still killing ~99% of bucket-collision
+    // noise (agreement ~0.5–0.75) for the price of a popcount — the
+    // shingle-array shuffle in the verify join only ever sees
+    // survivors.
     a.join(b, Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")) >= 0.8)
+      .filter(code_agreement(col("ca"), col("cb"), bits) >= 0.78)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b") // pair may collide in several tables
   }

@@ -86,6 +86,10 @@ object ScaleSoak {
       graft.llm.NearDupOps.minhashPairs(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    time("minhash_neardup") {
+      graft.llm.NearDupOps.minhashNearDup(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("doc_embed_neardup") {
       graft.llm.NearDupOps.docEmbedNearDup(spark, dir)
         .write.format("noop").mode("overwrite").save()
