@@ -128,6 +128,54 @@ object NearDupOps {
     rescoreExactJaccard(s, dir, cand, 0.8)
   }
 
+  /** Near-dup cluster resolution — the step after pair detection in a
+    * dedup pipeline: connected components over the verified pair graph,
+    * labeling every involved doc with its cluster (= min doc_id in the
+    * component) and marking the canonical survivor (`keep`). "Delete all
+    * rows where keep = false" is then the actual dedup action.
+    *
+    * Algorithm: iterative min-label propagation (the Hash-to-Min /
+    * small-star family — Rastogi et al., ICDE 2013): each round every
+    * node takes the min label among itself and its neighbors; converges
+    * in O(diameter) rounds (dup clusters are near-cliques, so 1–2), each
+    * round one shuffle join + aggregate. `localCheckpoint` cuts the
+    * growing lineage per round — the standard Spark iterative-algorithm
+    * pattern. The fixed point (min id per component) is unique and
+    * order-independent, so the output is deterministic and fully
+    * oracle-checkable against a DuckDB recursive-CTE reachability
+    * closure over the same verified pairs. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDup(s, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
+        .localCheckpoint()
+      changed = next.filter(col("next_label") < col("label")).count()
+      labels = next.select(col("doc_id"), col("next_label").as("label"))
+      rounds += 1
+    }
+    val clusters = labels.select(col("doc_id"), col("label").as("cluster_id"))
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+    clusters.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_docs"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact word-3-gram Jaccard similarity over a bounded slice
     * (doc_id < 60 per side): the ground-truth near-dup measure, and the
     * one SQL-expressible enough for the DuckDB oracle. Intersection via
@@ -284,7 +332,8 @@ object NearDupOps {
     "q43_minhash_neardup" -> minhashNearDup,
     "q44_ngram_jaccard" -> ngramJaccard,
     "q45_simhash"       -> simhash,
-    "q49_doc_embed_neardup" -> docEmbedNearDup)
+    "q49_doc_embed_neardup" -> docEmbedNearDup,
+    "q62_dup_clusters"  -> dupClusters)
 
   // q45 hashes with xxhash64 (not available in DuckDB) → rows-only
   // driver check; its value-level verification is NearDupSpec. q43/q49
@@ -294,6 +343,40 @@ object NearDupOps {
   // fixture scale — and candidate recall on planted dups is additionally
   // pinned in NearDupSpec).
   val oracleSql: Map[String, String] = Map(
+    "q62_dup_clusters" ->
+      """WITH RECURSIVE
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |csizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM labels GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, s.n_docs,
+        |       l.doc_id = l.cluster_id AS keep
+        |FROM labels l JOIN csizes s USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
     "q43_minhash_neardup" ->
       """WITH docsh AS (
         |  SELECT doc_id,

@@ -162,6 +162,36 @@ class NearDupSpec extends AnyFunSuite {
       "unrelated docs must share almost none")
   }
 
+  test("dup clusters: transitive components, canonical survivor, sizes") {
+    import graft.llm.NearDupOps
+    // chain 0-1-2 (0~1 and 1~2 near-dup, 0~2 only transitively),
+    // pair 10-11 exact dup, and 20 a singleton (no cluster membership)
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val d = java.nio.file.Files.createTempDirectory("clus").toString
+    val docA = base
+    val docB = base.replace("tok29", "tokX") // j(A,B) high
+    val docC = docB.replace("tok0 ", "tokY ") // j(B,C) high, j(A,C) lower but still >= .8
+    val other = (0 until 30).map(i => s"zzz$i").mkString(" ")
+    Seq(
+      (0L, docA), (1L, docB), (2L, docC),
+      (10L, other), (11L, other),
+      (20L, "completely different words here entirely unrelated to all"))
+      .map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = NearDupOps.dupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // 0,1,2 form one component rooted at 0 (even if 0~2 was not a pair)
+    assert(rows(0L) == ((0L, 3L, true)))
+    assert(rows(1L) == ((0L, 3L, false)))
+    assert(rows(2L) == ((0L, 3L, false)))
+    // exact-dup pair clusters at its min id
+    assert(rows(10L) == ((10L, 2L, true)))
+    assert(rows(11L) == ((10L, 2L, false)))
+    // singleton never appears (no verified pair involves it)
+    assert(!rows.contains(20L))
+  }
+
   test("shingling guards short documents") {
     val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d"))
       .toDF("doc_id", "text")
