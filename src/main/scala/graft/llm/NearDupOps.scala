@@ -54,13 +54,20 @@ object NearDupOps {
 
   /** Per-doc exploded LSH band keys for the MinHash path (k hashes in
     * `bands` bands) — shared by the diagnostic pair view and the
-    * verified near-dup query. */
+    * verified near-dup query. The shuffle key is the xxhash64 digest of
+    * the rendered band, not the band string itself ("digests, never
+    * text"): at the 5M-doc soak point the string keys alone were ~5× the
+    * shuffle payload. A digest collision between different bands can
+    * only ADD a candidate pair, and every candidate is exact-verified
+    * downstream, so correctness is unaffected. */
   private def mhBanded(s: SparkSession, dir: String, k: Int, bands: Int): DataFrame =
     graft.Tables.tSpread(s, dir, "documents")
       .select(col("doc_id"),
         graft.functions.HashKernels.shingle_minhash(col("text"), 3, k).as("sig"))
       .filter(col("sig").isNotNull)
-      .select(col("doc_id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
+      .select(col("doc_id"),
+        explode(transform(bandKeys(col("sig"), k, bands), b => xxhash64(b)))
+          .as("band"))
 
   /** MinHash+LSH candidate pairs (k=32 hashes, 8 bands of 4): docs whose
     * signatures collide in ≥1 band, with the number of colliding bands.

@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Corpus-assembly operators for a training-data pipeline: deterministic
+  * mixture sampling and token-budget shard packing.
+  *
+  * Both are deliberately built from engine-portable primitives (md5,
+  * integer window arithmetic) rather than `rand()` or `sample()`:
+  *   - the sampling decision for a row is a pure function of its id, so
+  *     it is reproducible across engines, partitionings, task retries,
+  *     AND re-runs over a grown corpus (a doc's fate never changes when
+  *     its neighbors change — the property `df.sample` lacks);
+  *   - that same purity makes both operators fully DuckDB-hash-checkable,
+  *     where a PRNG-based sampler could only ever get a rows-only count
+  *     check.
+  */
+object SamplingOps {
+
+  /** Per-language mixture rates: rebalance the corpus by down-sampling
+    * over-represented strata (the fixture is ~44% English). A doc is
+    * kept iff the first 8 hex chars of md5("mix1:" + doc_id) — a uniform
+    * 32-bit value rendered in hex — sort below the stratum's threshold;
+    * hex-string comparison at equal length IS numeric comparison, and
+    * md5 hex is identical in Spark and DuckDB. */
+  val mixtureRates: Seq[(String, String)] = Seq(
+    "en" -> "40000000", // keep 25%
+    "de" -> "c0000000", // keep 75%
+    "es" -> "c0000000",
+    "fr" -> "c0000000",
+    "zh" -> "ffffffff") // keep ~100%
+
+  def hashSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(concat(lit("mix1:"), col("doc_id").cast("string"))), 1, 8)
+    val threshold = mixtureRates.foldRight(lit("00000000")) {
+      case ((lang, hex), acc) => when(col("lang") === lang, lit(hex)).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .withColumn("hash_bucket", bucket)
+      .filter(col("hash_bucket") < threshold)
+      .select(col("doc_id"), col("lang"), col("source"), col("hash_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget shard packing: assign docs (in stable doc_id order) to
+    * training shards of ~`budget` tokens each — shard id = the doc's
+    * cumulative start offset over the budget. One window pass; at scale
+    * the ordering column would be a precomputed global sort key, and the
+    * same arithmetic holds per sort-partition. */
+  def shardPack(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id", ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_hash_sample" -> hashSample,
+    "q64_shard_pack"  -> ((s, dir) => shardPack(s, dir)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q63_hash_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source,
+        |    substring(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hash_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, source, hash_bucket
+        |FROM b
+        |WHERE hash_bucket < CASE lang
+        |  WHEN 'en' THEN '40000000'
+        |  WHEN 'de' THEN 'c0000000'
+        |  WHEN 'es' THEN 'c0000000'
+        |  WHEN 'fr' THEN 'c0000000'
+        |  WHEN 'zh' THEN 'ffffffff'
+        |  ELSE '00000000' END
+        |ORDER BY doc_id""".stripMargin,
+    "q64_shard_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  CAST(FLOOR((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+        |FROM c
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -16,7 +16,7 @@ object ExplainAudit {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_faction_economy", "q02_price_history", "q03_top_customers",
-        "q05_clean_filter", "q30_text_stats", "q40_cosine_topk", "q43_minhash_pairs")
+        "q05_clean_filter", "q30_text_stats", "q40_cosine_topk", "q43_minhash_neardup")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

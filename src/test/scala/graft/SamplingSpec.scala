@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.SamplingOps
+
+/** Mixture sampling + shard packing: the properties that matter for a
+  * training-data pipeline are determinism and per-doc stability (a doc's
+  * fate never depends on the rest of the corpus). */
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("hash sample: per-stratum rates hit their targets") {
+    val total = Tables.t(spark, sfDir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SamplingOps.hashSample(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = SamplingOps.mixtureRates.toMap.map { case (l, hex) =>
+      l -> java.lang.Long.parseLong(hex, 16).toDouble / (1L << 32) }
+    want.foreach { case (lang, rate) =>
+      val n = total.getOrElse(lang, 0L)
+      if (n > 20) {
+        val got = kept.getOrElse(lang, 0L).toDouble / n
+        // md5 buckets are uniform; binomial 4-sigma tolerance
+        val tol = 4 * math.sqrt(rate * (1 - rate) / n)
+        assert(math.abs(got - rate) <= tol + 1e-9,
+          s"$lang: got $got want $rate ± $tol (n=$n)")
+      }
+    }
+  }
+
+  test("hash sample: a doc's fate is independent of the rest of the corpus") {
+    val full = SamplingOps.hashSample(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // re-sample a corpus slice written separately: same decisions
+    val d = java.nio.file.Files.createTempDirectory("sampSub").toString
+    Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 100)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val slice = SamplingOps.hashSample(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(slice == full.filter(_ < 100))
+  }
+
+  test("shard pack: budget respected, ids contiguous from zero") {
+    val rows = SamplingOps.shardPack(spark, sfDir, budget = 2000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // shard ids start at 0 and never skip
+    val ids = rows.map(_._4)
+    assert(ids.head == 0L)
+    assert(ids.sliding(2).forall { case Array(a, b) => b == a || b == a + 1; case _ => true })
+    // every shard's token mass stays under budget + one max-doc overflow
+    val maxDoc = rows.map(_._2).max
+    rows.groupBy(_._4).values.foreach { shard =>
+      assert(shard.map(_._2).sum <= 2000L + maxDoc)
+    }
+    // tokens conserved
+    assert(rows.map(_._2).sum == rows.last._3)
+  }
+}
