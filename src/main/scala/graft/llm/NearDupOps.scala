@@ -271,18 +271,25 @@ object NearDupOps {
     // hit rate p^12 ≈ 0.31, so 16 tables give union recall ≈ 0.997 per
     // pair. dim=256 keeps feature-hash collisions from eroding the
     // cosine of short docs (64 dims cost ~0.03 cosine at ~35 shingles).
-    // Divisor 1024 targets ~4 docs/bucket (~250 B of text per doc):
-    // candidate volume stays ~2·N·tables instead of growing with the
-    // bucket size. The 16384 divisor it replaces left ~60 docs/bucket
-    // once the corpus outgrew the 12-bit floor — the 500k-doc soak spent
-    // 123 s generating ~30× more candidate pairs than needed (8.4 s
-    // after the retarget). Table count pays the recall bill for the
-    // narrower buckets (×1/0.88 per extra bit, §recall note above):
-    // log-linear total work, the standard LSH trade.
+    // Bucket-size / plane-count balance: divisor 4096 targets ~16
+    // docs/bucket (~250 B of text per doc). The two cost terms trade
+    // against each other — projection ∝ bits·tables·dim per doc,
+    // candidate popcounts ∝ bucket·tables per doc — and the popcount
+    // side is ~1000× cheaper per unit, so buckets are kept an order of
+    // magnitude fatter than the old 4-docs/bucket target (and 60+
+    // docs/bucket, the original 16384 divisor, overwhelmed even the
+    // popcount: 123 s at the 500k soak point). Table count pays the
+    // recall bill for narrower buckets (×1/0.88 per extra bit, §recall
+    // note above), capped at 32: past the cap, boundary-pair union
+    // recall eases off the 0.997 design point (≈0.98 at the 5M-doc soak
+    // config of 18 bits) while near-identical pairs (plane agreement
+    // ≥0.97) stay at recall ≈1 − 1e-11 — the documented scale knob: pay
+    // more tables for boundary recall, or accept the taper.
     val bytes = graft.Tables.tableSizeBytes(s, dir, "documents")
     val bits = math.min(24, math.max(12,
-      math.ceil(math.log(math.max(bytes / 1024.0, 2.0)) / math.log(2)).toInt))
-    val tables = math.ceil(16.0 * math.pow(1.0 / 0.88, (bits - 12).toDouble)).toInt
+      math.ceil(math.log(math.max(bytes / 4096.0, 2.0)) / math.log(2)).toInt))
+    val tables = math.min(32,
+      math.ceil(16.0 * math.pow(1.0 / 0.88, (bits - 12).toDouble)).toInt)
     // The projection runs ONCE per doc (hyperplane_codes over the cached
     // plane matrix); what rides the band shuffle is the packed code
     // array (`tables` ints), never the 256-float vector — an ~8× shuffle
