@@ -153,9 +153,13 @@ object NearDupOps {
     * closure over the same verified pairs. */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashNearDup(s, dir).select("doc_a", "doc_b")
+    // Materialize the edge list once: every propagation round joins
+    // against it, and without the checkpoint each round would re-run
+    // the whole candidate+verify pipeline that produced the pairs.
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()

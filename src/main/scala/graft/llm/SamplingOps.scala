@@ -32,17 +32,19 @@ object SamplingOps {
     "fr" -> "c0000000",
     "zh" -> "ffffffff") // keep ~100%
 
-  def hashSample(s: SparkSession, dir: String): DataFrame = {
-    val bucket = substring(md5(concat(lit("mix1:"), col("doc_id").cast("string"))), 1, 8)
-    val threshold = mixtureRates.foldRight(lit("00000000")) {
-      case ((lang, hex), acc) => when(col("lang") === lang, lit(hex)).otherwise(acc)
-    }
+  private def mixBucket = substring(
+    md5(concat(lit("mix1:"), col("doc_id").cast("string"))), 1, 8)
+
+  private def mixThreshold = mixtureRates.foldRight(lit("00000000")) {
+    case ((lang, hex), acc) => when(col("lang") === lang, lit(hex)).otherwise(acc)
+  }
+
+  def hashSample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("hash_bucket", bucket)
-      .filter(col("hash_bucket") < threshold)
+      .withColumn("hash_bucket", mixBucket)
+      .filter(col("hash_bucket") < mixThreshold)
       .select(col("doc_id"), col("lang"), col("source"), col("hash_bucket"))
       .orderBy("doc_id")
-  }
 
   /** Token-budget shard packing: assign docs (in stable doc_id order) to
     * training shards of ~`budget` tokens each — shard id = the doc's
@@ -60,11 +62,89 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
+  /** The full corpus-curation pipeline in one plan — the capstone
+    * composition a training-data build actually runs: near-dup CLUSTER
+    * dedup (drop every non-canonical cluster member, via anti-join
+    * against [[NearDupOps.dupClusters]]), then deterministic mixture
+    * sampling, then token-budget shard packing of the survivors. Every
+    * stage is a pure function of the input, so the whole pipeline
+    * hash-matches one composed DuckDB oracle. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val drops = NearDupOps.dupClusters(s, dir)
+      .filter(!col("keep")).select("doc_id")
+    val kept = t(s, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .filter(mixBucket < mixThreshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
+    kept
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        ((col("cum_tokens") - col("n_tokens")) / lit(2000L)).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_hash_sample" -> hashSample,
-    "q64_shard_pack"  -> ((s, dir) => shardPack(s, dir)))
+    "q64_shard_pack"  -> ((s, dir) => shardPack(s, dir)),
+    "q65_curation_pipeline" -> curationPipeline)
 
   val oracleSql: Map[String, String] = Map(
+    "q65_curation_pipeline" ->
+      """WITH RECURSIVE
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+        |    AND substring(md5('mix1:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < CASE d.lang
+        |      WHEN 'en' THEN '40000000'
+        |      WHEN 'de' THEN 'c0000000'
+        |      WHEN 'es' THEN 'c0000000'
+        |      WHEN 'fr' THEN 'c0000000'
+        |      WHEN 'zh' THEN 'ffffffff'
+        |      ELSE '00000000' END),
+        |tk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM kept),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM tk)
+        |SELECT doc_id, lang, n_tokens, cum_tokens,
+        |  CAST(FLOOR((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
     "q63_hash_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang, source,
