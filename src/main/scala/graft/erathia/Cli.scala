@@ -43,6 +43,7 @@ object Cli {
   def promptWeeks(in: BufferedReader, out: PrintStream, default: Int = 104): Int = {
     while (true) {
       out.print(s"  > How many weeks to simulate? (default: $default): ")
+      out.flush()
       val line = Option(in.readLine()).map(_.trim).getOrElse("")
       val parsed =
         if (line.isEmpty) Some(default)
@@ -86,6 +87,7 @@ object Cli {
       out.println("  6. Clean All Data")
       out.println("  7. Exit")
       out.print("Choice [1-7]: ")
+      out.flush()
       Option(in.readLine()).map(_.trim) match {
         case None | Some("7") =>
           out.println("Goodbye!")
@@ -99,7 +101,14 @@ object Cli {
             out.println(s"  Cleaned fact rows: $n")
           }
         case Some("3") =>
-          step(out, "gold") { Gold.run(s, s"$outDir/gold") }
+          step(out, "gold") {
+            // a fresh session has no temp views: re-register the silver
+            // layer from disk so step 3 works across CLI restarts (the
+            // reference gets this from its persistent DuckDB file)
+            if (!s.catalog.tableExists("fact_sales"))
+              Silver.registerFromDisk(s, s"$outDir/silver")
+            Gold.run(s, s"$outDir/gold")
+          }
         case Some("4") =>
           val weeks = promptWeeks(in, out)
           step(out, "full pipeline") {
@@ -125,6 +134,19 @@ object Cli {
     }
   }
 
+  /** Plain-text table rendering for the injected output stream —
+    * DataFrame.show() prints to the real stdout, which a scripted
+    * session could neither capture nor redirect. */
+  private[erathia] def render(df: org.apache.spark.sql.DataFrame, n: Int): String = {
+    val header = df.columns.toSeq
+    val rows = df.limit(n).collect().toSeq
+      .map(_.toSeq.map(v => if (v == null) "null" else v.toString))
+    val widths = (header +: rows).transpose.map(_.map(_.length).max)
+    def line(vals: Seq[String]) =
+      vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
+    (line(header) +: rows.map(line)).mkString("\n")
+  }
+
   /** Reports submenu: list marts, show the chosen one, 'Q' to return
     * (reference main.py:300-347 view loop + price drill-down). */
   def viewReports(s: SparkSession, in: BufferedReader, out: PrintStream): Unit = {
@@ -138,14 +160,17 @@ object Cli {
       out.println("\nAvailable reports:")
       marts.zipWithIndex.foreach { case (m, i) => out.println(s"  ${i + 1}. $m") }
       out.print(s"Report [1-${marts.length}] or Q: ")
+      out.flush()
       Option(in.readLine()).map(_.trim.toUpperCase) match {
         case None | Some("Q") => viewing = false
         case Some(numStr) =>
           numStr.toIntOption match {
             case Some(i) if i >= 1 && i <= marts.length =>
               val mart = marts(i - 1)
-              out.println(s"== $mart")
-              Viewer.report(s, mart).show(20, truncate = false)
+              step(out, s"report $mart") {
+                out.println(s"== $mart")
+                out.println(render(Viewer.report(s, mart), 20))
+              }
             case _ =>
               out.println(
                 s"  Error: Invalid choice. Please enter a number between 1 and ${marts.length}.")

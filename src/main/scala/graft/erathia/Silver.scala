@@ -66,9 +66,16 @@ object Silver {
       cleaned.coalesce(1).write.mode("overwrite").parquet(s"$silverDir/$d")
     }
 
+    registerFromDisk(s, silverDir)
+    s.table("fact_sales").count()
+  }
+
+  /** Register the silver tables of an existing on-disk layer as temp
+    * views — lets Gold (and a restarted CLI session) run against a
+    * silver layer produced by an earlier session, the way the
+    * reference's persistent DuckDB file does. */
+  def registerFromDisk(s: SparkSession, silverDir: String): Unit =
     (dims :+ "fact_sales").foreach { t =>
       s.read.parquet(s"$silverDir/$t").createOrReplaceTempView(t)
     }
-    s.table("fact_sales").count()
-  }
 }

@@ -33,15 +33,20 @@ object IvfIndex {
     sys.env.getOrElse("GRAFT_INDEX_DIR",
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
 
-  /** Deterministic per-(dir, size, mtime) index location. */
-  def indexDir(s: SparkSession, dir: String): String = {
+  /** Index layout version — bump on any change to build parameters,
+    * list schema, or kernel code so indices persisted by older builds
+    * are never probed. */
+  private val LayoutVersion = 2
+
+  /** Deterministic per-(dir, size, mtime, k, layout) index location. */
+  def indexDir(s: SparkSession, dir: String, k: Int = 16): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val bytes = fs.getContentSummary(p).getLength
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir|$bytes|${st.getModificationTime}"))
+        s"$dir|$bytes|${st.getModificationTime}|k=$k|v=$LayoutVersion"))
     s"$cacheRoot/ivf_$key"
   }
 
@@ -53,23 +58,27 @@ object IvfIndex {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.VectorFunctions.dot_product
-    val idx = indexDir(s, dir)
+    val idx = indexDir(s, dir, k)
     val e = graft.Tables.tSpread(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"),
         array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(e.select("features"))
-    model.transform(e)
-      .select(col("vec_id"), col("cell"), col("v"),
-        sqrt(dot_product(col("v"), col("v"))).as("norm"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$idx/lists")
+    // Centroids first: `ensure` keys completeness on lists/_SUCCESS, so
+    // every artifact the marker vouches for must exist before it does
+    // (a crash between the two writes must never leave a "complete"
+    // index with missing centroids).
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray)
     }
     import s.implicits._
     centroids.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/centroids")
+    model.transform(e)
+      .select(col("vec_id"), col("cell"), col("v"),
+        sqrt(dot_product(col("v"), col("v"))).as("norm"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$idx/lists")
     idx
   }
 

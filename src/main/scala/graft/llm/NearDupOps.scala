@@ -69,13 +69,17 @@ object NearDupOps {
         explode(transform(bandKeys(col("sig"), k, bands), b => xxhash64(b)))
           .as("band"))
 
-  /** MinHash+LSH candidate pairs (k=32 hashes, 8 bands of 4): docs whose
-    * signatures collide in ≥1 band, with the number of colliding bands.
-    * Deterministic (xxhash64) but engine-specific — this diagnostic view
-    * is spec-checked (NearDupSpec) while the driver-facing query is the
-    * exact-verified [[minhashNearDup]]. */
+  /** MinHash+LSH candidate pairs (k=64 hashes, 16 bands of 4): docs
+    * whose signatures collide in ≥1 band, with the number of colliding
+    * bands. 16 bands (not the textbook 8) because the verify threshold
+    * sits AT 0.8: per-pair banding recall at Jaccard j is
+    * 1−(1−j⁴)^bands — 0.985 at j=0.8 with 8 bands (a deterministic miss
+    * on a boundary pair breaks the exact-oracle equality), 0.9998 with
+    * 16. Deterministic (xxhash64) but engine-specific — this diagnostic
+    * view is spec-checked (NearDupSpec) while the driver-facing query is
+    * the exact-verified [[minhashNearDup]]. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = mhBanded(s, dir, 32, 8)
+    val docs = mhBanded(s, dir, 64, 16)
     val a = docs.select(col("doc_id").as("doc_a"), col("band"))
     val b = docs.select(col("doc_id").as("doc_b"), col("band"))
     a.join(b, Seq("band"))
@@ -122,13 +126,26 @@ object NearDupOps {
   }
 
   /** MinHash-LSH near-duplicates, exact-verified: banding proposes
-    * candidates (subquadratic — shuffle volume is 8 band digests/doc),
+    * candidates (subquadratic — shuffle volume is 16 band digests/doc),
     * each candidate is re-scored with exact 3-gram Jaccard and kept at
     * ≥ 0.8. Fully oracle-checked against brute-force DuckDB Jaccard. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val docs = mhBanded(s, dir, 32, 8)
-    val cand = docs.select(col("doc_id").as("doc_a"), col("band"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+    val docs = mhBanded(s, dir, 64, 16)
+    // Same star-degraded saturation guard as the hyperplane path: a
+    // band with >100 members pairs only against the band's min doc id
+    // (O(size) instead of O(size²)); a dense identical-doc cluster
+    // stays connected through its hub, and the pair-level listing is
+    // complete up to the 100-member bound (the exact-dedup pass owns
+    // identical mega-clusters).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
+    val stats = docs
+      .withColumn("band_n", count(lit(1)).over(w))
+      .withColumn("band_hub", min(col("doc_id")).over(w))
+      .filter(col("band_n") > 1)
+    val cand = stats
+      .filter(col("band_n") <= 100 || col("doc_id") === col("band_hub"))
+      .select(col("band"), col("doc_id").as("doc_a"))
+      .join(stats.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
@@ -151,7 +168,10 @@ object NearDupOps {
     * order-independent, so the output is deterministic and fully
     * oracle-checkable against a DuckDB recursive-CTE reachability
     * closure over the same verified pairs. */
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClusters(s, dir, maxRounds = 64)
+
+  def dupClusters(s: SparkSession, dir: String, maxRounds: Int): DataFrame = {
     val pairs = minhashNearDup(s, dir).select("doc_a", "doc_b")
     // Materialize the edge list once: every propagation round joins
     // against it, and without the checkpoint each round would re-run
@@ -165,7 +185,7 @@ object NearDupOps {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
@@ -179,6 +199,12 @@ object NearDupOps {
       labels = next.select(col("doc_id"), col("next_label").as("label"))
       rounds += 1
     }
+    // Converging silently wrong is worse than failing: a component with
+    // diameter > maxRounds would otherwise split into several clusters
+    // with several "canonical" survivors.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters: label propagation did not converge in $maxRounds rounds")
     val clusters = labels.select(col("doc_id"), col("label").as("cluster_id"))
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
     clusters.join(sizes, Seq("cluster_id"))
@@ -307,18 +333,27 @@ object NearDupOps {
           .as("codes"))
       .select(col("doc_id"), col("codes"),
         explode(codeBandKeys(col("codes"), bits, tables)).as("band"))
-    // Degenerate-bucket guard: a band holding >100 docs means that code
-    // region is saturated (tiny-vocab corpora cluster hard); such bands
-    // generate O(size²) candidates and no dedup signal — drop them.
-    // Window count shares the band partitioning with the self-join, so
-    // the exchange is planned once and reused for both sides.
-    val pruned = e
-      .withColumn("band_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
-      .filter(col("band_n") > 1 && col("band_n") <= 100)
-      .drop("band_n")
-    val a = pruned.select(col("band"), col("doc_id").as("doc_a"), col("codes").as("ca"))
-    val b = pruned.select(col("band"), col("doc_id").as("doc_b"), col("codes").as("cb"))
+    // Degenerate-bucket guard, star-degraded: a band holding >100 docs
+    // is a saturated code region (dense dup cluster or tiny-vocab
+    // corpus) where all-vs-all pairing is O(size²). Instead of dropping
+    // such bands outright (which silently lost every pair of a >100-doc
+    // dup cluster), they degrade to a STAR centered on the band's min
+    // doc id: O(size) candidates that keep the cluster CONNECTED, so
+    // downstream cluster resolution (dupClusters) still merges it; the
+    // pair-level listing is complete only up to the 100-member bound —
+    // identical-doc mega-clusters are the exact-dedup pass's job (q35),
+    // documented here as the contract boundary. Both window stats share
+    // the band partitioning with the self-join, so the exchange is
+    // planned once and reused.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
+    val stats = e
+      .withColumn("band_n", count(lit(1)).over(w))
+      .withColumn("band_hub", min(col("doc_id")).over(w))
+      .filter(col("band_n") > 1)
+    val a = stats
+      .filter(col("band_n") <= 100 || col("doc_id") === col("band_hub"))
+      .select(col("band"), col("doc_id").as("doc_a"), col("codes").as("ca"))
+    val b = stats.select(col("band"), col("doc_id").as("doc_b"), col("codes").as("cb"))
     // Coarse pre-filter before the exact-verify join: a threshold-
     // boundary true pair (3-gram Jaccard 0.9 → cosine ≈ 0.95, minus
     // feature-hash noise on short docs → plane agreement p ≈ 0.88) has

@@ -46,21 +46,28 @@ object SamplingOps {
       .select(col("doc_id"), col("lang"), col("source"), col("hash_bucket"))
       .orderBy("doc_id")
 
-  /** Token-budget shard packing: assign docs (in stable doc_id order) to
-    * training shards of ~`budget` tokens each — shard id = the doc's
-    * cumulative start offset over the budget. One window pass; at scale
-    * the ordering column would be a precomputed global sort key, and the
-    * same arithmetic holds per sort-partition. */
-  def shardPack(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
+  /** The packing transform shared by q64 and q65: given rows with
+    * (doc_id, n_tokens, …), append cum_tokens and shard_id — shard id =
+    * the doc's cumulative start offset over the budget, in stable
+    * doc_id order. One window pass; at scale the ordering column would
+    * be a precomputed global sort key, and the same arithmetic holds
+    * per sort-partition. */
+  def packByBudget(df: DataFrame, budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("shard_id", ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
+    df.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** Token-budget shard packing over the whole corpus. */
+  def shardPack(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame =
+    packByBudget(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("n_tokens")),
+      budget)
 
   /** The full corpus-curation pipeline in one plan — the capstone
     * composition a training-data build actually runs: near-dup CLUSTER
@@ -75,15 +82,10 @@ object SamplingOps {
     val kept = t(s, dir, "documents")
       .join(drops, Seq("doc_id"), "left_anti")
       .filter(mixBucket < mixThreshold)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
-    kept
-      .select(col("doc_id"), col("lang"),
-        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("shard_id",
-        ((col("cum_tokens") - col("n_tokens")) / lit(2000L)).cast("long"))
-      .orderBy("doc_id")
+    packByBudget(
+      kept.select(col("doc_id"), col("lang"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("n_tokens")),
+      budget = 2000L)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

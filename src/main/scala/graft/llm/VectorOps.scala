@@ -167,15 +167,22 @@ object VectorOps {
       .select(col("vec_id"), col("embedding").as("v"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"),
         explode(lshBandKeys(col("embedding"), bits, tables)).as("band"))
-    // Window count shares the band partitioning with the self-join, so
-    // the exchange is planned once and reused for both sides.
-    val pruned = e
-      .withColumn("band_n", count(lit(1)).over(Window.partitionBy(col("band"))))
-      .filter(col("band_n") > 1 && col("band_n") <= 100)
-      .drop("band_n")
-    val a = pruned.select(col("band"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("norm").as("na"))
-    val b = pruned.select(col("band"), col("vec_id").as("id_b"),
+    // Saturated bands (>100 members) degrade to a star centered on the
+    // band's min vec_id instead of being dropped: O(size) candidates
+    // that keep a dense dup cluster connected (its members all verify
+    // against the hub at cosine ≈ 1) while bounding the all-vs-all
+    // blowup. Both window stats share the band partitioning with the
+    // self-join, so the exchange is planned once and reused.
+    val w = Window.partitionBy(col("band"))
+    val stats = e
+      .withColumn("band_n", count(lit(1)).over(w))
+      .withColumn("band_hub", min(col("vec_id")).over(w))
+      .filter(col("band_n") > 1)
+    val a = stats
+      .filter(col("band_n") <= 100 || col("vec_id") === col("band_hub"))
+      .select(col("band"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("norm").as("na"))
+    val b = stats.select(col("band"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))

@@ -38,6 +38,10 @@ class CliSpec extends AnyFunSuite {
     assert(text.contains("full pipeline: done."))
     assert(text.contains("Available reports:"))
     assert(text.contains("== "))
+    // the report body itself must flow through the injected stream
+    // (DataFrame.show would bypass it to real stdout)
+    assert(text.linesIterator.exists(_.startsWith("| ")),
+      "rendered report table must appear in the scripted output")
     assert(text.contains(s"Removed $outDir."))
     assert(text.contains("Goodbye!"))
     assert(!new java.io.File(outDir).exists())

@@ -33,7 +33,7 @@ class NearDupSpec extends AnyFunSuite {
   test("exact copies collide in every band; jaccard 1.0") {
     val pairs = NearDupOps.minhashPairs(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(pairs((0L, 3L)) == 8, "identical docs must share all 8 bands")
+    assert(pairs((0L, 3L)) == 16, "identical docs must share all 16 bands")
     val jac = NearDupOps.ngramJaccard(spark, fixtureDir)
       .filter(col("doc_a") === 0 && col("doc_b") === 3)
       .select("jaccard").head.getDouble(0)
@@ -190,6 +190,48 @@ class NearDupSpec extends AnyFunSuite {
     assert(rows(11L) == ((10L, 2L, false)))
     // singleton never appears (no verified pair involves it)
     assert(!rows.contains(20L))
+  }
+
+  test("saturated bands degrade to a star: a 150-doc dup cluster stays one cluster") {
+    import graft.llm.NearDupOps
+    val d = java.nio.file.Files.createTempDirectory("mega").toString
+    val tx = (0 until 25).map(i => s"mega$i").mkString(" ")
+    val rows = (0L until 150L).map(i => (i, tx, "en", "s", tx.length.toLong)) ++
+      Seq((900L, "unrelated filler words entirely different content here", "en", "s", 50L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // candidate stage must keep the cluster connected (hub star), not
+    // drop the saturated bands outright
+    val cand = NearDupOps.docEmbedCandidates(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert((1L until 150L).forall(i => cand.contains((0L, i))),
+      "every member must be a candidate against the hub")
+    // and cluster resolution merges all 150 into one cluster, keep = hub
+    val clus = NearDupOps.dupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(clus.size == 150)
+    assert(clus.forall { case (id, (cid, n, keep)) =>
+      cid == 0L && n == 150L && keep == (id == 0L) })
+  }
+
+  test("dup clusters fail loudly when label propagation cannot converge") {
+    import graft.llm.NearDupOps
+    // a 10-doc chain of incremental edits: docs within distance 3 are
+    // near-dups, so label 0 needs 3 propagation rounds to reach doc 9
+    val base = (0 until 40).map(i => s"c$i").toVector
+    val d = java.nio.file.Files.createTempDirectory("chain").toString
+    (0 until 10).map { i =>
+      val tx = (base.drop(i) ++ (0 until i).map(j => s"x$j")).mkString(" ")
+      (i.toLong, tx, "en", "s", tx.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val e = intercept[IllegalStateException] {
+      NearDupOps.dupClusters(spark, d, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with the default cap the same corpus resolves to one cluster
+    val ok = NearDupOps.dupClusters(spark, d).collect()
+    assert(ok.map(_.getLong(1)).distinct.sameElements(Array(0L)))
   }
 
   test("shingling guards short documents") {
