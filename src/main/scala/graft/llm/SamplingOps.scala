@@ -69,6 +69,23 @@ object SamplingOps {
           size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("n_tokens")),
       budget)
 
+  /** Deterministic stratified top-N: exactly `n` docs per language,
+    * chosen uniformly-at-"random" yet reproducibly by ranking each
+    * stratum on an md5 key (doc_id tie-break) — the balanced eval-set /
+    * few-shot-pool selection step. One shuffle on the stratum key;
+    * rank + limit per stratum, no global sort of the corpus. */
+  def stratifiedTopN(s: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pick_key"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("pick_key",
+        substring(md5(concat(lit("strat1:"), col("doc_id").cast("string"))), 1, 16))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .select(col("lang"), col("rk"), col("doc_id"), col("source"))
+      .orderBy("lang", "rk")
+  }
+
   /** The full corpus-curation pipeline in one plan — the capstone
     * composition a training-data build actually runs: near-dup CLUSTER
     * dedup (drop every non-canonical cluster member, via anti-join
@@ -91,9 +108,20 @@ object SamplingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_hash_sample" -> hashSample,
     "q64_shard_pack"  -> ((s, dir) => shardPack(s, dir)),
-    "q65_curation_pipeline" -> curationPipeline)
+    "q65_curation_pipeline" -> curationPipeline,
+    "q66_stratified_topn" -> ((s, dir) => stratifiedTopN(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "q66_stratified_topn" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substring(md5('strat1:' || CAST(doc_id AS VARCHAR)), 1, 16),
+        |               doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source
+        |FROM ranked WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
     "q65_curation_pipeline" ->
       """WITH RECURSIVE
         |docsh AS (
