@@ -62,5 +62,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("self_cosine"),
       new ExpressionInfo(classOf[SelfCosine].getName, "self_cosine"),
       (exprs: Seq[Expression]) => SelfCosine(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("shingle_array"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
+      (exprs: Seq[Expression]) => ShingleArray(exprs(0), intArg(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("shingle_tf_vector"),
+      new ExpressionInfo(classOf[ShingleTfVector].getName, "shingle_tf_vector"),
+      (exprs: Seq[Expression]) =>
+        ShingleTfVector(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_codes"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_codes"),
+      (exprs: Seq[Expression]) =>
+        HyperplaneBuckets(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("code_agreement"),
+      new ExpressionInfo(classOf[CodeAgreement].getName, "code_agreement"),
+      (exprs: Seq[Expression]) =>
+        CodeAgreement(exprs(0), exprs(1), intArg(exprs(2)))))
   }
 }

@@ -26,6 +26,17 @@ class ScaleUtilsSpec extends AnyFunSuite {
     assert(more.getSeq[Long](0).nonEmpty)
     assert(more.getSeq[Float](1).length == 16)
     assert(math.abs(more.getDouble(2) - 1.0) < 1e-12)
+    val r2 = spark.sql(
+      """SELECT shingle_array('a b c d', 3) AS sa,
+        |       shingle_tf_vector('a b c d e', 3, 32) AS stv,
+        |       hyperplane_codes(shingle_tf_vector('a b c d e', 3, 32), 8, 4) AS hc,
+        |       code_agreement(hyperplane_codes(shingle_tf_vector('a b c d e', 3, 32), 8, 4),
+        |                      hyperplane_codes(shingle_tf_vector('a b c d e', 3, 32), 8, 4), 8) AS ca
+        |""".stripMargin).head
+    assert(r2.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r2.getSeq[Float](1).length == 32)
+    assert(r2.getSeq[Int](2).length == 4)
+    assert(r2.getDouble(3) == 1.0)
   }
 
   test("trigram kernel byte windows equal composed char windows (incl. non-ASCII)") {
