@@ -215,6 +215,34 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id")))
   }
 
+  /** Multi-probe IVF: score the `nprobe` nearest cells per query (by
+    * centroid distance, from the index's materialized centroids) instead
+    * of only the home cell — the standard recall dial: a query near a
+    * cell boundary recovers neighbors the single-probe path misses, at
+    * ~nprobe× the candidate cost. Cell ranking is a 5×k broadcast
+    * cross-join (composed lambdas are fine at that size); the list scan
+    * still partition-prunes to the probed cells. nprobe=1 ≡ [[ivfTopK]]
+    * (spec-pinned), recall monotonicity pinned against brute force. */
+  def ivfTopKMultiProbe(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val idx = IvfIndex.ensure(s, dir)
+    val lists = s.read.parquet(s"$idx/lists")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val q = lists.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val dist = aggregate(
+      zip_with(col("qv").cast("array<double>"), col("centroid"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(dist, col("cell"))))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnorm"), col("cell"))
+    rankTop10(lists.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id")))
+  }
+
   /** Round-1 inline form (fit + probe in one plan) — kept as the
     * reference implementation the split build/probe path is spec-checked
     * against (VectorFunctionsSpec "probe-after-build ≡ inline"). */
@@ -240,6 +268,11 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_ivf_topk"        -> ivfTopK,
+    // probing every cell must reproduce brute force bit-for-bit — an
+    // oracle-backed integrity check that no vector was lost or
+    // mis-assigned in the materialized inverted lists (q57 itself stays
+    // approximate/rows-only; this row pins the index it probes)
+    "q67_ivf_full_probe"  -> ((s, dir) => ivfTopKMultiProbe(s, dir, nprobe = 16)),
     "q40_cosine_topk"     -> cosineTopK,
     "q41_cosine_near_dup" -> cosineNearDup,
     "q42_label_centroids" -> labelCentroids,
@@ -255,6 +288,20 @@ object VectorOps {
   // comes from the k-means fit). Both are value-pinned in
   // VectorFunctionsSpec instead.
   val oracleSql: Map[String, String] = Map(
+    "q67_ivf_full_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT query_id, e.vec_id,
+        |    ROUND(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims)
+        |SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin,
     "q48_embed_neardup_lsh" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |allv AS (SELECT vec_id, v FROM base

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract itself: every oracle belongs to a real query,
+  * names are well-formed and collision-free, and the flagship entry
+  * returns rows — the shape the driver's smoke/correctness harness
+  * assumes before any per-query check runs. */
+class ContractSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every oracle key names an implemented query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("query names are well-formed and their numbers unique") {
+    val names = SparkEntry.queries.keySet
+    assert(names.forall(_.matches("q\\d+_[a-z0-9_]+")), "bad query name format")
+    val nums = names.toSeq.map(_.takeWhile(_ != '_'))
+    assert(nums.distinct.size == nums.size,
+      s"duplicate query numbers: ${nums.diff(nums.distinct).distinct}")
+  }
+
+  test("oracle SQL contains no tab/CR control characters that the driver's JSON path mangles") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("\t") && !sql.contains("\r"), s"$name has tab/CR")
+    }
+  }
+
+  test("flagship entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query constructs a plan against sf0.001 fixtures") {
+    // cheap end-to-end sanity: analysis + optimization succeed for every
+    // catalog entry (execution is the Verify main's job)
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, dir).queryExecution.optimizedPlan
+      catch { case e: Exception =>
+        fail(s"$name failed to plan: ${e.getMessage}")
+      }
+    }
+  }
+}

@@ -171,6 +171,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
       s"cell filter should prune partitions:\n$scan")
   }
 
+  test("IVF multi-probe: nprobe=1 equals single-probe; recall grows with nprobe") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val single = graft.llm.VectorOps.ivfTopK(spark, sfDir).collect().map(key)
+    val p1 = graft.llm.VectorOps.ivfTopKMultiProbe(spark, sfDir, nprobe = 1)
+      .collect().map(key)
+    assert(p1.sameElements(single))
+    // recall@10 vs brute force is monotone in nprobe (and k=16 cells
+    // probed fully must reproduce brute force exactly)
+    val brute = graft.llm.VectorOps.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(n: Int) = {
+      val got = graft.llm.VectorOps.ivfTopKMultiProbe(spark, sfDir, n)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val r1 = recall(1); val r4 = recall(4); val r16 = recall(16)
+    assert(r1 <= r4 + 1e-9 && r4 <= r16 + 1e-9,
+      s"recall must be monotone: $r1, $r4, $r16")
+    assert(r16 == 1.0, "probing every cell must reproduce brute force")
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     Tables.t(spark, sfDir, "embeddings").limit(5).createOrReplaceTempView("emb5")
