@@ -172,7 +172,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag every training document that shares
+    * at least one word 8-gram with the held-out eval slice (stand-in:
+    * doc_id ≡ 0 mod 29 — in production this is the benchmark table).
+    * 8-grams are the community-standard contamination test: long enough
+    * that sharing one is evidence of copying, not chance.
+    *
+    * Scale shape: the eval side of an overlap check is always tiny, so
+    * its distinct gram set BROADCASTS and the corpus is flagged in one
+    * map-side semi-join pass — no shuffle of the training corpus at any
+    * scale. Output: every training doc with its matched-gram count. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashKernels.shingle_array
+    val docs = graft.Tables.tSpread(s, dir, "documents")
+    val evalGrams = docs.filter(col("doc_id") % 29 === 0)
+      .select(explode(shingle_array(col("text"), 8)).as("gram"))
+      .distinct()
+    val trainGrams = docs.filter(col("doc_id") % 29 =!= 0)
+      .select(col("doc_id"), explode(shingle_array(col("text"), 8)).as("gram"))
+    val hits = trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+    docs.filter(col("doc_id") % 29 =!= 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** PII-style redaction over the events props payload: digit runs →
+    * `<NUM>`, email-shaped tokens → `<EMAIL>`. Pure per-row regex
+    * rewriting (codegen'd, patterns compiled once) — the text-cleaning
+    * shape of a pre-training scrub pass, applied here to the one fixture
+    * column that actually contains digits. */
+  def redactPii(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("props"),
+        regexp_replace(
+          regexp_replace(col("props"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("props_redacted"),
+        regexp_count(col("props"), lit("[0-9]+")).cast("long").as("n_digit_runs"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_decontaminate" -> decontaminate,
+    "q69_redact_pii"    -> redactPii,
     "q54_rolling_fingerprint" -> rollingFingerprint,
     "q55_char_ngram_langid"   -> charNgramLangId,
     "q30_text_stats"    -> textStats,
@@ -185,6 +230,35 @@ object TextOps {
     "q37_json_props"    -> jsonProps)
 
   val oracleSql: Map[String, String] = Map(
+    "q68_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 8 THEN []
+        |      ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' '
+        |          || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) END AS gs
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |eval_g AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 29 = 0),
+        |train_g AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 29 <> 0),
+        |hits AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |  FROM train_g t JOIN eval_g e ON t.gram = e.gram
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+        |  COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q69_redact_pii" ->
+      """SELECT event_id, props,
+        |  regexp_replace(
+        |    regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS props_redacted,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_digit_runs
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "q55_char_ngram_langid" ->
       """WITH tri AS (
         |  SELECT doc_id,
