@@ -131,6 +131,23 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed near-dup saturation guard: a 150-vector clone cluster degrades to a star") {
+    val d = java.nio.file.Files.createTempDirectory("embsat").toString
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val proto = e.filter(col("vec_id") === 7).select("embedding").head.getSeq[Float](0)
+    // ids >= 1000 so the query's internal planted twins (vec_id < 25) stay empty
+    val clones = (1000L until 1150L).map(i => (i, proto, 0))
+    import spark.implicits._
+    clones.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val pairs = graft.llm.VectorOps.embedNearDupLsh(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every band is saturated (150 identical codes), so candidates are
+    // exactly the hub star — the cluster stays connected, never dropped
+    assert(pairs == (1001L until 1150L).map(i => (1000L, i)).toSet,
+      s"expected the 149 hub pairs, got ${pairs.size}")
+  }
+
   test("IVF top-k probes the query's cell and ranks correctly") {
     val r = graft.llm.VectorOps.ivfTopK(spark, sfDir).collect()
     val byQuery = r.groupBy(_.getLong(0))
