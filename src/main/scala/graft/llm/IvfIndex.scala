@@ -38,15 +38,19 @@ object IvfIndex {
     * are never probed. */
   private val LayoutVersion = 2
 
-  /** Deterministic per-(dir, size, mtime, k, layout) index location. */
+  /** Deterministic per-(dir, size, mtime, k, layout) index location. The
+    * key is the full 128-bit md5 of the identity string — a 32-bit hash
+    * here would let two corpora collide and silently serve the wrong
+    * inverted lists (wrong vec_ids, no error). */
   def indexDir(s: SparkSession, dir: String, k: Int = 16): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val bytes = fs.getContentSummary(p).getLength
-    val key = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir|$bytes|${st.getModificationTime}|k=$k|v=$LayoutVersion"))
+    val id = s"$dir|$bytes|${st.getModificationTime}|k=$k|v=$LayoutVersion"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
     s"$cacheRoot/ivf_$key"
   }
 
@@ -59,30 +63,50 @@ object IvfIndex {
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.VectorFunctions.dot_product
     val idx = indexDir(s, dir, k)
+    // Stage the whole index into a private temp directory, then publish
+    // with a single atomic rename: a concurrent JVM sharing
+    // GRAFT_INDEX_DIR can never probe a half-written lists/ (the old
+    // centroids-first ordering still exposed a window where lists/ was
+    // mid-write under the final path).
+    val tmp = s"$idx.tmp-${java.util.UUID.randomUUID}"
     val e = graft.Tables.tSpread(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"),
         array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(e.select("features"))
-    // Centroids first: `ensure` keys completeness on lists/_SUCCESS, so
-    // every artifact the marker vouches for must exist before it does
-    // (a crash between the two writes must never leave a "complete"
-    // index with missing centroids).
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray)
     }
     import s.implicits._
     centroids.toSeq.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idx/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
     model.transform(e)
       .select(col("vec_id"), col("cell"), col("v"),
         sqrt(dot_product(col("v"), col("v"))).as("norm"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$idx/lists")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/lists")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/lists/_SUCCESS")
+    // A leftover final path without the completeness marker is a crashed
+    // publish of an older attempt — safe to clear before renaming in.
+    if (fs.exists(idxPath) && !fs.exists(marker)) fs.delete(idxPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), idxPath)) {
+      // Lost the publish race: another process renamed first. Their
+      // index is complete (marker check below) and byte-equivalent
+      // (the key pins corpus version + build parameters + layout).
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      if (!fs.exists(marker))
+        throw new IllegalStateException(
+          s"IVF index publish failed and no complete index exists at $idx")
+    }
     idx
   }
 
-  /** Build-if-absent, keyed by corpus version. */
+  /** Build-if-absent, keyed by corpus version. Completeness is keyed on
+    * lists/_SUCCESS under the final path, which only ever appears via
+    * the atomic rename in [[build]]. */
   def ensure(s: SparkSession, dir: String): String = {
     val idx = indexDir(s, dir)
     val marker = new org.apache.hadoop.fs.Path(s"$idx/lists/_SUCCESS")

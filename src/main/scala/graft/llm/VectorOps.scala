@@ -243,6 +243,25 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id")))
   }
 
+  /** Full probe: every query scores every cell of the materialized
+    * index. The probed-cell set is the index's own centroid table — not
+    * a literal nprobe that happens to equal k today — so this stays
+    * "all cells" under any future k, and the integrity contract it
+    * backs (full probe ≡ brute force, i.e. no vector lost or
+    * mis-assigned in the inverted lists) cannot silently weaken into a
+    * subset probe. */
+  def ivfFullProbe(s: SparkSession, dir: String): DataFrame = {
+    val idx = IvfIndex.ensure(s, dir)
+    val lists = s.read.parquet(s"$idx/lists")
+    val cells = s.read.parquet(s"$idx/centroids").select(col("cell"))
+    val q = lists.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val probed = q.crossJoin(broadcast(cells))
+    rankTop10(lists.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id")))
+  }
+
   /** Round-1 inline form (fit + probe in one plan) — kept as the
     * reference implementation the split build/probe path is spec-checked
     * against (VectorFunctionsSpec "probe-after-build ≡ inline"). */
@@ -272,7 +291,7 @@ object VectorOps {
     // oracle-backed integrity check that no vector was lost or
     // mis-assigned in the materialized inverted lists (q57 itself stays
     // approximate/rows-only; this row pins the index it probes)
-    "q67_ivf_full_probe"  -> ((s, dir) => ivfTopKMultiProbe(s, dir, nprobe = 16)),
+    "q67_ivf_full_probe"  -> ivfFullProbe,
     "q40_cosine_topk"     -> cosineTopK,
     "q41_cosine_near_dup" -> cosineNearDup,
     "q42_label_centroids" -> labelCentroids,

@@ -119,13 +119,32 @@ object Schemas {
   private val validatedPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Footer-validate `path` against `declared` once per session. */
+  /** Cache key for a validated path: (path, mtime, total length). A bare
+    * path key would accept a path overwritten with a drifted schema later
+    * in the same session (the overwrite-temp-dir pattern the tests and
+    * CLI use); keying on the file status means any rewrite re-validates.
+    * Directory mtime changes when the committer renames task files in,
+    * and content length changes on any data rewrite, so either edge
+    * catches an overwrite. */
+  private def statusKey(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val len =
+      if (st.isDirectory) fs.getContentSummary(p).getLength else st.getLen
+    s"$path|${st.getModificationTime}|$len"
+  }
+
+  /** Footer-validate `path` against `declared` once per (path, file
+    * status) — re-validates automatically if the file changes. */
   def validateOnce(s: SparkSession, path: String, name: String,
-      declared: StructType): Unit =
-    if (!validatedPaths.contains(path)) {
+      declared: StructType): Unit = {
+    val key = statusKey(s, path)
+    if (!validatedPaths.contains(key)) {
       validate(name, declared, s.read.parquet(path).schema)
-      validatedPaths.add(path)
+      validatedPaths.add(key)
     }
+  }
 
   /** Validated read of an erathia bronze/staged table (partitioned dirs
     * keep the discovered partition columns, so the read schema is the

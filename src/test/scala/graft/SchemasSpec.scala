@@ -57,6 +57,20 @@ class SchemasSpec extends AnyFunSuite {
     assert(Schemas.readErathia(spark, s"$d/dim_town_ok", "dim_town").count() > 0)
   }
 
+  test("overwriting a validated path with drifted data re-validates") {
+    val d = java.nio.file.Files.createTempDirectory("drift5").toString
+    // first write is intact and validates fine
+    Seq((1, "EUROPE")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$d/region.parquet")
+    assert(Tables.t(spark, d, "region").count() == 1)
+    // same path overwritten with a drifted schema later in the session:
+    // the cache must not vouch for the old contents
+    Seq((1, "EUROPE", "oops")).toDF("r_regionkey", "r_name", "r_extra")
+      .write.mode("overwrite").parquet(s"$d/region.parquet")
+    val e = intercept[SchemaMismatchException] { Tables.t(spark, d, "region") }
+    assert(e.getMessage.contains("unexpected=r_extra"))
+  }
+
   test("nullability and column order are not drift") {
     import org.apache.spark.sql.types._
     val declared = Schemas.fixture("region")

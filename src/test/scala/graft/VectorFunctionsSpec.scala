@@ -210,6 +210,27 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(r16 == 1.0, "probing every cell must reproduce brute force")
   }
 
+  test("IVF full probe derives its cell set from the index, equals brute force") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    // q67's integrity contract: the probed-cell set comes from the
+    // materialized centroids (not a literal that duplicates k), and the
+    // result reproduces brute-force top-k bit-for-bit
+    val full = graft.llm.VectorOps.ivfFullProbe(spark, sfDir).collect().map(key)
+    val brute = graft.llm.VectorOps.cosineTopK(spark, sfDir).collect().map(key)
+    assert(full.sameElements(brute))
+    // cache key is the full md5 of the identity string — 32 hex chars,
+    // not a 32-bit hash that could collide across corpora
+    val idx = graft.llm.IvfIndex.indexDir(spark, sfDir)
+    val hex = idx.substring(idx.lastIndexOf('_') + 1)
+    assert(hex.length == 32 && hex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"index key should be md5 hex: $idx")
+    // and distinct corpora key to distinct index locations
+    val other = if (sfDir.endsWith("sf0.01")) "/root/testdata/sf0.001"
+                else "/root/testdata/sf0.01"
+    assert(graft.llm.IvfIndex.indexDir(spark, other) != idx)
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     Tables.t(spark, sfDir, "embeddings").limit(5).createOrReplaceTempView("emb5")
