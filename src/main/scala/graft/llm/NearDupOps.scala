@@ -52,6 +52,41 @@ object NearDupOps {
         concat_ws(",", slice(sig, b * rows + 1, lit(rows)).cast("array<string>"))))
   }
 
+  /** Saturated-band guard bound: a band with more members than this
+    * degrades to a star (see [[bandCandidates]]). */
+  private[graft] val SaturatedBand = 100
+
+  /** Star width inside a saturated band: members pair against the
+    * `StarHubs` smallest doc ids instead of a single hub. One hub keeps
+    * a dense cluster connected; several hubs additionally survive the
+    * non-transitive case where a member's Jaccard to one particular hub
+    * dips below the verify threshold while its similarity to the
+    * cluster is real — any of the 8 hubs clearing the bar keeps the
+    * member attached. O(8·size) candidates, still linear. */
+  private[graft] val StarHubs = 8
+
+  /** Exact-duplicate collapse (the pass that runs BEFORE any banding):
+    * every doc is tagged with the min doc_id among its exact content
+    * twins (`rep_id`), via one shuffle of (md5 digest, doc_id, text) —
+    * the same cost shape as the exact-dedup pass (q35), which this
+    * subsumes. md5, not a 64-bit hash: a digest collision here would
+    * silently merge distinct docs into a fake jaccard-1 pair.
+    *
+    * Why collapse first: identical docs share EVERY band key, so a
+    * large identical cluster saturates all its bands and any in-band
+    * guard then truncates the pair listing (the round-2 star guard made
+    * q43/q49 a strict subset of the brute-force oracle whenever a >100
+    * identical cluster existed). Collapsed, that cluster is ONE
+    * representative in the banding pipeline, and its member pairs are
+    * reconstructed exactly ([[expandCollapsed]]) — candidate generation
+    * stays subquadratic while the emitted pair set equals brute force. */
+  private def withRepIds(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+    graft.Tables.tSpread(s, dir, "documents")
+      .select(col("doc_id"), col("text"), md5(col("text")).as("digest"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+  }
+
   /** Per-doc exploded LSH band keys for the MinHash path (k hashes in
     * `bands` bands) — shared by the diagnostic pair view and the
     * verified near-dup query. The shuffle key is the xxhash64 digest of
@@ -60,14 +95,42 @@ object NearDupOps {
     * shuffle payload. A digest collision between different bands can
     * only ADD a candidate pair, and every candidate is exact-verified
     * downstream, so correctness is unaffected. */
-  private def mhBanded(s: SparkSession, dir: String, k: Int, bands: Int): DataFrame =
-    graft.Tables.tSpread(s, dir, "documents")
+  private def mhBandedOf(docs: DataFrame, k: Int, bands: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.HashKernels.shingle_minhash(col("text"), 3, k).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id"),
         explode(transform(bandKeys(col("sig"), k, bands), b => xxhash64(b)))
           .as("band"))
+
+  private def mhBanded(s: SparkSession, dir: String, k: Int, bands: Int): DataFrame =
+    mhBandedOf(graft.Tables.tSpread(s, dir, "documents"), k, bands)
+
+  /** Within-band candidate pairs with the saturated-band guard: bands
+    * with more than [[SaturatedBand]] members degrade to a star on the
+    * [[StarHubs]] smallest doc ids — O(8·size) candidates instead of
+    * O(size²). Post-collapse, a saturated band means >100 DISTINCT
+    * texts share a band digest; [[saturatedBands]] makes that state
+    * observable and the differential gate asserts it does not occur on
+    * the shipped fixtures (where it could truncate the pair listing).
+    * Both window stats share the band partitioning with the self-join,
+    * so the exchange is planned once and reused. */
+  private def bandCandidates(banded: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
+    val stats = banded
+      .withColumn("band_n", count(lit(1)).over(w))
+      .withColumn("hub_rank",
+        row_number().over(w.orderBy(col("doc_id"))))
+      .filter(col("band_n") > 1)
+    val a = stats
+      .filter(col("band_n") <= SaturatedBand || col("hub_rank") <= StarHubs)
+      .select(col("band"), col("doc_id").as("doc_a"))
+    a.join(stats.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
 
   /** MinHash+LSH candidate pairs (k=64 hashes, 16 bands of 4): docs
     * whose signatures collide in ≥1 band, with the number of colliding
@@ -122,34 +185,67 @@ object NearDupOps {
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash-LSH near-duplicates, exact-verified: banding proposes
-    * candidates (subquadratic — shuffle volume is 16 band digests/doc),
-    * each candidate is re-scored with exact 3-gram Jaccard and kept at
-    * ≥ 0.8. Fully oracle-checked against brute-force DuckDB Jaccard. */
-  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val docs = mhBanded(s, dir, 64, 16)
-    // Same star-degraded saturation guard as the hyperplane path: a
-    // band with >100 members pairs only against the band's min doc id
-    // (O(size) instead of O(size²)); a dense identical-doc cluster
-    // stays connected through its hub, and the pair-level listing is
-    // complete up to the 100-member bound (the exact-dedup pass owns
-    // identical mega-clusters).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
-    val stats = docs
-      .withColumn("band_n", count(lit(1)).over(w))
-      .withColumn("band_hub", min(col("doc_id")).over(w))
-      .filter(col("band_n") > 1)
-    val cand = stats
-      .filter(col("band_n") <= 100 || col("doc_id") === col("band_hub"))
-      .select(col("band"), col("doc_id").as("doc_a"))
-      .join(stats.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+  /** Expand rep-level verified pairs back to the full member pair
+    * listing of the uncollapsed corpus:
+    *   - cross pairs: a verified (rep_a, rep_b) pair holds for every
+    *     (member of a, member of b) combination — identical texts have
+    *     identical shingle sets, so the stats carry over unchanged;
+    *   - intra pairs: every pair inside an exact-dup group is a
+    *     jaccard-1 pair (n_inter = n_union = the group's shingle-set
+    *     size), except groups whose text is too short to shingle —
+    *     those have no pairs under the brute-force contract (the
+    *     oracle's `len(sh) > 0` rule).
+    * The output is exactly the brute-force thresholded pair set; note
+    * the pair LISTING of a large identical cluster is inherently
+    * quadratic in output size (so is the oracle's) — cluster-level
+    * dedup ([[dupClusters]]) is the linear-output production decision. */
+  private def expandCollapsed(s: SparkSession, dir: String,
+      verifiedReps: DataFrame, members: DataFrame): DataFrame = {
+    val cross = verifiedReps
+      .withColumnRenamed("doc_a", "rep_a")
+      .withColumnRenamed("doc_b", "rep_b")
+      .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")),
+        Seq("rep_a"))
+      .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")),
+        Seq("rep_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("n_inter"), col("n_union"), col("jaccard"))
+    val multi = members.groupBy("rep_id")
+      .agg(count(lit(1)).as("m")).filter(col("m") > 1)
+    val repSh = graft.Tables.t(s, dir, "documents")
+      .join(multi.select(col("rep_id").as("doc_id")), Seq("doc_id"))
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id").as("rep_id"),
+        size(graft.functions.HashKernels.shingle_array(col("text"), 3))
+          .cast("long").as("n_sh"))
+    val intra = members.select(col("rep_id"), col("doc_id").as("doc_a"))
+      .join(members.select(col("rep_id"), col("doc_id").as("doc_b")), Seq("rep_id"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-    rescoreExactJaccard(s, dir, cand, 0.8)
+      .join(repSh, Seq("rep_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_sh").as("n_inter"),
+        col("n_sh").as("n_union"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash-LSH near-duplicates, exact-verified: exact-dup collapse
+    * ([[withRepIds]]), banding over representatives (subquadratic —
+    * shuffle volume is 16 band digests/rep), exact 3-gram Jaccard
+    * re-scoring at ≥ 0.8, then member expansion. Fully oracle-checked
+    * against brute-force DuckDB Jaccard: the emitted set equals the
+    * brute-force thresholded set as long as rep-level candidate recall
+    * is complete at the threshold, which the differential gate
+    * (DifferentialGateSpec) re-verifies against brute force at every
+    * fixture scale. */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val all = withRepIds(s, dir)
+    val reps = all.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "text")
+    val cand = bandCandidates(mhBandedOf(reps, 64, 16))
+    expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.8),
+      all.select("doc_id", "rep_id"))
   }
 
   /** Near-dup cluster resolution — the step after pair detection in a
@@ -172,7 +268,26 @@ object NearDupOps {
     dupClusters(s, dir, maxRounds = 64)
 
   def dupClusters(s: SparkSession, dir: String, maxRounds: Int): DataFrame = {
-    val pairs = minhashNearDup(s, dir).select("doc_a", "doc_b")
+    // Connectivity needs O(edges) structure, not the full pair listing:
+    // rep-level verified pairs plus one star edge per exact-dup group
+    // member give the same connected components as the expanded cliques
+    // (a clique and a star span the same vertex set) while staying
+    // LINEAR in group size where the listing is quadratic. Short-text
+    // groups (unshingleable) have no pairs under the contract, so their
+    // star edges are filtered the same way the oracle's nonempty rule
+    // filters them.
+    val all = withRepIds(s, dir)
+    val reps = all.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "text")
+    val cand = bandCandidates(mhBandedOf(reps, 64, 16))
+    val repPairs = rescoreExactJaccard(s, dir, cand, 0.8)
+      .select("doc_a", "doc_b")
+    val shingleable = reps.filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id").as("rep_id"))
+    val starEdges = all.filter(col("doc_id") =!= col("rep_id"))
+      .join(shingleable, Seq("rep_id"))
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = repPairs.unionByName(starEdges)
     // Materialize the edge list once: every propagation round joins
     // against it, and without the checkpoint each round would re-run
     // the whole candidate+verify pipeline that produced the pairs.
@@ -282,7 +397,11 @@ object NearDupOps {
     * features encode word order, so only genuinely similar text
     * collides. Exposed for spec-level recall checks; the driver-facing
     * query re-scores these exactly ([[docEmbedNearDup]]). */
-  def docEmbedCandidates(s: SparkSession, dir: String): DataFrame = {
+  def docEmbedCandidates(s: SparkSession, dir: String): DataFrame =
+    docEmbedCandidatesOf(s, dir, graft.Tables.tSpread(s, dir, "documents"))
+
+  private def docEmbedCandidatesOf(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
     import graft.functions.HashKernels.shingle_tf_vector
     import graft.functions.VectorFunctions.{codeBandKeys, code_agreement, hyperplane_codes}
     // Bits size the buckets (candidate cost ~ N²/2^bits per table) and
@@ -327,31 +446,33 @@ object NearDupOps {
     // isNotNull filter on the vector: Catalyst would push it through the
     // projection and evaluate the kernel twice per row; explode of the
     // null band array already drops unshingleable docs for free.
-    val e = graft.Tables.tSpread(s, dir, "documents")
+    val e = docs
       .select(col("doc_id"),
         hyperplane_codes(shingle_tf_vector(col("text"), 3, 256), bits, tables)
           .as("codes"))
       .select(col("doc_id"), col("codes"),
         explode(codeBandKeys(col("codes"), bits, tables)).as("band"))
-    // Degenerate-bucket guard, star-degraded: a band holding >100 docs
-    // is a saturated code region (dense dup cluster or tiny-vocab
-    // corpus) where all-vs-all pairing is O(size²). Instead of dropping
-    // such bands outright (which silently lost every pair of a >100-doc
-    // dup cluster), they degrade to a STAR centered on the band's min
-    // doc id: O(size) candidates that keep the cluster CONNECTED, so
-    // downstream cluster resolution (dupClusters) still merges it; the
-    // pair-level listing is complete only up to the 100-member bound —
-    // identical-doc mega-clusters are the exact-dedup pass's job (q35),
-    // documented here as the contract boundary. Both window stats share
-    // the band partitioning with the self-join, so the exchange is
-    // planned once and reused.
+    // Degenerate-bucket guard, star-degraded: a band holding more than
+    // SaturatedBand docs is a saturated code region where all-vs-all
+    // pairing is O(size²). Instead of dropping such bands outright
+    // (which silently lost every pair of a >100-doc dup cluster), they
+    // degrade to a STAR on the band's StarHubs smallest doc ids:
+    // O(8·size) candidates that keep the cluster CONNECTED (and robust
+    // to one hub failing the verify threshold). The driver-facing query
+    // runs this over exact-dup-collapsed representatives, so identical
+    // mega-clusters never saturate a band — [[saturatedBands]] reports
+    // any remaining distinct-text saturation and the differential gate
+    // asserts there is none on the shipped fixtures. Both window stats
+    // share the band partitioning with the self-join, so the exchange
+    // is planned once and reused.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
     val stats = e
       .withColumn("band_n", count(lit(1)).over(w))
-      .withColumn("band_hub", min(col("doc_id")).over(w))
+      .withColumn("hub_rank",
+        row_number().over(w.orderBy(col("doc_id"))))
       .filter(col("band_n") > 1)
     val a = stats
-      .filter(col("band_n") <= 100 || col("doc_id") === col("band_hub"))
+      .filter(col("band_n") <= SaturatedBand || col("hub_rank") <= StarHubs)
       .select(col("band"), col("doc_id").as("doc_a"), col("codes").as("ca"))
     val b = stats.select(col("band"), col("doc_id").as("doc_b"), col("codes").as("cb"))
     // Coarse pre-filter before the exact-verify join: a threshold-
@@ -378,8 +499,74 @@ object NearDupOps {
     * [[minhashNearDup]]'s 0.8 — this is the "delete one of the two"
     * dedup decision, where false positives destroy data). Fully
     * oracle-checked against brute-force DuckDB Jaccard. */
-  def docEmbedNearDup(s: SparkSession, dir: String): DataFrame =
-    rescoreExactJaccard(s, dir, docEmbedCandidates(s, dir), 0.9)
+  def docEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val all = withRepIds(s, dir)
+    val reps = all.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "text")
+    val cand = docEmbedCandidatesOf(s, dir, reps)
+    expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.9),
+      all.select("doc_id", "rep_id"))
+  }
+
+  /** Observability for the saturation contract: post-collapse bands
+    * whose member count exceeds [[SaturatedBand]] — i.e. >100 DISTINCT
+    * texts sharing one band digest. Inside such a band the candidate
+    * stage is the 8-hub star, so the pair-level listing is complete
+    * only through the hubs; this view makes that state loud instead of
+    * silent. The differential gate asserts it is empty on the shipped
+    * fixtures, and the soak prints it per decade. One row per
+    * (path, band) with the member count. */
+  def saturatedBands(s: SparkSession, dir: String): DataFrame = {
+    val reps = withRepIds(s, dir)
+      .filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "text")
+    def saturated(banded: DataFrame, path: String): DataFrame =
+      banded.groupBy("band").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > SaturatedBand)
+        .select(lit(path).as("path"), col("band"), col("n_docs"))
+    val mh = saturated(mhBandedOf(reps, 64, 16), "minhash")
+    val bytes = graft.Tables.tableSizeBytes(s, dir, "documents")
+    val bits = math.min(24, math.max(12,
+      math.ceil(math.log(math.max(bytes / 4096.0, 2.0)) / math.log(2)).toInt))
+    val tables = math.min(32,
+      math.ceil(16.0 * math.pow(1.0 / 0.88, (bits - 12).toDouble)).toInt)
+    import graft.functions.HashKernels.shingle_tf_vector
+    import graft.functions.VectorFunctions.{codeBandKeys, hyperplane_codes}
+    val tf = reps
+      .select(col("doc_id"),
+        explode(codeBandKeys(
+          hyperplane_codes(shingle_tf_vector(col("text"), 3, 256), bits, tables),
+          bits, tables)).as("band"))
+    mh.unionByName(saturated(tf, "shingle_tf")).orderBy("path", "band")
+  }
+
+  /** Brute-force thresholded 3-gram Jaccard pairs over the whole corpus
+    * — the ground-truth set the LSH pipelines must reproduce. O(n²) in
+    * the worst case by definition (it IS the verification oracle, never
+    * the production path); the differential gate runs it at fixture
+    * scales against [[minhashNearDup]] / [[docEmbedNearDup]] so a
+    * fixture regeneration that breaks candidate recall fails with a
+    * named-pair diagnostic instead of an opaque oracle hash mismatch. */
+  def exactNearDupBrute(s: SparkSession, dir: String, minJaccard: Double): DataFrame = {
+    val docSh = graft.Tables.tSpread(s, dir, "documents")
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"),
+        graft.functions.HashKernels.shingle_array(col("text"), 3).as("sh"))
+    val sizes = docSh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val ex = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    ex.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_minhash_neardup" -> minhashNearDup,

@@ -127,10 +127,11 @@ object VectorOps {
     * almost every hyperplane sign.
     *
     * Two hardening pieces vs the naive form:
-    *   - saturated-bucket guard: a band holding >100 vectors is a
-    *     degenerate code region (dense cluster) that would generate
-    *     O(size²) candidates and no dedup signal — dropped, same rule as
-    *     [[NearDupOps.docEmbedNearDup]];
+    *   - exact-dup collapse + saturated-bucket guard: identical vectors
+    *     are collapsed to one representative before banding (member
+    *     pairs reconstructed exactly afterwards), and a band still
+    *     holding >100 distinct vectors degrades to an 8-hub star, same
+    *     rules as [[NearDupOps.docEmbedNearDup]];
     *   - planted twins: the driver fixtures contain no natural pair
     *     above the 0.8 threshold (max natural cosine is 0.60 at sf0.1),
     *     so the query unions an exact twin of each vec_id < 25
@@ -163,34 +164,79 @@ object VectorOps {
     val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val twins = base.filter(col("vec_id") < 25)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
-    val e = base.unionByName(twins)
+    // Exact-dup collapse before banding, same as the document paths
+    // (NearDupOps.withRepIds): identical vectors share every band key,
+    // so a large identical cluster would saturate all its bands and the
+    // in-band guard would truncate the pair listing. Collapsed to one
+    // representative per distinct vector, banding stays subquadratic
+    // and the member pairs are reconstructed exactly below. md5 of the
+    // element-wise decimal rendering — a 64-bit hash collision would
+    // silently merge distinct vectors into a fake sim-1 pair.
+    val w = Window.partitionBy(col("digest"))
+    val tagged = base.unionByName(twins)
+      .withColumn("digest",
+        md5(concat_ws(",", col("embedding").cast("array<string>"))))
+      .withColumn("rep_id", min(col("vec_id")).over(w))
+    val members = tagged.select(col("vec_id"), col("rep_id"))
+    val reps = tagged.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("embedding"))
+    val e = reps
       .select(col("vec_id"), col("embedding").as("v"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"),
         explode(lshBandKeys(col("embedding"), bits, tables)).as("band"))
-    // Saturated bands (>100 members) degrade to a star centered on the
-    // band's min vec_id instead of being dropped: O(size) candidates
-    // that keep a dense dup cluster connected (its members all verify
-    // against the hub at cosine ≈ 1) while bounding the all-vs-all
-    // blowup. Both window stats share the band partitioning with the
-    // self-join, so the exchange is planned once and reused.
-    val w = Window.partitionBy(col("band"))
+    // Saturated bands (>SaturatedBand members — post-collapse, that
+    // many DISTINCT vectors in one code region) degrade to a star on
+    // the StarHubs smallest vec_ids instead of being dropped:
+    // O(8·size) candidates that keep a dense cluster connected while
+    // bounding the all-vs-all blowup. Both window stats share the band
+    // partitioning with the self-join, so the exchange is planned once
+    // and reused.
     val stats = e
-      .withColumn("band_n", count(lit(1)).over(w))
-      .withColumn("band_hub", min(col("vec_id")).over(w))
+      .withColumn("band_n", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .withColumn("hub_rank", row_number().over(
+        Window.partitionBy(col("band")).orderBy(col("vec_id"))))
       .filter(col("band_n") > 1)
     val a = stats
-      .filter(col("band_n") <= 100 || col("vec_id") === col("band_hub"))
+      .filter(col("band_n") <= NearDupOps.SaturatedBand
+        || col("hub_rank") <= NearDupOps.StarHubs)
       .select(col("band"), col("vec_id").as("id_a"),
         col("v").as("va"), col("norm").as("na"))
     val b = stats.select(col("band"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("band"))
+    val verifiedReps = a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") > 0.8)
       .dropDuplicates("id_a", "id_b")
-      .orderBy("id_a", "id_b")
+    // Member expansion: a verified (rep_a, rep_b) pair holds for every
+    // member combination (identical float arrays → identical dot
+    // products), and every pair inside an exact-dup group scores the
+    // rep's self-cosine (computed, not assumed 1.0, so a zero vector
+    // can never fake a pair the oracle would reject).
+    val cross = verifiedReps
+      .withColumnRenamed("id_a", "rep_a").withColumnRenamed("id_b", "rep_b")
+      .join(members.select(col("rep_id").as("rep_a"), col("vec_id").as("da")),
+        Seq("rep_a"))
+      .join(members.select(col("rep_id").as("rep_b"), col("vec_id").as("db")),
+        Seq("rep_b"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("sim"))
+    val multi = members.groupBy("rep_id")
+      .agg(count(lit(1)).as("m")).filter(col("m") > 1)
+    val repSelf = reps
+      .join(multi.select(col("rep_id").as("vec_id")), Seq("vec_id"))
+      .select(col("vec_id").as("rep_id"),
+        round(dot_product(col("embedding"), col("embedding"))
+          / (sqrt(dot_product(col("embedding"), col("embedding")))
+            * sqrt(dot_product(col("embedding"), col("embedding")))), 4).as("sim"))
+      .filter(col("sim") > 0.8)
+    val intra = members.select(col("rep_id"), col("vec_id").as("id_a"))
+      .join(members.select(col("rep_id"), col("vec_id").as("id_b")), Seq("rep_id"))
+      .filter(col("id_a") < col("id_b"))
+      .join(repSelf, Seq("rep_id"))
+      .select(col("id_a"), col("id_b"), col("sim"))
+    cross.unionByName(intra).orderBy("id_a", "id_b")
   }
 
   /** IVF (inverted-file) approximate nearest neighbors — the online

@@ -131,7 +131,7 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
-  test("embed near-dup saturation guard: a 150-vector clone cluster degrades to a star") {
+  test("embed near-dup: a 150-vector clone cluster yields the full oracle-exact clique") {
     val d = java.nio.file.Files.createTempDirectory("embsat").toString
     val e = Tables.t(spark, sfDir, "embeddings")
     val proto = e.filter(col("vec_id") === 7).select("embedding").head.getSeq[Float](0)
@@ -140,12 +140,19 @@ class VectorFunctionsSpec extends AnyFunSuite {
     import spark.implicits._
     clones.toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-    val pairs = graft.llm.VectorOps.embedNearDupLsh(spark, d).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // every band is saturated (150 identical codes), so candidates are
-    // exactly the hub star — the cluster stays connected, never dropped
-    assert(pairs == (1001L until 1150L).map(i => (1000L, i)).toSet,
-      s"expected the 149 hub pairs, got ${pairs.size}")
+    val got = graft.llm.VectorOps.embedNearDupLsh(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // identical vectors collapse to ONE representative before banding
+    // (no saturated band at all), and the member pairs are
+    // reconstructed exactly: all C(150,2) pairs at sim 1.0 — the same
+    // set a brute-force oracle emits, where the round-2 star guard
+    // truncated the listing to the 149 hub pairs
+    val want = (for {
+      a <- 1000L until 1150L; b <- (a + 1) until 1150L
+    } yield (a, b)).toSet
+    assert(got.map(_._1).toSet == want,
+      s"expected the full ${want.size}-pair clique, got ${got.length}")
+    assert(got.forall(_._2 == 1.0), "identical vectors must score sim 1.0")
   }
 
   test("IVF top-k probes the query's cell and ranks correctly") {
