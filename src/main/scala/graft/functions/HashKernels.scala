@@ -269,6 +269,37 @@ object MinHashKernel {
     (t.charAt(0) << 16) | (t.charAt(1) << 8) | t.charAt(2)
   }
 
+  /** Per-document repetition counters in one pass (the Gopher-family
+    * repetition heuristics — Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021, Appendix
+    * A1: fraction of duplicated tokens / most frequent n-gram): token
+    * count, distinct-token count, and the count of the most frequent
+    * word bigram. Entirely per-row, no shuffle — the composed
+    * alternative (posexplode + window lead + double groupBy) shuffles
+    * every bigram of the corpus twice. The ratios the filters threshold
+    * (distinct/total, top/total) are left to downstream exact integer
+    * divisions, which both engines evaluate identically. */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = text.toString.split(' ').filter(_.nonEmpty)
+    val n = words.length
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { distinct.add(words(i)); i += 1 }
+    var top = 0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Integer]()
+      i = 0
+      while (i < n - 1) {
+        val bg = words(i) + " " + words(i + 1)
+        val c: Int = counts.merge(bg, 1, (x, y) => x + y)
+        if (c > top) top = c
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct.size.toLong, top.toLong))
+  }
+
   private def accumulate(h: Long, mins: Array[Long], k: Int): Unit = {
     var i = 0
     while (i < k) {
@@ -413,6 +444,29 @@ object HashKernels {
 
   def trigram_hits(text: Column, trigrams: Seq[String]): Column =
     GraftSqlBridge.column(TrigramHits(GraftSqlBridge.expression(text), trigrams))
+
+  def repetition_stats(text: Column): Column =
+    GraftSqlBridge.column(RepetitionStats(GraftSqlBridge.expression(text)))
+}
+
+/** Catalyst expression: text → struct(n_tokens, n_distinct,
+  * top_bigram_n) repetition counters, one pass per row. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Catalyst expression: count of 3-char windows present in a fixed

@@ -318,6 +318,66 @@ case class HyperplaneBuckets(child: Expression, bits: Int, tables: Int)
     copy(child = newChild)
 }
 
+/** Static kernel shared by Int8QuantStats eval and codegen paths. */
+object QuantKernel {
+  /** Symmetric int8 quantization stats in one pass: scale =
+    * max|x|/127, q_i = floor(x_i/scale + 0.5) (floor, not round-half-up
+    * — floor is the one midpoint rule Spark and DuckDB evaluate
+    * identically on doubles), reconstruction error e_i = x_i − q_i·scale.
+    * Accumulates mse left-to-right in double (the cross-engine-exact
+    * order the oracle's list kernels use). A zero vector reports
+    * scale 0 / zero error. */
+  def int8Stats(a: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getFloat(i).toDouble)
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var sse = 0.0
+    var maxErr = 0.0
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val q = math.floor(x / scale + 0.5)
+        val err = x - q * scale
+        sse += err * err
+        val ae = math.abs(err)
+        if (ae > maxErr) maxErr = ae
+        i += 1
+      }
+    }
+    val mse = if (n > 0) sse / n else 0.0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, mse, maxErr))
+  }
+}
+
+/** Catalyst expression: array<float> → struct(scale, mse, max_err)
+  * int8-quantization error profile. */
+case class Int8QuantStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("mse", DoubleType, nullable = false),
+    StructField("max_err", DoubleType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    QuantKernel.int8Stats(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantKernel.int8Stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     GraftSqlBridge.column(
@@ -353,6 +413,9 @@ object VectorFunctions {
 
   def lshBandKeys(v: Column, bits: Int, tables: Int): Column =
     codeBandKeys(hyperplane_codes(v, bits, tables), bits, tables)
+
+  def int8_quant_stats(v: Column): Column =
+    GraftSqlBridge.column(Int8QuantStats(GraftSqlBridge.expression(v)))
 
   /** Popcount bit-agreement fraction between two codes columns. */
   def code_agreement(a: Column, b: Column, bits: Int): Column =

@@ -215,9 +215,105 @@ object TextOps {
         regexp_count(col("props"), lit("[0-9]+")).cast("long").as("n_digit_runs"))
       .orderBy("event_id")
 
+  /** Gopher-style repetition profile (Rae et al. 2021, App. A1): per
+    * doc, the duplicate-token and top-bigram fractions that flag
+    * boilerplate / degenerate text for removal before training. All
+    * three counters come from one fused per-row kernel
+    * (functions.RepetitionStats) — no shuffle at any corpus size; the
+    * composed alternative would shuffle every bigram of the corpus
+    * twice. Ratios are single exact integer divisions, so both engines
+    * agree bit-for-bit (no rounding step needed). Docs with <2 tokens
+    * carry no repetition signal and are excluded (mirrors the oracle). */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.HashKernels.repetition_stats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_distinct").as("n_distinct"),
+        col("r.top_bigram_n").as("top_bigram_n"))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_n").cast("double") / (col("n_tokens") - 1))
+      .withColumn("flag_repetitive",
+        col("distinct_ratio") < 0.2 || col("top_bigram_frac") > 0.18)
+      .orderBy("doc_id")
+
+  /** Asymmetric n-gram containment |A∩B| / |A| (Broder 1997's second
+    * resemblance measure; the decontamination metric of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022):
+    * near-total containment of a small doc in a large one is invisible
+    * to Jaccard (small ∩ / large ∪) but exactly what leaks an eval set
+    * into training text. Bounded verification slice (doc_id < 60 both
+    * sides, like q44) — the scale path for containment screening is the
+    * broadcast-gram semi-join of q68. */
+  def ngramContainment(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashKernels.shingle_array
+    val docSh = t(s, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), shingle_array(col("text"), 3).as("sh"))
+    val sizes = docSh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val ex = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    ex.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter").cast("double") / col("n_a")).as("cont_a_in_b"),
+        (col("n_inter").cast("double") / col("n_b")).as("cont_b_in_a"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-source corpus profile — the provenance report a curation
+    * pipeline reviews before mixing sources: volume, token mass, length
+    * stats, language spread, short-doc fraction. One partial+final hash
+    * aggregation on the (low-cardinality) source key; integer sums stay
+    * exact so the derived ratios are cross-engine deterministic. */
+  def sourceProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        (sum(when(col("n_chars") < 200, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("short_frac"))
+      .orderBy("source")
+
+  /** Token-length histogram in fixed 25-token buckets (integer
+    * arithmetic only — a log2 bucketing would hinge on cross-engine
+    * floating log precision at exact powers). The shape report that
+    * drives truncation / packing decisions (q64's shard packer
+    * consumes exactly this distribution). */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    // The window runs over the handful of post-aggregation bucket rows
+    // (single partition by design — a histogram's total is global).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    t(s, dir, "documents")
+      .select((floor(size(tokens(col("text"))).cast("double") / 25.0)
+        .cast("long") * 25).as("bucket_lo"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(w))
+      .orderBy("bucket_lo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> decontaminate,
     "q69_redact_pii"    -> redactPii,
+    "q70_repetition_score" -> repetitionScore,
+    "q71_ngram_containment" -> ngramContainment,
+    "q72_source_profile" -> sourceProfile,
+    "q73_length_histogram" -> lengthHistogram,
     "q54_rolling_fingerprint" -> rollingFingerprint,
     "q55_char_ngram_langid"   -> charNgramLangId,
     "q30_text_stats"    -> textStats,
@@ -230,6 +326,66 @@ object TextOps {
     "q37_json_props"    -> jsonProps)
 
   val oracleSql: Map[String, String] = Map(
+    "q70_repetition_score" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |            FROM documents),
+        |st AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |  tk FROM tk WHERE len(tk) >= 2),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS b FROM st),
+        |bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM bgc GROUP BY 1)
+        |SELECT s.doc_id, s.n_tokens, s.n_distinct, t.top_bigram_n,
+        |  CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS distinct_ratio,
+        |  CAST(t.top_bigram_n AS DOUBLE) / (s.n_tokens - 1) AS top_bigram_frac,
+        |  (CAST(s.n_distinct AS DOUBLE) / s.n_tokens < 0.2
+        |   OR CAST(t.top_bigram_n AS DOUBLE) / (s.n_tokens - 1) > 0.18) AS flag_repetitive
+        |FROM st s JOIN top t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q71_ngram_containment" ->
+      """WITH docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents WHERE doc_id < 60)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) / sa.n_sh AS cont_a_in_b,
+        |  CAST(n_inter AS DOUBLE) / sb.n_sh AS cont_b_in_a
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q72_source_profile" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS short_frac
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q73_length_histogram" ->
+      """WITH d AS (SELECT CAST(floor(
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) / 25.0) AS BIGINT) * 25
+        |    AS bucket_lo FROM documents),
+        |h AS (SELECT bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY 1)
+        |SELECT bucket_lo, n_docs,
+        |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS BIGINT) AS share
+        |FROM h ORDER BY bucket_lo""".stripMargin,
     "q68_decontaminate" ->
       """WITH grams AS (
         |  SELECT doc_id,

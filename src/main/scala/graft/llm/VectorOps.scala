@@ -331,7 +331,27 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id")))
   }
 
+  /** Symmetric int8 quantization error profile per embedding — the
+    * compression decision report before storing / serving a vector
+    * corpus at scale (8× smaller than float32; the mse/max_err columns
+    * quantify what that costs). One fused per-row kernel
+    * (functions.Int8QuantStats): scale = max|x|/127, midpoints resolved
+    * with floor(x/scale + 0.5) — the one midpoint rule both engines
+    * evaluate identically on doubles — and left-to-right error
+    * accumulation, so the unrounded doubles hash-match the oracle.
+    * Zero vectors have no quantization scale and are excluded on both
+    * sides. */
+  def int8Quantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.int8_quant_stats(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.scale").as("scale"),
+        col("q.mse").as("mse"), col("q.max_err").as("max_err"))
+      .filter(col("scale") > 0)
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_int8_quantize"   -> int8Quantize,
     "q57_ivf_topk"        -> ivfTopK,
     // probing every cell must reproduce brute force bit-for-bit — an
     // oracle-backed integrity check that no vector was lost or
@@ -353,6 +373,19 @@ object VectorOps {
   // comes from the k-means fit). Both are value-pinned in
   // VectorFunctionsSpec instead.
   val oracleSql: Map[String, String] = Map(
+    "q74_int8_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |      FROM e
+        |      WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> x - floor(x / scale + 0.5) * scale) AS err
+        |      FROM s)
+        |SELECT vec_id, scale,
+        |  list_dot_product(err, err) / len(err) AS mse,
+        |  list_max(list_transform(err, x -> abs(x))) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q67_ivf_full_probe" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
