@@ -328,6 +328,93 @@ object NearDupOps {
       .orderBy("doc_id")
   }
 
+  /** Canonical selection by content, not by id: rank every clustered
+    * doc within its dup cluster by token count (keep the longest — the
+    * member most likely to be the superset version), tie-broken by
+    * doc_id. "keep = min id" ([[dupClusters]]) is the arbitrary-but-
+    * deterministic baseline; this is the policy a real curation
+    * pipeline wants, expressed as one window over the cluster key. The
+    * ranking key is an integer, so cross-engine ordering is exact. */
+  def canonicalSelection(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(s, dir)
+      .select("doc_id", "cluster_id", "n_docs")
+    val lengths = t(s, dir, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    clusters.join(lengths, Seq("doc_id"))
+      .withColumn("keep_best", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "n_docs", "n_tokens", "keep_best")
+      .orderBy("doc_id")
+  }
+
+  /** Incremental (batch-vs-corpus) near-dup: match an incoming batch
+    * (fixture predicate: doc_id % 10 == 7) against the existing corpus
+    * — the shape every continuously-ingesting pipeline runs, where the
+    * question is directional: "which ALREADY-INGESTED doc does this new
+    * doc duplicate?". Output is one row per (new_doc, old_doc) pair at
+    * 3-gram Jaccard ≥ 0.8.
+    *
+    * Plan shape: the same collapse → band → guard → exact-verify
+    * cascade as [[minhashNearDup]], with candidate pairs filtered to
+    * cross-batch groups before the (expensive) verify join, and member
+    * expansion emitting directed (new, old) rows — an exact-dup group
+    * spanning the batch boundary yields its cross pairs at jaccard 1,
+    * the most common incremental hit. At production scale the corpus
+    * side's band table is a materialized staging output (the IvfIndex
+    * pattern); only the new batch is banded per run. */
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    def isNew(c: Column): Column = pmod(c, lit(10)) === 7
+    val all = withRepIds(s, dir)
+    val members = all.select("doc_id", "rep_id")
+    val flags = members.groupBy("rep_id").agg(
+      max(when(isNew(col("doc_id")), 1).otherwise(0)).as("has_new"),
+      max(when(!isNew(col("doc_id")), 1).otherwise(0)).as("has_old"))
+    val reps = all.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "text")
+    // Keep only candidates whose groups straddle the batch boundary in
+    // SOME direction — the verify join never sees same-side pairs.
+    val cand = bandCandidates(mhBandedOf(reps, 64, 16))
+      .join(flags.select(col("rep_id").as("doc_a"),
+        col("has_new").as("a_new"), col("has_old").as("a_old")), Seq("doc_a"))
+      .join(flags.select(col("rep_id").as("doc_b"),
+        col("has_new").as("b_new"), col("has_old").as("b_old")), Seq("doc_b"))
+      .filter((col("a_new") === 1 && col("b_old") === 1)
+        || (col("b_new") === 1 && col("a_old") === 1))
+      .select("doc_a", "doc_b")
+    val verified = rescoreExactJaccard(s, dir, cand, 0.8)
+      .withColumnRenamed("doc_a", "rep_a").withColumnRenamed("doc_b", "rep_b")
+      .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")),
+        Seq("rep_a"))
+      .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")),
+        Seq("rep_b"))
+    val stats = Seq("n_inter", "n_union", "jaccard").map(col)
+    val cross = verified
+      .filter(isNew(col("da")) && !isNew(col("db")))
+      .select(col("da").as("new_doc") +: col("db").as("old_doc") +: stats: _*)
+      .unionByName(verified
+        .filter(isNew(col("db")) && !isNew(col("da")))
+        .select(col("db").as("new_doc") +: col("da").as("old_doc") +: stats: _*))
+    // Exact-dup groups spanning the boundary: (new member, old member)
+    // pairs at jaccard 1, same nonempty-shingle rule as the oracle.
+    val multi = flags.filter(col("has_new") === 1 && col("has_old") === 1)
+    val repSh = t(s, dir, "documents")
+      .join(multi.select(col("rep_id").as("doc_id")), Seq("doc_id"))
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id").as("rep_id"),
+        size(graft.functions.HashKernels.shingle_array(col("text"), 3))
+          .cast("long").as("n_sh"))
+    val intra = members.filter(isNew(col("doc_id")))
+      .select(col("rep_id"), col("doc_id").as("new_doc"))
+      .join(members.filter(!isNew(col("doc_id")))
+        .select(col("rep_id"), col("doc_id").as("old_doc")), Seq("rep_id"))
+      .join(repSh, Seq("rep_id"))
+      .select(col("new_doc"), col("old_doc"), col("n_sh").as("n_inter"),
+        col("n_sh").as("n_union"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra).orderBy("new_doc", "old_doc")
+  }
+
   /** Exact word-3-gram Jaccard similarity over a bounded slice
     * (doc_id < 60 per side): the ground-truth near-dup measure, and the
     * one SQL-expressible enough for the DuckDB oracle. Intersection via
@@ -573,7 +660,9 @@ object NearDupOps {
     "q44_ngram_jaccard" -> ngramJaccard,
     "q45_simhash"       -> simhash,
     "q49_doc_embed_neardup" -> docEmbedNearDup,
-    "q62_dup_clusters"  -> dupClusters)
+    "q62_dup_clusters"  -> dupClusters,
+    "q75_canonical_selection" -> canonicalSelection,
+    "q76_incremental_neardup" -> incrementalNearDup)
 
   // q45 hashes with xxhash64 (not available in DuckDB) → rows-only
   // driver check; its value-level verification is NearDupSpec. q43/q49
@@ -583,6 +672,70 @@ object NearDupOps {
   // fixture scale — and candidate recall on planted dups is additionally
   // pinned in NearDupSpec).
   val oracleSql: Map[String, String] = Map(
+    "q75_canonical_selection" ->
+      """WITH RECURSIVE
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |csizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM labels GROUP BY cluster_id),
+        |qn AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT l.doc_id, l.cluster_id, s.n_docs, q.n_tokens,
+        |  row_number() OVER (PARTITION BY l.cluster_id
+        |                     ORDER BY q.n_tokens DESC, l.doc_id) = 1 AS keep_best
+        |FROM labels l
+        |JOIN csizes s USING (cluster_id)
+        |JOIN qn q USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q76_incremental_neardup" ->
+      """WITH docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS new_doc, b.doc_id AS old_doc, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+        |  GROUP BY 1, 2)
+        |SELECT new_doc, old_doc, n_inter,
+        |  sa.n_sh + sb.n_sh - n_inter AS n_union,
+        |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = new_doc
+        |JOIN sizes sb ON sb.doc_id = old_doc
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        |ORDER BY new_doc, old_doc""".stripMargin,
     "q62_dup_clusters" ->
       """WITH RECURSIVE
         |docsh AS (

@@ -20,20 +20,24 @@ object ScaleSoak {
     val src = "/root/testdata/sf0.1"
     val dir = java.nio.file.Files.createTempDirectory("soak").toString
 
-    // Two corpus modes:
+    // Three corpus modes:
     //  - replicate (args(1)="rep"): every replica is a near-dup of its
     //    base → dup-DENSE corpus, stresses candidate-pair volume
     //    (quadratic genuine output inside each replica cluster);
+    //  - exact (args(1)="exact"): every replica is an EXACT copy →
+    //    stresses the digest-collapse path (reps stay constant at the
+    //    base corpus size, so banding cost must stay flat while the
+    //    expanded pair output grows quadratically per group);
     //  - synthetic (default): hash-generated docs over a shared
     //    vocabulary → dup-SPARSE corpus, measures clean scaling.
     val mode = args.lift(1).getOrElse("synthetic")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
-    if (mode == "rep") {
+    if (mode == "rep" || mode == "exact") {
       docs.crossJoin(spark.range(reps.toLong).select(col("id").as("rep")))
         .select(
           (col("doc_id") + col("rep") * nDocs).as("doc_id"),
-          when(col("rep") === 0, col("text"))
+          when(col("rep") === 0 || lit(mode == "exact"), col("text"))
             .otherwise(concat_ws(" ", col("text"), concat(lit("rep"), col("rep"))))
             .as("text"),
           col("lang"), col("source"), col("n_chars"))
@@ -101,6 +105,20 @@ object ScaleSoak {
     time("simhash") {
       graft.llm.NearDupOps.simhash(spark, dir)
         .write.format("noop").mode("overwrite").save()
+    }
+    time("dup_clusters") {
+      graft.llm.NearDupOps.dupClusters(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // The saturation contract's soak assertion (ADVICE r2): pair-level
+    // completeness inside a saturated band rests on the 8-hub star, so
+    // report how many post-collapse distinct-text bands enter that
+    // regime at this scale. Non-zero is not an error per se — it means
+    // the pair LISTING is hub-limited there while cluster connectivity
+    // still holds — but it must be a conscious, visible state.
+    time("saturated_bands") {
+      val n = graft.llm.NearDupOps.saturatedBands(spark, dir).count()
+      println(s"[soak] saturated distinct-text bands: $n")
     }
     spark.stop()
   }

@@ -234,6 +234,51 @@ class NearDupSpec extends AnyFunSuite {
     assert(ok.map(_.getLong(1)).distinct.sameElements(Array(0L)))
   }
 
+  test("canonical selection keeps the longest cluster member, not the min id") {
+    import graft.llm.NearDupOps
+    val d = java.nio.file.Files.createTempDirectory("canon").toString
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val longer = base + " extra trailing words appended here"
+    Seq((0L, base), (1L, longer), (10L, "unrelated different content entirely separate words"))
+      .map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = NearDupOps.canonicalSelection(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(4)))).toMap
+    // 0 and 1 cluster together (j >= 0.8); the LONGER doc 1 is kept even
+    // though the cluster id is the min id 0
+    assert(rows(0L) == ((0L, false)))
+    assert(rows(1L) == ((0L, true)))
+    assert(!rows.contains(10L), "unclustered doc has no canonical row")
+  }
+
+  test("incremental near-dup is directional and excludes same-side pairs") {
+    import graft.llm.NearDupOps
+    val d = java.nio.file.Files.createTempDirectory("incr").toString
+    val a = (0 until 30).map(i => s"a$i").mkString(" ")
+    val b = (0 until 30).map(i => s"b$i").mkString(" ")
+    val c = (0 until 30).map(i => s"c$i").mkString(" ")
+    Seq(
+      (3L, a),                          // old
+      (7L, a),                          // new: exact copy of old 3
+      (4L, b),                          // old
+      (17L, b.replace("b29", "bX")),    // new: near-dup of old 4
+      (5L, c), (6L, c),                 // both old: excluded
+      (27L, "z " + a.replace("a0 ", "")) // new-ish? id 27 % 10 = 7 → new; unrelated enough? guard below
+    ).map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = NearDupOps.incrementalNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(rows((7L, 3L)) == 1.0, "cross-boundary exact copy at jaccard 1")
+    assert(rows.contains((17L, 4L)), "cross-boundary near-dup found")
+    assert(rows((17L, 4L)) >= 0.8 && rows((17L, 4L)) < 1.0)
+    assert(!rows.exists { case ((n, o), _) => n % 10 != 7 || o % 10 == 7 },
+      "every pair must be (new, old) directed")
+    assert(!rows.contains((5L, 6L)) && !rows.contains((6L, 5L)),
+      "same-side (old, old) pairs are not incremental hits")
+  }
+
   test("shingling guards short documents") {
     val df = Seq((0L, "one two"), (1L, ""), (2L, "a b c d"))
       .toDF("doc_id", "text")
