@@ -67,10 +67,10 @@ object NearDupOps {
 
   /** Exact-duplicate collapse (the pass that runs BEFORE any banding):
     * every doc is tagged with the min doc_id among its exact content
-    * twins (`rep_id`), via one shuffle of (md5 digest, doc_id, text) —
-    * the same cost shape as the exact-dedup pass (q35), which this
-    * subsumes. md5, not a 64-bit hash: a digest collision here would
-    * silently merge distinct docs into a fake jaccard-1 pair.
+    * twins (`rep_id`) — the same cost shape as the exact-dedup pass
+    * (q35), which this subsumes. md5, not a 64-bit hash: a digest
+    * collision here would silently merge distinct docs into a fake
+    * jaccard-1 pair.
     *
     * Why collapse first: identical docs share EVERY band key, so a
     * large identical cluster saturates all its bands and any in-band
@@ -80,12 +80,30 @@ object NearDupOps {
     * representative in the banding pipeline, and its member pairs are
     * reconstructed exactly ([[expandCollapsed]]) — candidate generation
     * stays subquadratic while the emitted pair set equals brute force. */
-  private def withRepIds(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+  private def repGroups(s: SparkSession, dir: String): DataFrame =
     graft.Tables.tSpread(s, dir, "documents")
-      .select(col("doc_id"), col("text"), md5(col("text")).as("digest"))
-      .withColumn("rep_id", min(col("doc_id")).over(w))
-  }
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy("digest").agg(min(col("doc_id")).as("rep_id"))
+
+  /** (doc_id, rep_id) for every doc. The shuffle carries only (16-byte
+    * digest, id) pairs with map-side partial min — the text column
+    * never rides this exchange (a window-over-digest formulation
+    * shuffled the full text and cost ~1.5 s at sf0.1). */
+  private def repAssign(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.tSpread(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(repGroups(s, dir), Seq("digest"))
+      .select("doc_id", "rep_id")
+
+  /** Representatives with text: semi-join against the rep-id set —
+    * AQE broadcasts it while small, so the text column stays where the
+    * scan put it; when the rep set is corpus-sized this is the one
+    * text shuffle exact dedup always costs. */
+  private def repDocs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.tSpread(s, dir, "documents")
+      .join(repGroups(s, dir).select(col("rep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
 
   /** Per-doc exploded LSH band keys for the MinHash path (k hashes in
     * `bands` bands) — shared by the diagnostic pair view and the
@@ -231,7 +249,7 @@ object NearDupOps {
   }
 
   /** MinHash-LSH near-duplicates, exact-verified: exact-dup collapse
-    * ([[withRepIds]]), banding over representatives (subquadratic —
+    * ([[repAssign]]/[[repDocs]]), banding over representatives (subquadratic —
     * shuffle volume is 16 band digests/rep), exact 3-gram Jaccard
     * re-scoring at ≥ 0.8, then member expansion. Fully oracle-checked
     * against brute-force DuckDB Jaccard: the emitted set equals the
@@ -240,12 +258,9 @@ object NearDupOps {
     * (DifferentialGateSpec) re-verifies against brute force at every
     * fixture scale. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val all = withRepIds(s, dir)
-    val reps = all.filter(col("doc_id") === col("rep_id"))
-      .select("doc_id", "text")
-    val cand = bandCandidates(mhBandedOf(reps, 64, 16))
+    val cand = bandCandidates(mhBandedOf(repDocs(s, dir), 64, 16))
     expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.8),
-      all.select("doc_id", "rep_id"))
+      repAssign(s, dir))
   }
 
   /** Near-dup cluster resolution — the step after pair detection in a
@@ -276,15 +291,13 @@ object NearDupOps {
     // groups (unshingleable) have no pairs under the contract, so their
     // star edges are filtered the same way the oracle's nonempty rule
     // filters them.
-    val all = withRepIds(s, dir)
-    val reps = all.filter(col("doc_id") === col("rep_id"))
-      .select("doc_id", "text")
+    val reps = repDocs(s, dir)
     val cand = bandCandidates(mhBandedOf(reps, 64, 16))
     val repPairs = rescoreExactJaccard(s, dir, cand, 0.8)
       .select("doc_a", "doc_b")
     val shingleable = reps.filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id").as("rep_id"))
-    val starEdges = all.filter(col("doc_id") =!= col("rep_id"))
+    val starEdges = repAssign(s, dir).filter(col("doc_id") =!= col("rep_id"))
       .join(shingleable, Seq("rep_id"))
       .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
     val pairs = repPairs.unionByName(starEdges)
@@ -366,13 +379,11 @@ object NearDupOps {
     * pattern); only the new batch is banded per run. */
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     def isNew(c: Column): Column = pmod(c, lit(10)) === 7
-    val all = withRepIds(s, dir)
-    val members = all.select("doc_id", "rep_id")
+    val members = repAssign(s, dir)
     val flags = members.groupBy("rep_id").agg(
       max(when(isNew(col("doc_id")), 1).otherwise(0)).as("has_new"),
       max(when(!isNew(col("doc_id")), 1).otherwise(0)).as("has_old"))
-    val reps = all.filter(col("doc_id") === col("rep_id"))
-      .select("doc_id", "text")
+    val reps = repDocs(s, dir)
     // Keep only candidates whose groups straddle the batch boundary in
     // SOME direction — the verify join never sees same-side pairs.
     val cand = bandCandidates(mhBandedOf(reps, 64, 16))
@@ -587,12 +598,9 @@ object NearDupOps {
     * dedup decision, where false positives destroy data). Fully
     * oracle-checked against brute-force DuckDB Jaccard. */
   def docEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val all = withRepIds(s, dir)
-    val reps = all.filter(col("doc_id") === col("rep_id"))
-      .select("doc_id", "text")
-    val cand = docEmbedCandidatesOf(s, dir, reps)
+    val cand = docEmbedCandidatesOf(s, dir, repDocs(s, dir))
     expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.9),
-      all.select("doc_id", "rep_id"))
+      repAssign(s, dir))
   }
 
   /** Observability for the saturation contract: post-collapse bands
@@ -604,9 +612,7 @@ object NearDupOps {
     * fixtures, and the soak prints it per decade. One row per
     * (path, band) with the member count. */
   def saturatedBands(s: SparkSession, dir: String): DataFrame = {
-    val reps = withRepIds(s, dir)
-      .filter(col("doc_id") === col("rep_id"))
-      .select("doc_id", "text")
+    val reps = repDocs(s, dir)
     def saturated(banded: DataFrame, path: String): DataFrame =
       banded.groupBy("band").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > SaturatedBand)

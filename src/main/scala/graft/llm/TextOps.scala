@@ -307,9 +307,56 @@ object TextOps {
       .orderBy("bucket_lo")
   }
 
+  /** Canonical text normalization — the first pass of every training
+    * prep pipeline (and the right input to exact dedup: near-identical
+    * docs differing only in case/punctuation/whitespace become exact
+    * twins after it): lowercase, non-alphanumerics to spaces, collapsed
+    * whitespace, trimmed; plus the md5 of the normalized form (the
+    * dedup key) and a changed flag. Pure per-row regex/codegen — scan
+    * speed at any scale. */
+  def normalizeText(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        regexp_replace(
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")),
+          " +", " ").as("text_norm"))
+      .withColumn("norm_digest", md5(col("text_norm")))
+      .withColumn("changed", col("text_norm") =!= col("text"))
+      .orderBy("doc_id")
+
+  /** Context-window chunking: split every document into overlapping
+    * token windows (width 40, stride 30 → overlap 10) — the
+    * doc→training-sequence explosion step before packing (q64 consumes
+    * lengths like these). One `explode` over an integer sequence plus
+    * `slice`/`array_join` — all codegen'd builtins, no higher-order
+    * lambdas — so the fan-out is map-side only: a doc's chunks never
+    * leave its partition. Chunk count = ceil(max(n−overlap,1)/stride),
+    * so every token is covered and the last window may run short. */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val width = 40
+    val stride = 30
+    val tk = tokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        ceil(greatest(col("n_tokens") - (width - stride), lit(1L))
+          .cast("double") / stride).cast("long"))
+      .select(col("doc_id"), col("tk"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        slice(col("tk"), (col("chunk_id") * stride + 1).cast("int"), lit(width))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> decontaminate,
     "q69_redact_pii"    -> redactPii,
+    "q77_normalize_text" -> normalizeText,
+    "q78_chunk_windows" -> chunkWindows,
     "q70_repetition_score" -> repetitionScore,
     "q71_ngram_containment" -> ngramContainment,
     "q72_source_profile" -> sourceProfile,
@@ -326,6 +373,32 @@ object TextOps {
     "q37_json_props"    -> jsonProps)
 
   val oracleSql: Map[String, String] = Map(
+    "q77_normalize_text" ->
+      """SELECT doc_id, text,
+        |  regexp_replace(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |    ' +', ' ', 'g') AS text_norm,
+        |  md5(regexp_replace(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |    ' +', ' ', 'g')) AS norm_digest,
+        |  regexp_replace(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |    ' +', ' ', 'g') <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q78_chunk_windows" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |st AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(greatest(len(tk) - 10, 1) / 30.0) AS BIGINT) AS n_chunks FROM tk),
+        |chunks AS (
+        |  SELECT doc_id, tk, n_tokens,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |  FROM st)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_tokens,
+        |  CAST(len(tk[(chunk_id * 30 + 1):(chunk_id * 30 + 40)]) AS BIGINT) AS chunk_len,
+        |  array_to_string(tk[(chunk_id * 30 + 1):(chunk_id * 30 + 40)], ' ') AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
     "q70_repetition_score" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |            FROM documents),

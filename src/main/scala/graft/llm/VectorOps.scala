@@ -172,13 +172,19 @@ object VectorOps {
     // and the member pairs are reconstructed exactly below. md5 of the
     // element-wise decimal rendering — a 64-bit hash collision would
     // silently merge distinct vectors into a fake sim-1 pair.
-    val w = Window.partitionBy(col("digest"))
-    val tagged = base.unionByName(twins)
+    // Same groupBy + semi-join shape as NearDupOps.repAssign/repDocs:
+    // only (digest, id) pairs ride the collapse shuffle, and AQE
+    // broadcasts the rep-id set so the vectors stay put.
+    val keyed = base.unionByName(twins)
       .withColumn("digest",
         md5(concat_ws(",", col("embedding").cast("array<string>"))))
-      .withColumn("rep_id", min(col("vec_id")).over(w))
-    val members = tagged.select(col("vec_id"), col("rep_id"))
-    val reps = tagged.filter(col("vec_id") === col("rep_id"))
+    val groups = keyed.select("vec_id", "digest")
+      .groupBy("digest").agg(min(col("vec_id")).as("rep_id"))
+    val members = keyed.select(col("vec_id"), col("digest"))
+      .join(groups, Seq("digest"))
+      .select(col("vec_id"), col("rep_id"))
+    val reps = keyed
+      .join(groups.select(col("rep_id").as("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"))
     val e = reps
       .select(col("vec_id"), col("embedding").as("v"),

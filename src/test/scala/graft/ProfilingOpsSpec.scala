@@ -87,6 +87,37 @@ class ProfilingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalization lowercases, strips punctuation, collapses whitespace") {
+    val d = docsDir(Seq(
+      (0L, "Hello, World!  Mixed-CASE text."),
+      (1L, "already normalized lowercase text")))
+    val r = TextOps.normalizeText(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getString(2), x.getBoolean(4)))).toMap
+    assert(r(0L)._1 == "hello world mixed case text")
+    assert(r(0L)._2, "rewritten text must be flagged changed")
+    assert(r(1L)._1 == "already normalized lowercase text")
+    assert(!r(1L)._2, "already-normal text is not changed")
+  }
+
+  test("chunk windows cover every token with the declared overlap") {
+    val d = docsDir(Seq(
+      (0L, (1 to 100).map(i => s"t$i").mkString(" ")), // 3 chunks
+      (1L, "short doc five tokens only"),              // 1 chunk
+      (2L, "")))                                       // degenerate: 1 empty chunk
+    val rows = TextOps.chunkWindows(spark, d).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val c0 = byDoc(0L).sortBy(_.getLong(1))
+    assert(c0.length == 3) // ceil((100-10)/30)
+    assert(c0.map(_.getLong(3)).toSeq == Seq(40L, 40L, 40L))
+    // stride 30 / width 40: chunk i starts at token 30i+1 → chunks are
+    // (1..40), (31..70), (61..100) — every token covered, 10 overlap
+    val covered = c0.flatMap(_.getString(4).split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"t$i").toSet)
+    assert(c0(0).getString(4).endsWith("t40") && c0(1).getString(4).startsWith("t31"))
+    assert(byDoc(1L).length == 1 && byDoc(1L).head.getLong(3) == 5)
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getString(4) == "")
+  }
+
   test("source profile partitions the corpus exactly") {
     val prof = TextOps.sourceProfile(spark, sfDir).collect()
     val total = Tables.t(spark, sfDir, "documents").count()
