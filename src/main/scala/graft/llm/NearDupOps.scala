@@ -80,30 +80,55 @@ object NearDupOps {
     * representative in the banding pipeline, and its member pairs are
     * reconstructed exactly ([[expandCollapsed]]) — candidate generation
     * stays subquadratic while the emitted pair set equals brute force. */
-  private def repGroups(s: SparkSession, dir: String): DataFrame =
+  private def keyedDocs(s: SparkSession, dir: String): DataFrame =
     graft.Tables.tSpread(s, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("digest"))
-      .groupBy("digest").agg(min(col("doc_id")).as("rep_id"))
 
-  /** (doc_id, rep_id) for every doc. The shuffle carries only (16-byte
-    * digest, id) pairs with map-side partial min — the text column
-    * never rides this exchange (a window-over-digest formulation
-    * shuffled the full text and cost ~1.5 s at sf0.1). */
-  private def repAssign(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.tSpread(s, dir, "documents")
-      .select(col("doc_id"), md5(col("text")).as("digest"))
-      .join(repGroups(s, dir), Seq("digest"))
-      .select("doc_id", "rep_id")
+  /** Multi-member exact-dup groups only: (digest, rep_id). One shuffle
+    * of (16-byte digest, id) pairs with map-side partial aggregation —
+    * text never rides it — and the OUTPUT is proportional to the dup
+    * rate, not the corpus: empty for a dup-free corpus. Everything
+    * downstream joins against this small frame, so the dup-sparse
+    * common case pays exactly one narrow shuffle for the whole
+    * collapse (the first expansion formulation joined the full member
+    * table and doubled the dup-sparse 50k-doc soak point). */
+  private def repMulti(s: SparkSession, dir: String): DataFrame =
+    keyedDocs(s, dir)
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("digest", "rep_id")
 
-  /** Representatives with text: semi-join against the rep-id set —
-    * AQE broadcasts it while small, so the text column stays where the
-    * scan put it; when the rep set is corpus-sized this is the one
-    * text shuffle exact dedup always costs. */
+  /** Non-representative exact-dup members: (rep_id, doc_id), rep_id <
+    * doc_id by construction. The multi-group side is small for
+    * dup-sparse corpora, so AQE broadcasts it and the corpus is not
+    * reshuffled; dup-dense corpora degrade to the one digest-keyed
+    * shuffle exact dedup inherently costs. */
+  private def dupMembers(s: SparkSession, dir: String): DataFrame =
+    keyedDocs(s, dir)
+      .join(repMulti(s, dir), Seq("digest"))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select("rep_id", "doc_id")
+
+  /** Representatives with text: anti-join against the (small) dup-member
+    * set — the text column stays where the scan put it. */
   private def repDocs(s: SparkSession, dir: String): DataFrame =
     graft.Tables.tSpread(s, dir, "documents")
-      .join(repGroups(s, dir).select(col("rep_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+      .join(dupMembers(s, dir).select("doc_id"), Seq("doc_id"), "left_anti")
       .select("doc_id", "text")
+
+  /** Shingle-set size for each multi-member group's representative
+    * (groups too short to shingle excluded — the oracle's nonempty
+    * rule): the stat every intra-group jaccard-1 pair carries. */
+  private def dupRepShingleSize(s: SparkSession, dir: String,
+      dups: DataFrame): DataFrame =
+    graft.Tables.t(s, dir, "documents")
+      .join(dups.select(col("rep_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id").as("rep_id"),
+        size(graft.functions.HashKernels.shingle_array(col("text"), 3))
+          .cast("long").as("n_sh"))
 
   /** Per-doc exploded LSH band keys for the MinHash path (k hashes in
     * `bands` bands) — shared by the diagnostic pair view and the
@@ -219,37 +244,59 @@ object NearDupOps {
     * the pair LISTING of a large identical cluster is inherently
     * quadratic in output size (so is the oracle's) — cluster-level
     * dedup ([[dupClusters]]) is the linear-output production decision. */
-  private def expandCollapsed(s: SparkSession, dir: String,
-      verifiedReps: DataFrame, members: DataFrame): DataFrame = {
-    val cross = verifiedReps
-      .withColumnRenamed("doc_a", "rep_a")
-      .withColumnRenamed("doc_b", "rep_b")
-      .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")),
-        Seq("rep_a"))
-      .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")),
-        Seq("rep_b"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"),
-        col("n_inter"), col("n_union"), col("jaccard"))
-    val multi = members.groupBy("rep_id")
-      .agg(count(lit(1)).as("m")).filter(col("m") > 1)
-    val repSh = graft.Tables.t(s, dir, "documents")
-      .join(multi.select(col("rep_id").as("doc_id")), Seq("doc_id"))
-      .filter(size(toks(col("text"))) >= 3)
-      .select(col("doc_id").as("rep_id"),
-        size(graft.functions.HashKernels.shingle_array(col("text"), 3))
-          .cast("long").as("n_sh"))
-    val intra = members.select(col("rep_id"), col("doc_id").as("doc_a"))
-      .join(members.select(col("rep_id"), col("doc_id").as("doc_b")), Seq("rep_id"))
+  private val pairStats = Seq("n_inter", "n_union", "jaccard")
+
+  /** All (member of A, member of B) combinations of each verified
+    * (rep_a, rep_b) pair, stats carried over — identical texts have
+    * identical shingle sets. Four branches against the SMALL dup-member
+    * frame (verified itself covers rep×rep; dup substitutions cover the
+    * rest), so a dup-free corpus adds three empty broadcast joins and
+    * nothing else. Column names in the result: doc_a = member of A,
+    * doc_b = member of B (NOT id-ordered — callers normalize or apply
+    * direction semantics). */
+  private def crossCombos(verifiedReps: DataFrame, dups: DataFrame): DataFrame = {
+    val st = pairStats.map(col)
+    val da = dups.select(col("rep_id").as("doc_a"), col("doc_id").as("da"))
+    val db = dups.select(col("rep_id").as("doc_b"), col("doc_id").as("db"))
+    val e1 = verifiedReps.join(da, Seq("doc_a"))
+      .select(col("da").as("doc_a") +: col("doc_b") +: st: _*)
+    val e2 = verifiedReps.join(db, Seq("doc_b"))
+      .select(col("doc_a") +: col("db").as("doc_b") +: st: _*)
+    val e3 = verifiedReps.join(da, Seq("doc_a")).join(db, Seq("doc_b"))
+      .select(col("da").as("doc_a") +: col("db").as("doc_b") +: st: _*)
+    verifiedReps.select((col("doc_a") +: col("doc_b") +: st): _*)
+      .unionByName(e1).unionByName(e2).unionByName(e3)
+  }
+
+  /** All id-ordered pairs WITHIN each multi-member exact-dup group —
+    * (rep, dup) rows directly (rep_id < doc_id by construction) plus a
+    * dup-dup self-join on the small frame — each a jaccard-1 pair
+    * carrying the group's shingle size. */
+  private def intraPairs(dups: DataFrame, repSh: DataFrame): DataFrame = {
+    val repDup = dups.join(repSh, Seq("rep_id"))
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"), col("n_sh"))
+    val dupDup = dups.select(col("rep_id"), col("doc_id").as("doc_a"))
+      .join(dups.select(col("rep_id"), col("doc_id").as("doc_b")), Seq("rep_id"))
       .filter(col("doc_a") < col("doc_b"))
       .join(repSh, Seq("rep_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_sh"))
+    repDup.unionByName(dupDup)
       .select(col("doc_a"), col("doc_b"), col("n_sh").as("n_inter"),
         col("n_sh").as("n_union"), lit(1.0).as("jaccard"))
-    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
+  private def expandCollapsed(s: SparkSession, dir: String,
+      verifiedReps: DataFrame, dups: DataFrame): DataFrame = {
+    val st = pairStats.map(col)
+    val cross = crossCombos(verifiedReps, dups)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a") +:
+        greatest(col("doc_a"), col("doc_b")).as("doc_b") +: st: _*)
+    cross.unionByName(intraPairs(dups, dupRepShingleSize(s, dir, dups)))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash-LSH near-duplicates, exact-verified: exact-dup collapse
-    * ([[repAssign]]/[[repDocs]]), banding over representatives (subquadratic —
+    * ([[dupMembers]]/[[repDocs]]), banding over representatives (subquadratic —
     * shuffle volume is 16 band digests/rep), exact 3-gram Jaccard
     * re-scoring at ≥ 0.8, then member expansion. Fully oracle-checked
     * against brute-force DuckDB Jaccard: the emitted set equals the
@@ -260,7 +307,7 @@ object NearDupOps {
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val cand = bandCandidates(mhBandedOf(repDocs(s, dir), 64, 16))
     expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.8),
-      repAssign(s, dir))
+      dupMembers(s, dir))
   }
 
   /** Near-dup cluster resolution — the step after pair detection in a
@@ -295,10 +342,9 @@ object NearDupOps {
     val cand = bandCandidates(mhBandedOf(reps, 64, 16))
     val repPairs = rescoreExactJaccard(s, dir, cand, 0.8)
       .select("doc_a", "doc_b")
-    val shingleable = reps.filter(size(toks(col("text"))) >= 3)
-      .select(col("doc_id").as("rep_id"))
-    val starEdges = repAssign(s, dir).filter(col("doc_id") =!= col("rep_id"))
-      .join(shingleable, Seq("rep_id"))
+    val dups = dupMembers(s, dir)
+    val starEdges = dups
+      .join(dupRepShingleSize(s, dir, dups).select("rep_id"), Seq("rep_id"), "left_semi")
       .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
     val pairs = repPairs.unionByName(starEdges)
     // Materialize the edge list once: every propagation round joins
@@ -379,11 +425,21 @@ object NearDupOps {
     * pattern); only the new batch is banded per run. */
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     def isNew(c: Column): Column = pmod(c, lit(10)) === 7
-    val members = repAssign(s, dir)
-    val flags = members.groupBy("rep_id").agg(
-      max(when(isNew(col("doc_id")), 1).otherwise(0)).as("has_new"),
-      max(when(!isNew(col("doc_id")), 1).otherwise(0)).as("has_old"))
+    val dups = dupMembers(s, dir)
     val reps = repDocs(s, dir)
+    // Group-level batch flags: a rep carries its own side plus any dup
+    // member's side. Built from the rep set + the small dup frame — no
+    // full-member shuffle.
+    val dupFlags = dups.groupBy("rep_id").agg(
+      max(when(isNew(col("doc_id")), 1).otherwise(0)).as("dup_new"),
+      max(when(!isNew(col("doc_id")), 1).otherwise(0)).as("dup_old"))
+    val flags = reps.select(col("doc_id").as("rep_id"),
+        when(isNew(col("doc_id")), 1).otherwise(0).as("self_new"),
+        when(!isNew(col("doc_id")), 1).otherwise(0).as("self_old"))
+      .join(dupFlags, Seq("rep_id"), "left")
+      .select(col("rep_id"),
+        greatest(col("self_new"), coalesce(col("dup_new"), lit(0))).as("has_new"),
+        greatest(col("self_old"), coalesce(col("dup_old"), lit(0))).as("has_old"))
     // Keep only candidates whose groups straddle the batch boundary in
     // SOME direction — the verify join never sees same-side pairs.
     val cand = bandCandidates(mhBandedOf(reps, 64, 16))
@@ -394,36 +450,25 @@ object NearDupOps {
       .filter((col("a_new") === 1 && col("b_old") === 1)
         || (col("b_new") === 1 && col("a_old") === 1))
       .select("doc_a", "doc_b")
-    val verified = rescoreExactJaccard(s, dir, cand, 0.8)
-      .withColumnRenamed("doc_a", "rep_a").withColumnRenamed("doc_b", "rep_b")
-      .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")),
-        Seq("rep_a"))
-      .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")),
-        Seq("rep_b"))
-    val stats = Seq("n_inter", "n_union", "jaccard").map(col)
-    val cross = verified
-      .filter(isNew(col("da")) && !isNew(col("db")))
-      .select(col("da").as("new_doc") +: col("db").as("old_doc") +: stats: _*)
-      .unionByName(verified
-        .filter(isNew(col("db")) && !isNew(col("da")))
-        .select(col("db").as("new_doc") +: col("da").as("old_doc") +: stats: _*))
+    val combos = crossCombos(rescoreExactJaccard(s, dir, cand, 0.8), dups)
+    val st = pairStats.map(col)
+    val cross = combos
+      .filter(isNew(col("doc_a")) && !isNew(col("doc_b")))
+      .select(col("doc_a").as("new_doc") +: col("doc_b").as("old_doc") +: st: _*)
+      .unionByName(combos
+        .filter(isNew(col("doc_b")) && !isNew(col("doc_a")))
+        .select(col("doc_b").as("new_doc") +: col("doc_a").as("old_doc") +: st: _*))
     // Exact-dup groups spanning the boundary: (new member, old member)
-    // pairs at jaccard 1, same nonempty-shingle rule as the oracle.
-    val multi = flags.filter(col("has_new") === 1 && col("has_old") === 1)
-    val repSh = t(s, dir, "documents")
-      .join(multi.select(col("rep_id").as("doc_id")), Seq("doc_id"))
-      .filter(size(toks(col("text"))) >= 3)
-      .select(col("doc_id").as("rep_id"),
-        size(graft.functions.HashKernels.shingle_array(col("text"), 3))
-          .cast("long").as("n_sh"))
-    val intra = members.filter(isNew(col("doc_id")))
-      .select(col("rep_id"), col("doc_id").as("new_doc"))
-      .join(members.filter(!isNew(col("doc_id")))
-        .select(col("rep_id"), col("doc_id").as("old_doc")), Seq("rep_id"))
-      .join(repSh, Seq("rep_id"))
-      .select(col("new_doc"), col("old_doc"), col("n_sh").as("n_inter"),
-        col("n_sh").as("n_union"), lit(1.0).as("jaccard"))
-    cross.unionByName(intra).orderBy("new_doc", "old_doc")
+    // pairs at jaccard 1 — take the undirected intra pairs and keep
+    // each in whichever direction crosses the boundary.
+    val intra = intraPairs(dups, dupRepShingleSize(s, dir, dups))
+    val intraDirected = intra
+      .filter(isNew(col("doc_a")) && !isNew(col("doc_b")))
+      .select(col("doc_a").as("new_doc") +: col("doc_b").as("old_doc") +: st: _*)
+      .unionByName(intra
+        .filter(isNew(col("doc_b")) && !isNew(col("doc_a")))
+        .select(col("doc_b").as("new_doc") +: col("doc_a").as("old_doc") +: st: _*))
+    cross.unionByName(intraDirected).orderBy("new_doc", "old_doc")
   }
 
   /** Exact word-3-gram Jaccard similarity over a bounded slice
@@ -600,7 +645,7 @@ object NearDupOps {
   def docEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     val cand = docEmbedCandidatesOf(s, dir, repDocs(s, dir))
     expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.9),
-      repAssign(s, dir))
+      dupMembers(s, dir))
   }
 
   /** Observability for the saturation contract: post-collapse bands

@@ -172,7 +172,7 @@ object VectorOps {
     // and the member pairs are reconstructed exactly below. md5 of the
     // element-wise decimal rendering — a 64-bit hash collision would
     // silently merge distinct vectors into a fake sim-1 pair.
-    // Same groupBy + semi-join shape as NearDupOps.repAssign/repDocs:
+    // Same groupBy + join shape as NearDupOps.dupMembers/repDocs:
     // only (digest, id) pairs ride the collapse shuffle, and AQE
     // broadcasts the rep-id set so the vectors stay put.
     val keyed = base.unionByName(twins)

@@ -82,6 +82,40 @@ class DifferentialGateSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized corpora: pipeline equals brute force (not fixture-contingent)") {
+    // Seeded generative check: the equality must hold on corpora the
+    // fixtures never showed — planted exact dups, near-dups at and
+    // around the threshold, short/empty docs, shared-vocab noise.
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = (0 until 120).map(i => s"v$i")
+    def randDoc(n: Int): String =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (0 until 3).foreach { trial =>
+      val bases = (0 until 40).map(i => (i.toLong, randDoc(12 + rnd.nextInt(40))))
+      val mutated = bases.take(12).map { case (id, tx) =>
+        val w = tx.split(' ')
+        val k = 1 + rnd.nextInt(3) // 1-3 word edits: straddles j=0.8
+        val out = w.indices.foldLeft(w) { (acc, _) => acc }.clone()
+        (0 until k).foreach(_ => out(rnd.nextInt(out.length)) = vocab(rnd.nextInt(vocab.size)))
+        (id + 100L, out.mkString(" "))
+      }
+      val exactDups = bases.take(6).map { case (id, tx) => (id + 200L, tx) }
+      val degenerate = Seq((300L, ""), (301L, "one"), (302L, "one two"))
+      val d = java.nio.file.Files.createTempDirectory(s"randgate$trial").toString
+      (bases ++ mutated ++ exactDups ++ degenerate)
+        .map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val want = pairStats(NearDupOps.exactNearDupBrute(spark, d, 0.8))
+      val got = pairStats(NearDupOps.minhashNearDup(spark, d))
+      diff(s"q43@trial$trial", got, want)
+      val want9 = pairStats(NearDupOps.exactNearDupBrute(spark, d, 0.9))
+      val got9 = pairStats(NearDupOps.docEmbedNearDup(spark, d))
+      diff(s"q49@trial$trial", got9, want9)
+    }
+  }
+
   test("no post-collapse saturated band exists on the shipped fixtures") {
     // inside a saturated band the candidate stage is the 8-hub star, so
     // pair-level completeness there is contingent — this pins that the

@@ -129,6 +129,23 @@ class ProfilingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("per-row operators plan without a data shuffle (scan -> kernel -> sort)") {
+    // Scale guard: q70/q74/q77 are pure per-row transforms — the only
+    // exchange in their plans must be the final ORDER BY's range
+    // partitioning (a harness requirement, not operator cost). A hash
+    // exchange appearing here would mean a future edit introduced a
+    // shuffle into a scan-speed operator.
+    Seq(
+      TextOps.repetitionScore(spark, sfDir),
+      VectorOps.int8Quantize(spark, sfDir),
+      TextOps.normalizeText(spark, sfDir)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"per-row operator must not hash-shuffle:\n$plan")
+    }
+  }
+
   test("length histogram buckets partition the corpus; shares sum to 1") {
     val h = TextOps.lengthHistogram(spark, sfDir).collect()
     val total = Tables.t(spark, sfDir, "documents").count()
