@@ -110,11 +110,22 @@ object NearDupOps {
       .filter(col("doc_id") =!= col("rep_id"))
       .select("rep_id", "doc_id")
 
+  /** [[dupMembers]], materialized once per query. Every consumer —
+    * rep anti-join, cross-pair expansion branches, intra pairs, batch
+    * flags — references this frame, and without the checkpoint each
+    * union branch would re-run the corpus scan + digest shuffle that
+    * produced it (~6 recomputes in the expansion paths, measured
+    * +1–2 s per query at sf0.1). The frame itself is tiny (one row per
+    * non-representative exact dup), so the materialization cost is the
+    * one collapse pass. */
+  private def collapsedDups(s: SparkSession, dir: String): DataFrame =
+    dupMembers(s, dir).localCheckpoint()
+
   /** Representatives with text: anti-join against the (small) dup-member
     * set — the text column stays where the scan put it. */
-  private def repDocs(s: SparkSession, dir: String): DataFrame =
+  private def repDocs(s: SparkSession, dir: String, dups: DataFrame): DataFrame =
     graft.Tables.tSpread(s, dir, "documents")
-      .join(dupMembers(s, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
       .select("doc_id", "text")
 
   /** Shingle-set size for each multi-member group's representative
@@ -305,9 +316,9 @@ object NearDupOps {
     * (DifferentialGateSpec) re-verifies against brute force at every
     * fixture scale. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val cand = bandCandidates(mhBandedOf(repDocs(s, dir), 64, 16))
-    expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.8),
-      dupMembers(s, dir))
+    val dups = collapsedDups(s, dir)
+    val cand = bandCandidates(mhBandedOf(repDocs(s, dir, dups), 64, 16))
+    expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.8), dups)
   }
 
   /** Near-dup cluster resolution — the step after pair detection in a
@@ -338,11 +349,11 @@ object NearDupOps {
     // groups (unshingleable) have no pairs under the contract, so their
     // star edges are filtered the same way the oracle's nonempty rule
     // filters them.
-    val reps = repDocs(s, dir)
+    val dups = collapsedDups(s, dir)
+    val reps = repDocs(s, dir, dups)
     val cand = bandCandidates(mhBandedOf(reps, 64, 16))
     val repPairs = rescoreExactJaccard(s, dir, cand, 0.8)
       .select("doc_a", "doc_b")
-    val dups = dupMembers(s, dir)
     val starEdges = dups
       .join(dupRepShingleSize(s, dir, dups).select("rep_id"), Seq("rep_id"), "left_semi")
       .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
@@ -425,8 +436,8 @@ object NearDupOps {
     * pattern); only the new batch is banded per run. */
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     def isNew(c: Column): Column = pmod(c, lit(10)) === 7
-    val dups = dupMembers(s, dir)
-    val reps = repDocs(s, dir)
+    val dups = collapsedDups(s, dir)
+    val reps = repDocs(s, dir, dups)
     // Group-level batch flags: a rep carries its own side plus any dup
     // member's side. Built from the rep set + the small dup frame — no
     // full-member shuffle.
@@ -643,9 +654,9 @@ object NearDupOps {
     * dedup decision, where false positives destroy data). Fully
     * oracle-checked against brute-force DuckDB Jaccard. */
   def docEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val cand = docEmbedCandidatesOf(s, dir, repDocs(s, dir))
-    expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.9),
-      dupMembers(s, dir))
+    val dups = collapsedDups(s, dir)
+    val cand = docEmbedCandidatesOf(s, dir, repDocs(s, dir, dups))
+    expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.9), dups)
   }
 
   /** Observability for the saturation contract: post-collapse bands
@@ -657,7 +668,7 @@ object NearDupOps {
     * fixtures, and the soak prints it per decade. One row per
     * (path, band) with the member count. */
   def saturatedBands(s: SparkSession, dir: String): DataFrame = {
-    val reps = repDocs(s, dir)
+    val reps = repDocs(s, dir, collapsedDups(s, dir))
     def saturated(banded: DataFrame, path: String): DataFrame =
       banded.groupBy("band").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > SaturatedBand)

@@ -178,13 +178,21 @@ object VectorOps {
     val keyed = base.unionByName(twins)
       .withColumn("digest",
         md5(concat_ws(",", col("embedding").cast("array<string>"))))
-    val groups = keyed.select("vec_id", "digest")
-      .groupBy("digest").agg(min(col("vec_id")).as("rep_id"))
-    val members = keyed.select(col("vec_id"), col("digest"))
-      .join(groups, Seq("digest"))
-      .select(col("vec_id"), col("rep_id"))
+    // Multi-member groups only, materialized once (the NearDupOps
+    // collapsedDups pattern): the frame is proportional to the dup
+    // rate, every expansion branch references it, and without the
+    // checkpoint each union branch would re-run the digest shuffle.
+    val dups = keyed.select("vec_id", "digest")
+      .groupBy("digest")
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("digest", "rep_id")
+      .join(keyed.select("vec_id", "digest"), Seq("digest"))
+      .filter(col("vec_id") =!= col("rep_id"))
+      .select("rep_id", "vec_id")
+      .localCheckpoint()
     val reps = keyed
-      .join(groups.select(col("rep_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .join(dups.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"))
     val e = reps
       .select(col("vec_id"), col("embedding").as("v"),
@@ -217,32 +225,40 @@ object VectorOps {
       .dropDuplicates("id_a", "id_b")
     // Member expansion: a verified (rep_a, rep_b) pair holds for every
     // member combination (identical float arrays → identical dot
-    // products), and every pair inside an exact-dup group scores the
-    // rep's self-cosine (computed, not assumed 1.0, so a zero vector
-    // can never fake a pair the oracle would reject).
-    val cross = verifiedReps
-      .withColumnRenamed("id_a", "rep_a").withColumnRenamed("id_b", "rep_b")
-      .join(members.select(col("rep_id").as("rep_a"), col("vec_id").as("da")),
-        Seq("rep_a"))
-      .join(members.select(col("rep_id").as("rep_b"), col("vec_id").as("db")),
-        Seq("rep_b"))
-      .select(least(col("da"), col("db")).as("id_a"),
-        greatest(col("da"), col("db")).as("id_b"), col("sim"))
-    val multi = members.groupBy("rep_id")
-      .agg(count(lit(1)).as("m")).filter(col("m") > 1)
+    // products) — four branches against the SMALL dup frame (rep×rep is
+    // verifiedReps itself; dup substitutions cover the rest) — and
+    // every pair inside an exact-dup group scores the rep's
+    // self-cosine (computed, not assumed 1.0, so a zero vector can
+    // never fake a pair the oracle would reject).
+    val da = dups.select(col("rep_id").as("id_a"), col("vec_id").as("da"))
+    val db = dups.select(col("rep_id").as("id_b"), col("vec_id").as("db"))
+    val e1 = verifiedReps.join(da, Seq("id_a"))
+      .select(col("da").as("id_a"), col("id_b"), col("sim"))
+    val e2 = verifiedReps.join(db, Seq("id_b"))
+      .select(col("id_a"), col("db").as("id_b"), col("sim"))
+    val e3 = verifiedReps.join(da, Seq("id_a")).join(db, Seq("id_b"))
+      .select(col("da").as("id_a"), col("db").as("id_b"), col("sim"))
+    val cross = verifiedReps.select("id_a", "id_b", "sim")
+      .unionByName(e1).unionByName(e2).unionByName(e3)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
     val repSelf = reps
-      .join(multi.select(col("rep_id").as("vec_id")), Seq("vec_id"))
+      .join(dups.select(col("rep_id").as("vec_id")).distinct(), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("rep_id"),
         round(dot_product(col("embedding"), col("embedding"))
           / (sqrt(dot_product(col("embedding"), col("embedding")))
             * sqrt(dot_product(col("embedding"), col("embedding")))), 4).as("sim"))
       .filter(col("sim") > 0.8)
-    val intra = members.select(col("rep_id"), col("vec_id").as("id_a"))
-      .join(members.select(col("rep_id"), col("vec_id").as("id_b")), Seq("rep_id"))
+    // (rep, dup) rows are id-ordered by construction; dup-dup pairs
+    // come from the small frame's self-join.
+    val repDup = dups.join(repSelf, Seq("rep_id"))
+      .select(col("rep_id").as("id_a"), col("vec_id").as("id_b"), col("sim"))
+    val dupDup = dups.select(col("rep_id"), col("vec_id").as("id_a"))
+      .join(dups.select(col("rep_id"), col("vec_id").as("id_b")), Seq("rep_id"))
       .filter(col("id_a") < col("id_b"))
       .join(repSelf, Seq("rep_id"))
       .select(col("id_a"), col("id_b"), col("sim"))
-    cross.unionByName(intra).orderBy("id_a", "id_b")
+    cross.unionByName(repDup).unionByName(dupDup).orderBy("id_a", "id_b")
   }
 
   /** IVF (inverted-file) approximate nearest neighbors — the online
