@@ -23,6 +23,7 @@ object SparkEntry {
     llm.TextOps.queries ++
     llm.VectorOps.queries ++
     llm.NearDupOps.queries ++
+    llm.CorpusOps.queries ++
     llm.SamplingOps.queries ++
     llm.MultimodalOps.queries ++
     streaming.StreamOps.queries
@@ -39,6 +40,7 @@ object SparkEntry {
     llm.TextOps.oracleSql ++
     llm.VectorOps.oracleSql ++
     llm.NearDupOps.oracleSql ++
+    llm.CorpusOps.oracleSql ++
     llm.SamplingOps.oracleSql ++
     llm.MultimodalOps.oracleSql ++
     streaming.StreamOps.oracleSql

@@ -300,6 +300,57 @@ object MinHashKernel {
       Array[Any](n.toLong, distinct.size.toLong, top.toLong))
   }
 
+  /** Character-distribution stats in one pass: char count, distinct
+    * chars, and Shannon entropy in nats. The entropy sum runs in
+    * ASCENDING char-code order so the floating-point accumulation is
+    * reproducible and matches a DuckDB `list_sum` over a char-ordered
+    * list term-for-term (float addition is order-sensitive; a hash
+    * aggregation order would not be cross-engine stable). `0.0 - s`
+    * rather than `-s` so a single-char doc yields +0.0, not -0.0
+    * (the two hash differently downstream). Counts are UTF-16 code
+    * units — identical to code points on the ASCII fixtures; documented
+    * contract for anything beyond the BMP. */
+  def charStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val sgl = text.toString
+    val n = sgl.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0.0))
+    // ASCII fast path (dense array IS ascending order); sorted-map
+    // overflow for anything above 0x7F keeps order without a sort.
+    val ascii = new Array[Long](128)
+    var over: java.util.TreeMap[Integer, java.lang.Long] = null
+    var i = 0
+    while (i < n) {
+      val c = sgl.charAt(i).toInt
+      if (c < 128) ascii(c) += 1
+      else {
+        if (over == null) over = new java.util.TreeMap[Integer, java.lang.Long]()
+        over.merge(c, 1L, (a, b) => a + b)
+      }
+      i += 1
+    }
+    var s = 0.0
+    var distinct = 0L
+    val nd = n.toDouble
+    i = 0
+    while (i < 128) {
+      if (ascii(i) > 0) {
+        val p = ascii(i) / nd
+        s += p * math.log(p)
+        distinct += 1
+      }
+      i += 1
+    }
+    if (over != null) {
+      distinct += over.size()
+      val it = over.values().iterator()
+      while (it.hasNext) { val p = it.next().longValue() / nd; s += p * math.log(p) }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct, 0.0 - s))
+  }
+
   private def accumulate(h: Long, mins: Array[Long], k: Int): Unit = {
     var i = 0
     while (i < k) {
@@ -447,6 +498,29 @@ object HashKernels {
 
   def repetition_stats(text: Column): Column =
     GraftSqlBridge.column(RepetitionStats(GraftSqlBridge.expression(text)))
+
+  def char_stats(text: Column): Column =
+    GraftSqlBridge.column(CharStats(GraftSqlBridge.expression(text)))
+}
+
+/** Catalyst expression: text → struct(n_chars, n_distinct_chars,
+  * entropy_nats) character-distribution stats, one pass per row. */
+case class CharStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct_chars", LongType, nullable = false),
+    StructField("entropy_nats", DoubleType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.charStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.charStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Catalyst expression: text → struct(n_tokens, n_distinct,

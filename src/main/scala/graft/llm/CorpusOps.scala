@@ -1,0 +1,243 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Corpus-curation operators, round 3: corpus-frequency boilerplate
+  * filtering (the CCNet line-dedup shape applied to n-grams), TF-IDF
+  * term profiling, character-entropy quality scoring, temperature-
+  * scaled source mixture weights, and per-source duplication reporting.
+  *
+  * Scale posture matches the rest of the llm package: shuffle keys are
+  * digests or small ids, never text; per-row analysis runs in fused
+  * codegen kernels; global scalars ride broadcast cross-joins, not
+  * driver collects.
+  */
+object CorpusOps {
+
+  private def tokens(c: Column) = graft.functions.Tokenize.tokens(c)
+
+  /** Corpus-frequency boilerplate filter — the CCNet idea (Wenzek et
+    * al., "CCNet: Extracting high quality monolingual datasets from web
+    * crawl data", 2020: dedup by the corpus-wide frequency of a
+    * document's lines). Fixture text has no line structure, so the unit
+    * is the distinct word-5-gram: a gram appearing in ≥ 3 distinct
+    * documents is "common" (boilerplate — navigation chrome, license
+    * headers, templated spans), and each document reports what fraction
+    * of its grams are common. A doc that is mostly common grams is
+    * template/duplicated matter even when no single full-text dup
+    * exists.
+    *
+    * Plan shape: one scan; grams leave the scan as md5 digests (the
+    * text never rides a shuffle); ONE exchange on the gram digest where
+    * a window count computes corpus df; then a hash re-aggregation back
+    * to doc_id. No self-join, no second scan — at 100 TB this is two
+    * shuffles of (digest, doc_id) pairs. */
+  def commonGramFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashKernels.shingle_array
+    val grams = graft.Tables.tSpread(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(shingle_array(col("text"), 5))).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    val wg = Window.partitionBy("g")
+    grams
+      .withColumn("df", count(lit(1)).over(wg))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("common_frac",
+        col("n_common").cast("double") / col("n_grams"))
+      .withColumn("flag_boilerplate", col("common_frac") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF top-3 terms per document — the classic content-signature /
+    * keyword-extraction job (Salton & Buckley 1988 weighting). tf is
+    * the in-doc term count, df the number of documents containing the
+    * term, idf = ln(N/df) over the N docs with at least one token.
+    *
+    * Plan shape: one (doc_id, term) hash aggregation is the only
+    * corpus-sized shuffle; the df table is |vocab|-sized and BROADCASTS
+    * back, and N rides a broadcast cross-join — so the per-term scoring
+    * never re-shuffles the corpus. The top-3 window partitions by
+    * doc_id (the aggregation already co-located it). Scores are rounded
+    * to 4dp BEFORE ranking, ties broken by term, so the ranking is
+    * cross-engine deterministic. */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Character-entropy quality scoring: Shannon entropy of the char
+    * distribution (nats) plus exact char/distinct-char counts, from the
+    * one-pass fused kernel (functions.CharStats — the composed
+    * explode-and-aggregate form would shuffle every character of the
+    * corpus). Degenerate text (key-mashing, repeated fill, binary
+    * spill) sits far below normal prose entropy; the flag marks docs
+    * under 1.5 nats. Entropy accumulates in char-code order inside the
+    * kernel, so the 4dp-rounded value is cross-engine reproducible (see
+    * kernel scaladoc). Per-row, no shuffle. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.functions.HashKernels.char_stats(col("text")).as("cs"))
+      .select(col("doc_id"),
+        col("cs.n_chars").as("n_chars"),
+        col("cs.n_distinct_chars").as("n_distinct_chars"),
+        round(col("cs.entropy_nats"), 4).as("entropy_nats"))
+      .withColumn("flag_low_entropy", col("entropy_nats") < 1.5)
+      .orderBy("doc_id")
+
+  /** Temperature-scaled source mixture weights — the multinomial
+    * sampling weights for combining corpus sources, w_s ∝ n_s^α with
+    * α = 0.5 (the temperature upsampling rule of multilingual pretrain
+    * recipes — Conneau & Lample 2019 §3.1; α=0.5 is exactly sqrt, which
+    * both engines round correctly, unlike a general pow). The
+    * normalizer Σ√n_s is a float sum, so it accumulates over a SORTED
+    * ascending list (`sort_array(collect_list(...))` here, an
+    * ORDER-BY'd `list_sum` in the oracle) — cross-engine identical
+    * term order, not whatever order the hash aggregation emits.
+    * The source dimension is tiny; everything after the one groupBy is
+    * broadcast arithmetic. */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts
+      .agg(sum(col("n_docs")).as("total_docs"),
+        sort_array(collect_list(sqrt(col("n_docs").cast("double")))).as("zs"))
+      .select(col("total_docs"),
+        aggregate(col("zs"), lit(0.0), _ + _).as("z"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total_docs")).as("share"),
+        round(sqrt(col("n_docs").cast("double")) / col("z"), 4).as("weight"))
+      .orderBy("source")
+  }
+
+  /** Per-source duplication report — the provenance-level view of exact
+    * dedup (q35): for each source, how many docs, how many distinct
+    * texts, how many docs are exact copies of an earlier doc (the
+    * md5-collapse rule: min doc_id per digest is canonical), and the
+    * duplicate fraction. The number a curation run reads to decide
+    * which source needs dedup before mixing. One digest aggregation +
+    * one narrow join (doc_id, source, digest — text never shuffles) +
+    * one source rollup. */
+  def dupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(lower(trim(col("text")))).as("digest"))
+    val g = d.groupBy("digest").agg(min(col("doc_id")).as("rep"))
+    d.join(g, Seq("digest"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("digest")).as("n_distinct_texts"),
+        sum(when(col("doc_id") =!= col("rep"), 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_frac", col("n_dup_docs").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_common_gram_filter" -> commonGramFilter,
+    "q80_tfidf_terms" -> tfidfTerms,
+    "q81_char_entropy" -> charEntropy,
+    "q82_mixture_weights" -> mixtureWeights,
+    "q83_dup_rate_by_source" -> dupRateBySource)
+
+  val oracleSql: Map[String, String] = Map(
+    "q79_common_gram_filter" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |            FROM documents),
+        |g AS (SELECT doc_id, md5(unnest(list_distinct(
+        |    CASE WHEN len(tk) < 5 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 4),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+        |          || tk[i+3] || ' ' || tk[i+4]) END))) AS gd
+        |  FROM tk),
+        |f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY gd) AS df FROM g)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS common_frac,
+        |  (CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) > 0.5
+        |    AS flag_boilerplate
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q80_tfidf_terms" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tk GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 4)
+        |      AS score
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q81_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |      FROM documents WHERE length(text) > 0),
+        |e AS (SELECT cc.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+        |    list_sum(list((CAST(cnt AS DOUBLE) / n.n_chars)
+        |        * ln(CAST(cnt AS DOUBLE) / n.n_chars) ORDER BY c)) AS s
+        |  FROM cc JOIN n ON cc.doc_id = n.doc_id
+        |  GROUP BY cc.doc_id)
+        |SELECT n.doc_id, n.n_chars, e.n_distinct_chars,
+        |  round(0.0 - e.s, 4) AS entropy_nats,
+        |  round(0.0 - e.s, 4) < 1.5 AS flag_low_entropy
+        |FROM n JOIN e ON n.doc_id = e.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    "q82_mixture_weights" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+        |    list_sum(list(sqrt(CAST(n_docs AS DOUBLE))
+        |      ORDER BY sqrt(CAST(n_docs AS DOUBLE)))) AS z
+        |  FROM c)
+        |SELECT source, n_docs,
+        |  CAST(n_docs AS DOUBLE) / total_docs AS share,
+        |  round(sqrt(CAST(n_docs AS DOUBLE)) / z, 4) AS weight
+        |FROM c CROSS JOIN tot ORDER BY source""".stripMargin,
+    "q83_dup_rate_by_source" ->
+      """WITH d AS (SELECT doc_id, source, md5(lower(trim(text))) AS digest
+        |           FROM documents),
+        |g AS (SELECT digest, MIN(doc_id) AS rep FROM d GROUP BY 1)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT d.digest) AS BIGINT) AS n_distinct_texts,
+        |  CAST(SUM(CASE WHEN d.doc_id <> g.rep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(SUM(CASE WHEN d.doc_id <> g.rep THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS dup_frac
+        |FROM d JOIN g ON d.digest = g.digest
+        |GROUP BY source ORDER BY source""".stripMargin)
+}

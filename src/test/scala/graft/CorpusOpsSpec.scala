@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.CorpusOps
+
+/** Value-level checks for the round-3 corpus-curation operators
+  * (q79–q83) on controlled fixtures with hand-computable answers; the
+  * DuckDB oracle pins them on the driver tables. */
+class CorpusOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("corpus").toString
+    rows.map { case (id, tx, src) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("char entropy: degenerate, two-symbol and uniform distributions") {
+    val d = docsDir(Seq(
+      (0L, "aaaaaa", "s"),          // one symbol → entropy 0 (and +0.0, not -0.0)
+      (1L, "abab", "s"),            // two equiprobable symbols → ln 2
+      (2L, "abcdefgh", "s"),        // eight equiprobable → ln 8
+      (3L, "aab", "s")))            // (2/3)ln(3/2) + (1/3)ln 3
+    val r = CorpusOps.charEntropy(spark, d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getDouble(3) == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(r(0L).getDouble(3)) == 0L,
+      "entropy of a constant string must be +0.0, not -0.0")
+    assert(r(0L).getBoolean(4), "constant string is low-entropy")
+    assert(r(1L).getDouble(3) == math.rint(math.log(2) * 1e4) / 1e4)
+    assert(r(2L).getDouble(3) == math.rint(math.log(8) * 1e4) / 1e4)
+    val expected3 = 0.0 - (2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(r(3L).getDouble(3) - expected3) < 1e-4)
+    assert(r(2L).getLong(1) == 8 && r(2L).getLong(2) == 8)
+    assert(!r(2L).getBoolean(4), "uniform 8-symbol text (ln 8 ≈ 2.08) is not flagged")
+  }
+
+  test("common-gram filter flags docs made of corpus-frequent 5-grams") {
+    val boiler = "all rights reserved by the site owner today"
+    val d = docsDir(Seq(
+      (0L, boiler, "s"),
+      (1L, boiler, "s"),
+      (2L, boiler + " plus unique trailing content here", "s"),
+      (3L, "completely original text with distinct phrasing and no shared spans", "s"),
+      (4L, "tiny", "s"))) // < 5 tokens → no grams → no row
+    val r = CorpusOps.commonGramFilter(spark, d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(4L), "sub-5-token doc has no grams")
+    // boilerplate appears in docs 0,1,2 → df=3 → common
+    assert(r(0L).getBoolean(4) && r(1L).getBoolean(4),
+      "pure-boilerplate docs must be flagged")
+    assert(r(3L).getLong(2) == 0 && !r(3L).getBoolean(4),
+      "original doc shares no grams")
+    // doc 2 = 4 boilerplate grams of 9 total (13 tokens → 9 grams,
+    // 4 fully inside the boilerplate prefix) → below the 0.5 bar
+    assert(r(2L).getLong(1) == 9 && r(2L).getLong(2) == 4)
+    assert(!r(2L).getBoolean(4))
+  }
+
+  test("tfidf ranks a doc-specific term above corpus-wide terms") {
+    val d = docsDir(Seq(
+      (0L, "shared shared shared zebra", "s"),
+      (1L, "shared shared common words", "s"),
+      (2L, "shared common words filler", "s")))
+    val rows = CorpusOps.tfidfTerms(spark, d).collect()
+    val top0 = rows.filter(r => r.getLong(0) == 0 && r.getLong(1) == 1).head
+    // "zebra": tf=1, df=1, N=3 → score ln 3 ≈ 1.0986 beats "shared"
+    // (tf=3 but df=3 → idf 0 → score 0)
+    assert(top0.getString(2) == "zebra")
+    assert(top0.getDouble(5) == math.rint(math.log(3.0) * 1e4) / 1e4)
+    val sharedRow = rows.filter(r => r.getLong(0) == 0 && r.getString(2) == "shared")
+    assert(sharedRow.forall(_.getDouble(5) == 0.0), "df=N term scores 0")
+    // every doc emits at most 3 ranked rows, ranks are 1..k
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+    }
+  }
+
+  test("mixture weights follow sqrt(count) and shares stay exact") {
+    val docs = (1 to 1).map(i => (i.toLong, s"doc a $i", "small")) ++
+      (10 to 13).map(i => (i.toLong, s"doc b $i", "big"))
+    val d = docsDir(docs)
+    val r = CorpusOps.mixtureWeights(spark, d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // counts 1 and 4 → sqrt 1 and 2 → weights 1/3 and 2/3
+    assert(r("small").getLong(1) == 1 && r("big").getLong(1) == 4)
+    assert(r("small").getDouble(2) == 0.2 && r("big").getDouble(2) == 0.8)
+    assert(r("small").getDouble(3) == 0.3333 && r("big").getDouble(3) == 0.6667)
+  }
+
+  test("dup rate by source counts exact copies beyond the canonical doc") {
+    val d = docsDir(Seq(
+      (0L, "identical text body", "dirty"),
+      (1L, "identical text body", "dirty"),
+      (2L, "identical text body", "dirty"),
+      (3L, "unique one", "dirty"),
+      (4L, "unique two", "clean"),
+      (5L, "unique three", "clean")))
+    val r = CorpusOps.dupRateBySource(spark, d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("dirty").getLong(1) == 4 && r("dirty").getLong(2) == 2
+      && r("dirty").getLong(3) == 2)
+    assert(r("dirty").getDouble(4) == 0.5)
+    assert(r("clean").getLong(3) == 0 && r("clean").getDouble(4) == 0.0)
+  }
+
+  test("q79-q83 run non-degenerate on the sf0.001 fixture") {
+    val dir = "/root/testdata/sf0.001"
+    for ((name, q) <- CorpusOps.queries) {
+      val n = q(spark, dir).count()
+      assert(n > 0, s"$name returned no rows on the fixture")
+    }
+  }
+}
