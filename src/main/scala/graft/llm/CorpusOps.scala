@@ -67,10 +67,16 @@ object CorpusOps {
     * to 4dp BEFORE ranking, ties broken by term, so the ranking is
     * cross-engine deterministic. */
   def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    // The tf frame feeds three consumers (scoring join, df table, N) —
+    // materialized once so the corpus is scanned and tokenized once,
+    // not three times (tf is the vocabulary-per-doc projection, a few
+    // percent of corpus bytes, so caching it is the right trade at any
+    // scale).
     val tf = t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy("doc_id")
@@ -145,8 +151,13 @@ object CorpusOps {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         md5(lower(trim(col("text")))).as("digest"))
-    val g = d.groupBy("digest").agg(min(col("doc_id")).as("rep"))
-    d.join(g, Seq("digest"))
+    // Canonical = global min doc_id per digest (a dup group may span
+    // sources). Window over the digest rather than aggregate+self-join:
+    // one scan and one exchange of (doc_id, source, digest) — the text
+    // itself never leaves the scan in either shape, but the join form
+    // would scan and hash the corpus twice.
+    val w = Window.partitionBy("digest")
+    d.withColumn("rep", min(col("doc_id")).over(w))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
