@@ -110,6 +110,21 @@ object ScaleSoak {
       graft.llm.NearDupOps.dupClusters(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    // Round-3 corpus ops with corpus-proportional shuffles: the gram-
+    // digest window (q79), the tf build + broadcast scoring (q80), and
+    // the digest-window dup report (q83) — all must scale ~linearly.
+    time("common_gram_filter") {
+      graft.llm.CorpusOps.commonGramFilter(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("tfidf_terms") {
+      graft.llm.CorpusOps.tfidfTerms(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("dup_rate_by_source") {
+      graft.llm.CorpusOps.dupRateBySource(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
     // The saturation contract's soak assertion (ADVICE r2): pair-level
     // completeness inside a saturated band rests on the 8-hub star, so
     // report how many post-collapse distinct-text bands enter that
