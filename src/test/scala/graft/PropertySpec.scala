@@ -78,4 +78,28 @@ class PropertySpec extends AnyFunSuite {
       assert(r(0) == r(1))
     }
   }
+
+  test("char entropy is permutation-invariant and bounded by ln(distinct)") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val chars = (1 to (2 + rnd.nextInt(40)))
+        .map(_ => ('a' + rnd.nextInt(12)).toChar).mkString
+      val shuffled = new scala.util.Random(rnd.nextInt())
+        .shuffle(chars.toList).mkString
+      val rows = Seq((0L, chars), (1L, shuffled)).toDF("doc_id", "text")
+        .select(graft.functions.HashKernels.char_stats(col("text")).as("cs"))
+        .select(col("cs.n_chars"), col("cs.n_distinct_chars"),
+          col("cs.entropy_nats"))
+        .collect()
+      // same char multiset → bit-identical stats (the kernel's ordered
+      // accumulation makes this exact, not approximate)
+      assert(rows(0) == rows(1), s"'$chars' vs '$shuffled'")
+      val distinct = rows(0).getLong(1)
+      val e = rows(0).getDouble(2)
+      assert(e >= 0.0, "entropy is non-negative")
+      assert(e <= math.log(distinct.toDouble) + 1e-12,
+        s"entropy $e above ln($distinct)")
+      assert(rows(0).getLong(0) == chars.length.toLong)
+    }
+  }
 }
