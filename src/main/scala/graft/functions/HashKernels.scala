@@ -240,6 +240,48 @@ object MinHashKernel {
     z * MIX ^ (z >>> 32)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Deterministic 1/16 sample of a document's char-k-gram MD5 digests
+    * (those whose first hex nibble is 0), distinct + sorted lowercase
+    * hex. MD5-of-substring is the one gram hash an ANSI-SQL oracle
+    * (`md5(substr(text, i, k))`) computes bit-identically, which is
+    * what makes exact substring-overlap (q85) fully hash-checkable —
+    * unlike the Karp-Rabin winnowing stream (q54), which is
+    * engine-specific. Null for docs shorter than k chars; the composed
+    * `transform(sequence…md5(substr))` form runs interpreted and
+    * materializes EVERY gram digest before filtering — this kernel
+    * stays in codegen and allocates only for the 1/16 that survive. */
+  def sampledGramDigests(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < k) return null
+    val md = md5Local.get()
+    val sel = scala.collection.mutable.SortedSet[String]()
+    var i = 0
+    val last = s.length - k
+    while (i <= last) {
+      val d = md.digest(s.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 0xF0) == 0) {
+        val sb = new java.lang.StringBuilder(32)
+        var j = 0
+        while (j < 16) {
+          val b = d(j) & 0xff
+          sb.append(Character.forDigit(b >> 4, 16))
+          sb.append(Character.forDigit(b & 0xf, 16))
+          j += 1
+        }
+        sel += sb.toString
+      }
+      i += 1
+    }
+    new GenericArrayData(sel.toArray[Any](scala.reflect.ClassTag.Any)
+      .map(x => UTF8String.fromString(x.asInstanceOf[String])))
+  }
+
   /** Count sliding 3-byte windows of `text` whose packed key appears in
     * the sorted key array — every occurrence counts, matching
     * `len(list_filter(trigrams, t -> t IN set))` for ASCII profiles
@@ -493,6 +535,9 @@ object HashKernels {
   def winnow_fingerprint(text: Column, n: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowFingerprint(GraftSqlBridge.expression(text), n, w))
 
+  def sampled_gram_digests(text: Column, k: Int): Column =
+    GraftSqlBridge.column(SampledGramDigests(GraftSqlBridge.expression(text), k))
+
   def trigram_hits(text: Column, trigrams: Seq[String]): Column =
     GraftSqlBridge.column(TrigramHits(GraftSqlBridge.expression(text), trigrams))
 
@@ -562,6 +607,26 @@ case class TrigramHits(child: Expression, trigrams: Seq[String]) extends UnaryEx
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.MinHashKernel.trigramHits($c, $keysRef)")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: text → sorted distinct MD5 hex digests of the
+  * deterministic 1/16 char-k-gram sample (null below k chars). */
+case class SampledGramDigests(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.sampledGramDigests(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.MinHashKernel.sampledGramDigests($c, $k);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

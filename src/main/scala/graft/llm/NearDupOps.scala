@@ -161,6 +161,12 @@ object NearDupOps {
   private def mhBanded(s: SparkSession, dir: String, k: Int, bands: Int): DataFrame =
     mhBandedOf(graft.Tables.tSpread(s, dir, "documents"), k, bands)
 
+  /** The standard banding (k=64, 16 bands) over an arbitrary (doc_id,
+    * text) frame — exposed to [[BandIndex]] so the staged index and the
+    * online probe share one banding definition by construction. */
+  private[llm] def mhBandedFor(docs: DataFrame): DataFrame =
+    mhBandedOf(docs, 64, 16)
+
   /** Within-band candidate pairs with the saturated-band guard: bands
     * with more than [[SaturatedBand]] members degrade to a star on the
     * [[StarHubs]] smallest doc ids — O(8·size) candidates instead of
@@ -434,8 +440,13 @@ object NearDupOps {
     * the most common incremental hit. At production scale the corpus
     * side's band table is a materialized staging output (the IvfIndex
     * pattern); only the new batch is banded per run. */
+  /** The ingest-batch stand-in shared by q76 and the staged q84: docs
+    * with id ≡ 7 mod 10 are "the incoming batch", the rest "the
+    * existing corpus". In production this is a real batch table. */
+  private[llm] def isNewDoc(c: Column): Column = pmod(c, lit(10)) === 7
+
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
-    def isNew(c: Column): Column = pmod(c, lit(10)) === 7
+    def isNew(c: Column): Column = isNewDoc(c)
     val dups = collapsedDups(s, dir)
     val reps = repDocs(s, dir, dups)
     // Group-level batch flags: a rep carries its own side plus any dup
@@ -480,6 +491,185 @@ object NearDupOps {
         .filter(isNew(col("doc_b")) && !isNew(col("doc_a")))
         .select(col("doc_b").as("new_doc") +: col("doc_a").as("old_doc") +: st: _*))
     cross.unionByName(intraDirected).orderBy("new_doc", "old_doc")
+  }
+
+  /** Incremental near-dup against the STAGED corpus band index
+    * ([[BandIndex]]) — the production form of [[incrementalNearDup]]:
+    * the corpus side (digest groups, collapse frame, band table) is
+    * read from the offline index, so per-batch work is O(batch): digest
+    * the batch, band only unmatched batch texts, join band keys against
+    * the staged band table, exact-verify candidates, expand members.
+    * Output is identical to q76 (same brute-force (new, old) ≥ 0.8
+    * contract, same DuckDB oracle); the equivalence is additionally
+    * pinned pair-for-pair by BandIndexSpec at two fixture scales.
+    *
+    * Probe anatomy (per batch, corpus touched only through the index
+    * and the verify join):
+    *   1. exact path — batch digests ⋈ staged digests: a hit is a
+    *      jaccard-1 pair with every member of the matched group
+    *      (identical text ⇒ identical shingle set; unshingleable
+    *      groups emit nothing, the staged n_sh=0 rule);
+    *   2. near path — unmatched batch texts collapse among themselves,
+    *      their reps are banded (cost ∝ batch) and joined against the
+    *      staged bands (saturated staged bands degrade to the
+    *      precomputed [[StarHubs]] hubs — no corpus re-count at probe);
+    *   3. reacquired path — an old group that just gained an exact twin
+    *      from the batch inherits that twin's near-dup neighbors: its
+    *      own staged bands are re-joined against the band table,
+    *      restricted to the (small) set of matched reps;
+    *   4. both candidate sets are exact-verified (3-gram Jaccard ≥ 0.8
+    *      — shingles only ever computed for candidate docs), then
+    *      expanded to directed (new_doc, old_doc) member pairs through
+    *      the staged collapse frame and the batch collapse frame. */
+  def incrementalNearDupStaged(s: SparkSession, dir: String): DataFrame = {
+    val st = pairStats.map(col)
+    val idx = BandIndex.ensure(s, dir)
+    val digests = s.read.parquet(s"$idx/digests")
+    val oldDups = s.read.parquet(s"$idx/dups")
+    val oldBands = s.read.parquet(s"$idx/bands")
+    val batch = graft.Tables.tSpread(s, dir, "documents")
+      .filter(isNewDoc(col("doc_id")))
+      .select(col("doc_id"), col("text"), md5(col("text")).as("digest"))
+    // 1. exact path: matched batch docs pair with every member of
+    // their old group at jaccard 1 (rep + staged dup members).
+    val matched = batch.select("doc_id", "digest")
+      .join(digests, Seq("digest"))
+      .select(col("doc_id").as("new_doc"), col("rep_id"), col("n_sh"))
+      .localCheckpoint()
+    val exactPairs = matched.filter(col("n_sh") > 0)
+      .select(col("new_doc"), col("rep_id").as("old_doc"), col("n_sh"))
+      .unionByName(matched.filter(col("n_sh") > 0)
+        .join(oldDups, Seq("rep_id"))
+        .select(col("new_doc"), col("doc_id").as("old_doc"), col("n_sh")))
+      .select(col("new_doc"), col("old_doc"), col("n_sh").as("n_inter"),
+        col("n_sh").as("n_union"), lit(1.0).as("jaccard"))
+    // 2. near path: collapse the unmatched batch, band its reps only.
+    val unmatched = batch
+      .join(digests.select("digest"), Seq("digest"), "left_anti")
+    val batchGroups = unmatched.select("doc_id", "digest")
+      .groupBy("digest").agg(min(col("doc_id")).as("rep_id"))
+    val batchDups = unmatched.select("doc_id", "digest")
+      .join(batchGroups, Seq("digest"))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select("rep_id", "doc_id")
+      .localCheckpoint()
+    val batchReps = unmatched
+      .join(batchDups.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+    // Saturated staged bands degrade to their precomputed hubs, the
+    // probe-side mirror of [[bandCandidates]]'s star guard.
+    val guardedOld = oldBands
+      .filter(col("band_n") <= SaturatedBand || col("hub_rank") <= StarHubs)
+    val candNewOld = mhBandedFor(batchReps)
+      .select(col("doc_id").as("doc_a"), col("band"))
+      .join(guardedOld.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    // 3. reacquired path: matched old reps re-join their own staged
+    // bands against the band table (left side restricted to the small
+    // matched set, so the join touches only those reps' buckets).
+    val gained = matched.select(col("rep_id").as("doc_id")).distinct()
+    val candOldOld = oldBands
+      .join(gained, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("band"))
+      .join(guardedOld.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // 4. exact-verify + member expansion, directed (new, old).
+    val verNO = rescoreExactJaccard(s, dir, candNewOld, 0.8)
+    val verOO = rescoreExactJaccard(s, dir, candOldOld, 0.8)
+    val newSideDup = batchDups
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("na"))
+    val oldSideDup = oldDups
+      .select(col("rep_id").as("doc_b"), col("doc_id").as("ob"))
+    val noPairs = verNO.select((col("doc_a") +: col("doc_b") +: st): _*)
+      .unionByName(verNO.join(newSideDup, Seq("doc_a"))
+        .select(col("na").as("doc_a") +: col("doc_b") +: st: _*))
+      .unionByName(verNO.join(oldSideDup, Seq("doc_b"))
+        .select(col("doc_a") +: col("ob").as("doc_b") +: st: _*))
+      .unionByName(verNO.join(newSideDup, Seq("doc_a")).join(oldSideDup, Seq("doc_b"))
+        .select(col("na").as("doc_a") +: col("ob").as("doc_b") +: st: _*))
+      .select(col("doc_a").as("new_doc") +: col("doc_b").as("old_doc") +: st: _*)
+    // A verified old-old pair (a, b): a's gained batch twins pair with
+    // b's old members, and vice versa (jaccard(gained twin, other
+    // group) = jaccard(a, b) — identical text, identical shingles).
+    val gainedNew = matched.select(col("rep_id"), col("new_doc"))
+    def ooDirected(repA: String, repB: String): DataFrame = {
+      val base = verOO
+        .select(col(repA).as("rep_id") +: col(repB).as("old_rep") +: st: _*)
+        .join(gainedNew, Seq("rep_id"))
+      base
+        .select(col("new_doc") +: col("old_rep").as("old_doc") +: st: _*)
+        .unionByName(base
+          .join(oldDups.select(col("rep_id").as("old_rep"),
+            col("doc_id").as("ob")), Seq("old_rep"))
+          .select(col("new_doc") +: col("ob").as("old_doc") +: st: _*))
+    }
+    exactPairs
+      .unionByName(noPairs)
+      .unionByName(ooDirected("doc_a", "doc_b"))
+      .unionByName(ooDirected("doc_b", "doc_a"))
+      .orderBy("new_doc", "old_doc")
+  }
+
+  /** Exact substring-overlap pairs over distinct texts — the
+    * training-set substring-dedup signal of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" (ACL 2022), §4.1
+    * (ExactSubstr), re-expressed as deterministic gram sampling so the
+    * whole pipeline is hash-checkable against an ANSI-SQL oracle:
+    *
+    *   1. collapse exact dups (md5(text) → min-id rep) — clone
+    *      clusters must not explode into C(n,2) gram-join rows; their
+    *      pair listing is q35/q62's job;
+    *   2. per rep, the deterministic 1/16 sample of char-40-gram MD5
+    *      digests ([[graft.functions.HashKernels.sampled_gram_digests]]
+    *      — md5-of-substring is computable bit-identically in SQL,
+    *      unlike the Karp-Rabin winnowing stream of q54);
+    *   3. drop boilerplate grams appearing in > 50 reps (the shared-
+    *      header problem; bounds any gram's join fanout to C(50,2));
+    *   4. digest self-join → pairs sharing ≥ 2 sampled grams, with
+    *      per-doc sampled-gram counts and containment
+    *      n_shared / min(n_a, n_b).
+    *
+    * Scale shape: the shuffle carries 16-byte digests at 1/16 gram
+    * density (~1× corpus bytes — inherent to substring-level dedup;
+    * suffix-array approaches pay the same linear factor), the
+    * boilerplate cap bounds bucket fanout, and a shared substring of
+    * length ≥ 40 + 16·k/ln(…) chars yields ≥ k expected shared sampled
+    * grams, so long verbatim overlaps are caught with overwhelming
+    * probability while the sample keeps the join sparse. */
+  def substringOverlap(s: SparkSession, dir: String): DataFrame = {
+    val K = 40; val Boiler = 50; val MinShared = 2
+    val dups = collapsedDups(s, dir)
+    // Exploded (rep, gram-digest) frame, materialized once: the
+    // boilerplate count, both join sides, and the per-doc sizes all
+    // reuse it (4 consumers — without the checkpoint each re-runs the
+    // scan + kernel). ~1/16 of corpus chars as 32-hex strings: small.
+    val g = repDocs(s, dir, dups)
+      .select(col("doc_id"),
+        explode(graft.functions.HashKernels.sampled_gram_digests(col("text"), K))
+          .as("gram"))
+      .localCheckpoint()
+    val keep = g.join(
+      g.groupBy("gram").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= Boiler).select("gram"),
+      Seq("gram"), "left_semi")
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    keep.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact word-3-gram Jaccard similarity over a bounded slice
@@ -724,7 +914,9 @@ object NearDupOps {
     "q49_doc_embed_neardup" -> docEmbedNearDup,
     "q62_dup_clusters"  -> dupClusters,
     "q75_canonical_selection" -> canonicalSelection,
-    "q76_incremental_neardup" -> incrementalNearDup)
+    "q76_incremental_neardup" -> incrementalNearDup,
+    "q84_incremental_staged" -> incrementalNearDupStaged,
+    "q85_substring_overlap" -> substringOverlap)
 
   // q45 hashes with xxhash64 (not available in DuckDB) → rows-only
   // driver check; its value-level verification is NearDupSpec. q43/q49
@@ -775,6 +967,33 @@ object NearDupOps {
         |JOIN qn q USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q76_incremental_neardup" ->
+      """WITH docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS new_doc, b.doc_id AS old_doc, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+        |  GROUP BY 1, 2)
+        |SELECT new_doc, old_doc, n_inter,
+        |  sa.n_sh + sb.n_sh - n_inter AS n_union,
+        |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = new_doc
+        |JOIN sizes sb ON sb.doc_id = old_doc
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+        |ORDER BY new_doc, old_doc""".stripMargin,
+    // q84 is contract-identical to q76 (staged index vs self-contained
+    // plan — same brute-force (new, old) >= 0.8 output), so it shares
+    // the same oracle SQL verbatim.
+    "q84_incremental_staged" ->
       """WITH docsh AS (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(tk) < 3 THEN []
@@ -877,6 +1096,30 @@ object NearDupOps {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q85_substring_overlap" ->
+      """WITH reps AS (
+        |  SELECT min(doc_id) AS doc_id, any_value(text) AS text
+        |  FROM documents GROUP BY md5(text)),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    list_transform(generate_series(1, len(text) - 39),
+        |      i -> md5(substr(text, i, 40))),
+        |    d -> substr(d, 1, 1) = '0'))) AS gram
+        |  FROM reps WHERE len(text) >= 40),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |keep AS (SELECT doc_id, gram FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM keep a JOIN keep b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, sa.n_grams AS n_a, sb.n_grams AS n_b,
+        |  CAST(n_shared AS DOUBLE) / least(sa.n_grams, sb.n_grams) AS containment
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_shared >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q44_ngram_jaccard" ->
       """WITH docsh AS (

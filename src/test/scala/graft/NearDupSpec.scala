@@ -334,4 +334,61 @@ class NearDupSpec extends AnyFunSuite {
       .select(shingle_tf_vector(col("text"), 3, 256).as("v")).collect()
     assert(short.head.isNullAt(0))
   }
+
+  test("fused sampled_gram_digests equals the composed md5(substr) form") {
+    import graft.functions.HashKernels.sampled_gram_digests
+    // The composed twin of the kernel — the exact algebra the DuckDB
+    // oracle runs, expressed in Spark built-ins.
+    def composed(t: org.apache.spark.sql.Column) =
+      when(length(t) >= 40, array_sort(array_distinct(filter(
+        transform(sequence(lit(1), length(t) - 39),
+          i => md5(t.substr(i, lit(40)))),
+        d => d.substr(lit(1), lit(1)) === "0"))))
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, base), (9002L, "short text")).toDF("doc_id", "text"))
+    val rows = docs.select(
+        sampled_gram_digests(col("text"), 40).as("k"),
+        composed(col("text")).as("c"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) assert(r.isNullAt(0) == r.isNullAt(1))
+      else assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("substring overlap pairs docs sharing a long verbatim run, collapsed over exact dups") {
+    import graft.llm.NearDupOps
+    val run = (1 to 60).map(i => f"token$i%02d").mkString(" ") // ~400 shared chars
+    val a = s"unique prefix alpha $run unique suffix omega"
+    val b = s"completely different opening words here $run and another different close"
+    val c = "no shared material at all in this document body of ordinary prose length"
+    val dir = java.nio.file.Files.createTempDirectory("subover").toString
+    Seq((10L, a), (20L, b), (30L, c), (40L, a)) // 40 = exact clone of 10
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = NearDupOps.substringOverlap(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 20L)),
+      s"expected exactly the planted overlap pair over reps, got $got")
+    val full = NearDupOps.substringOverlap(spark, dir).collect()
+    full.foreach { r =>
+      assert(r.getLong(2) >= 2 && r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("substring overlap is non-vacuous and invariant-clean on fixtures") {
+    import graft.llm.NearDupOps
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val rows = NearDupOps.substringOverlap(spark, dir).collect()
+      assert(rows.nonEmpty, s"q85@$dir vacuous")
+      rows.foreach { r =>
+        assert(r.getLong(0) < r.getLong(1), "pairs must be ordered doc_a < doc_b")
+        assert(r.getLong(2) >= 2, "threshold n_shared >= 2 violated")
+        assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)),
+          "shared grams cannot exceed either side's sampled-gram count")
+      }
+    }
+  }
 }
