@@ -365,7 +365,8 @@ class NearDupSpec extends AnyFunSuite {
     val c = "no shared material at all in this document body of ordinary prose length"
     val dir = java.nio.file.Files.createTempDirectory("subover").toString
     Seq((10L, a), (20L, b), (30L, c), (40L, a)) // 40 = exact clone of 10
-      .toDF("doc_id", "text")
+      .map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = NearDupOps.substringOverlap(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
