@@ -22,7 +22,10 @@ object Bench {
       // part of query latency — q57 measures the IVF probe, q84 the
       // band-index probe).
       graft.llm.IvfIndex.ensure(spark, sfDir)
-      graft.llm.BandIndex.ensure(spark, sfDir)
+      graft.llm.BandIndex.ensure(spark, sfDir,
+        graft.llm.BandIndex.Boundary.ingestMod10)
+      graft.llm.BandIndex.ensure(spark, sfDir,
+        graft.llm.BandIndex.Boundary.all)
     } catch { case _: Throwable => () }
     // noop sink materializes EVERY column — count() would let Catalyst
     // prune projection-only work (e.g. a fingerprint column that nothing

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-cutting materialization for iterative / multi-consumer
+  * intermediate frames (collapse frames, label-propagation rounds, the
+  * TF frame) — the one place the repo decides HOW an intermediate is
+  * made durable.
+  *
+  * Default is `localCheckpoint()`: blocks live in executor storage
+  * (memory, then disk) with no replication. That is strictly the right
+  * call at `local[32]` — a single JVM cannot lose an executor without
+  * losing the driver too, and reliable checkpointing would pay an HDFS
+  * round-trip for nothing.
+  *
+  * On a real cluster the trade flips: a localCheckpoint block lives on
+  * exactly one executor AND truncates the lineage that could recompute
+  * it, so one lost executor fails the whole job. Cluster runs should
+  * set `spark.graft.reliableCheckpoint=true` (plus
+  * `spark.graft.checkpointDir=hdfs://...`, typically alongside the
+  * warehouse): every site in the repo then switches to reliable
+  * `checkpoint()`, which survives executor loss at the cost of one
+  * write+read through the fault-tolerant store. The frames routed
+  * through here are all small relative to their inputs (dup members,
+  * band digests, edge lists, per-doc term counts), so the reliable
+  * write is cheap relative to the recompute it insures.
+  */
+object Materialize {
+
+  val ReliableFlag = "spark.graft.reliableCheckpoint"
+  val DirKey = "spark.graft.checkpointDir"
+
+  /** Materialize `df` and cut its lineage, eagerly. */
+  def stable(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable = s.conf.getOption(ReliableFlag).exists(_.toBoolean)
+    if (!reliable) df.localCheckpoint()
+    else {
+      if (s.sparkContext.getCheckpointDir.isEmpty) {
+        val dir = s.conf.getOption(DirKey).getOrElse(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-checkpoints")
+        s.sparkContext.setCheckpointDir(dir)
+      }
+      df.checkpoint()
+    }
+  }
+}

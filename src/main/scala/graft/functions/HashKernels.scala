@@ -349,28 +349,34 @@ object MinHashKernel {
     * list term-for-term (float addition is order-sensitive; a hash
     * aggregation order would not be cross-engine stable). `0.0 - s`
     * rather than `-s` so a single-char doc yields +0.0, not -0.0
-    * (the two hash differently downstream). Counts are UTF-16 code
-    * units — identical to code points on the ASCII fixtures; documented
-    * contract for anything beyond the BMP. */
+    * (the two hash differently downstream). The unit is the Unicode
+    * CODE POINT (iterated via codePointAt, accumulated in ascending
+    * code-point order), matching DuckDB's `length`/`string_split` —
+    * UTF-16 code units would silently break oracle parity on any
+    * non-BMP text (emoji, rare CJK), so the kernel does not depend on
+    * the fixtures staying ASCII. */
   def charStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val sgl = text.toString
-    val n = sgl.length
-    if (n == 0)
+    val len = sgl.length
+    if (len == 0)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](0L, 0L, 0.0))
     // ASCII fast path (dense array IS ascending order); sorted-map
-    // overflow for anything above 0x7F keeps order without a sort.
+    // overflow for anything above 0x7F keeps code-point order without
+    // a sort.
     val ascii = new Array[Long](128)
     var over: java.util.TreeMap[Integer, java.lang.Long] = null
+    var n = 0L
     var i = 0
-    while (i < n) {
-      val c = sgl.charAt(i).toInt
+    while (i < len) {
+      val c = sgl.codePointAt(i)
       if (c < 128) ascii(c) += 1
       else {
         if (over == null) over = new java.util.TreeMap[Integer, java.lang.Long]()
         over.merge(c, 1L, (a, b) => a + b)
       }
-      i += 1
+      n += 1
+      i += Character.charCount(c)
     }
     var s = 0.0
     var distinct = 0L
@@ -390,7 +396,7 @@ object MinHashKernel {
       while (it.hasNext) { val p = it.next().longValue() / nd; s += p * math.log(p) }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](n.toLong, distinct, 0.0 - s))
+      Array[Any](n, distinct, 0.0 - s))
   }
 
   private def accumulate(h: Long, mins: Array[Long], k: Int): Unit = {

@@ -1,20 +1,24 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Offline LSH band index over the existing corpus — the staging table
-  * that makes incremental near-dup ingestion (q84) cost O(batch), not
-  * O(corpus), per run. Same offline-build/online-probe split as
-  * [[IvfIndex]], same atomic-publish discipline.
+/** Offline LSH band index over a corpus side — the staging tables that
+  * make near-dup queries pay the corpus-side collapse + banding ONCE
+  * per corpus version instead of once per query. Same
+  * offline-build/online-probe split as [[IvfIndex]], same
+  * atomic-publish discipline.
   *
-  * A continuously-ingesting pipeline re-checks every incoming batch
-  * against everything already ingested. Re-banding the corpus per batch
-  * (what the self-contained q76 necessarily does) re-pays the corpus
-  * scan + signature + band shuffle every run; at 100 TB that is the
-  * whole cost. Staged, the corpus side is computed ONCE per corpus
-  * version:
+  * Two consumers:
+  *   - incremental ingestion (q84): the index stages everything that is
+  *     NOT the incoming batch, and the per-batch probe is O(batch);
+  *   - the whole-corpus near-dup family (q43/q49/q62/q75/q85 and the
+  *     q65 capstone): with [[Boundary.all]] the index stages the full
+  *     corpus, and every family member reads the same collapse frame
+  *     and band table instead of recomputing the digest shuffle and
+  *     MinHash banding per query.
   *
+  * Staged tables:
   *   - `digests/` — one row per distinct corpus text:
   *     (digest, rep_id, n_sh): md5 of the text, the min-id canonical
   *     doc, and its 3-gram shingle-set size (0 when too short to
@@ -26,52 +30,78 @@ import org.apache.spark.sql.functions._
   *     corpus dup rate).
   *   - `bands/` — (band, doc_id, band_n, hub_rank): the 16 MinHash band
   *     digests per shingleable representative, with the per-band member
-  *     count and min-id rank PRE-computed so the probe can apply the
+  *     count and min-id rank PRE-computed so consumers can apply the
   *     saturated-band star guard without re-counting the corpus.
   *
   * All three tables are narrow (ids + 8/16-byte digests — document text
   * never enters the index). The index is keyed on the corpus version
-  * (path | bytes | mtime | layout), staged into a temp dir and
-  * published by a single atomic rename, completeness keyed on
-  * `bands/_SUCCESS` — a concurrent probe can never read a half-written
-  * index, and content drift rebuilds under a fresh key. */
+  * (path | bytes | mtime), the BOUNDARY identity (which docs are "the
+  * batch" and therefore excluded), the banding parameters, and the
+  * layout version — so changing the batch predicate or the band shape
+  * rebuilds under a fresh key instead of silently serving an index with
+  * the wrong corpus membership. Publication is a staging write plus a
+  * single atomic rename, completeness keyed on `bands/_SUCCESS` — a
+  * concurrent probe can never read a half-written index, and content
+  * drift rebuilds under a fresh key. */
 object BandIndex {
+
+  /** Which docs are the incoming batch (excluded from the staged
+    * corpus side). `id` is part of the index cache key, so two
+    * boundaries can never share an index directory. */
+  final case class Boundary(id: String, isBatch: Column => Column)
+
+  object Boundary {
+    /** No batch: the index stages the whole corpus (the q43/q62/q75/q85
+      * whole-corpus family). */
+    val all: Boundary = Boundary("batch=none", _ => lit(false))
+    /** The fixture ingest stand-in shared by q76/q84: docs with
+      * id ≡ 7 (mod 10) are "the incoming batch". */
+    val ingestMod10: Boundary = Boundary("batch=mod10eq7", NearDupOps.isNewDoc)
+  }
 
   private def cacheRoot: String =
     sys.env.getOrElse("GRAFT_INDEX_DIR",
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
 
-  /** Bump on any change to band parameters, schemas, or kernel code. */
-  private val LayoutVersion = 1
+  /** Bump on any change to staged schemas or kernel code. Band
+    * parameters and the boundary are IN the identity string already —
+    * this covers what the string cannot see. */
+  private val LayoutVersion = 2
 
-  def indexDir(s: SparkSession, dir: String): String = {
+  /** MinHash band shape staged in `bands/` — must match
+    * [[NearDupOps.mhBandedFor]] (k hashes, b bands). Part of the cache
+    * key so a reshape rebuilds instead of reusing stale banding. */
+  private val K = 64
+  private val Bands = 16
+
+  def indexDir(s: SparkSession, dir: String, boundary: Boundary): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val bytes = fs.getContentSummary(p).getLength
-    val id = s"$dir|$bytes|${st.getModificationTime}|bands|v=$LayoutVersion"
+    val id = s"$dir|$bytes|${st.getModificationTime}|bands|k=$K|b=$Bands" +
+      s"|${boundary.id}|v=$LayoutVersion"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(id.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     s"$cacheRoot/bands_$key"
   }
 
-  /** Offline build over the existing-corpus side (everything that is
-    * not the incoming batch). Runs as a scheduled staging stage at
-    * scale; invoked lazily by [[ensure]] here. */
-  def build(s: SparkSession, dir: String): String = {
+  /** Offline build over the corpus side (everything that is not the
+    * boundary's batch). Runs as a scheduled staging stage at scale;
+    * invoked lazily by [[ensure]] here. */
+  def build(s: SparkSession, dir: String, boundary: Boundary): String = {
     import graft.functions.HashKernels.shingle_array
-    val idx = indexDir(s, dir)
+    val idx = indexDir(s, dir, boundary)
     val tmp = s"$idx.tmp-${java.util.UUID.randomUUID}"
     val old = graft.Tables.tSpread(s, dir, "documents")
-      .filter(!NearDupOps.isNewDoc(col("doc_id")))
+      .filter(!boundary.isBatch(col("doc_id")))
       .select(col("doc_id"), col("text"), md5(col("text")).as("digest"))
-    val groups = old.groupBy("digest").agg(min(col("doc_id")).as("rep_id"))
-    val dups = old.select("doc_id", "digest")
-      .join(groups, Seq("digest"))
-      .filter(col("doc_id") =!= col("rep_id"))
-      .select("rep_id", "doc_id")
-      .localCheckpoint()
+    // Collapse shape shared with the online path (NearDupOps): the
+    // multi-member-group join keeps the dup frame proportional to the
+    // dup rate, not the corpus.
+    val dups = graft.Materialize.stable(
+      NearDupOps.dupMembersOf(old.select("doc_id", "digest")))
     val reps = old
       .join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
     reps
@@ -101,11 +131,11 @@ object BandIndex {
     idx
   }
 
-  /** Build-if-absent, keyed by corpus version. */
-  def ensure(s: SparkSession, dir: String): String = {
-    val idx = indexDir(s, dir)
+  /** Build-if-absent, keyed by (corpus version, boundary, band shape). */
+  def ensure(s: SparkSession, dir: String, boundary: Boundary): String = {
+    val idx = indexDir(s, dir, boundary)
     val marker = new org.apache.hadoop.fs.Path(s"$idx/bands/_SUCCESS")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) build(s, dir) else idx
+    if (!fs.exists(marker)) build(s, dir, boundary) else idx
   }
 }

@@ -72,16 +72,22 @@ object CorpusOps {
     // not three times (tf is the vocabulary-per-doc projection, a few
     // percent of corpus bytes, so caching it is the right trade at any
     // scale).
-    val tf = t(s, dir, "documents")
+    val tf = graft.Materialize.stable(t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("tf")))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfT), Seq("term"))
+    // No broadcast hint on the df side: the vocabulary is unbounded at
+    // corpus scale (URLs, typos, numerics make distinct-term counts
+    // grow with the corpus), so an unconditional broadcast would OOM
+    // the driver at 100 TB. The term key is already the exchange both
+    // sides share, so AQE picks broadcast when dfT is actually small
+    // (it measures the built side at runtime) and stays with a shuffle
+    // join when it is not — the safe default either way.
+    tf.join(dfT, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf").cast("double")

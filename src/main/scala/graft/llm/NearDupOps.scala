@@ -84,42 +84,67 @@ object NearDupOps {
     graft.Tables.tSpread(s, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("digest"))
 
-  /** Multi-member exact-dup groups only: (digest, rep_id). One shuffle
+  /** Non-representative exact-dup members of an arbitrary
+    * (doc_id, digest) frame: (rep_id, doc_id), rep_id < doc_id by
+    * construction. Built against multi-member groups ONLY: one shuffle
     * of (16-byte digest, id) pairs with map-side partial aggregation —
-    * text never rides it — and the OUTPUT is proportional to the dup
-    * rate, not the corpus: empty for a dup-free corpus. Everything
-    * downstream joins against this small frame, so the dup-sparse
-    * common case pays exactly one narrow shuffle for the whole
-    * collapse (the first expansion formulation joined the full member
-    * table and doubled the dup-sparse 50k-doc soak point). */
-  private def repMulti(s: SparkSession, dir: String): DataFrame =
-    keyedDocs(s, dir)
-      .groupBy("digest")
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .select("digest", "rep_id")
-
-  /** Non-representative exact-dup members: (rep_id, doc_id), rep_id <
-    * doc_id by construction. The multi-group side is small for
-    * dup-sparse corpora, so AQE broadcasts it and the corpus is not
-    * reshuffled; dup-dense corpora degrade to the one digest-keyed
-    * shuffle exact dedup inherently costs. */
-  private def dupMembers(s: SparkSession, dir: String): DataFrame =
-    keyedDocs(s, dir)
-      .join(repMulti(s, dir), Seq("digest"))
+    * text never rides it — and the group side is proportional to the
+    * dup rate, not the corpus: empty for a dup-free corpus, so AQE
+    * broadcasts it and the corpus is not reshuffled (the first
+    * formulation joined the full member table and doubled the
+    * dup-sparse 50k-doc soak point). Shared with [[BandIndex.build]] so
+    * the staged and online collapse are one definition. */
+  private[llm] def dupMembersOf(keyed: DataFrame): DataFrame =
+    keyed
+      .join(keyed
+          .groupBy("digest")
+          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .select("digest", "rep_id"),
+        Seq("digest"))
       .filter(col("doc_id") =!= col("rep_id"))
       .select("rep_id", "doc_id")
 
-  /** [[dupMembers]], materialized once per query. Every consumer —
-    * rep anti-join, cross-pair expansion branches, intra pairs, batch
-    * flags — references this frame, and without the checkpoint each
-    * union branch would re-run the corpus scan + digest shuffle that
-    * produced it (~6 recomputes in the expansion paths, measured
-    * +1–2 s per query at sf0.1). The frame itself is tiny (one row per
-    * non-representative exact dup), so the materialization cost is the
-    * one collapse pass. */
+  /** Whole-corpus dup members, materialized once per query. Every
+    * consumer — rep anti-join, cross-pair expansion branches, intra
+    * pairs, batch flags — references this frame, and without the
+    * checkpoint each union branch would re-run the corpus scan + digest
+    * shuffle that produced it (~6 recomputes in the expansion paths,
+    * measured +1–2 s per query at sf0.1). The frame itself is tiny (one
+    * row per non-representative exact dup), so the materialization cost
+    * is the one collapse pass. Used by the SELF-CONTAINED paths (q76
+    * and the diagnostics); the staged family reads the same frame from
+    * [[BandIndex]] via [[stagedCorpus]]. */
   private def collapsedDups(s: SparkSession, dir: String): DataFrame =
-    dupMembers(s, dir).localCheckpoint()
+    graft.Materialize.stable(dupMembersOf(keyedDocs(s, dir)))
+
+  /** The staged corpus tables ([[BandIndex]]) for one boundary:
+    * collapse frame, distinct-text digest directory, and precomputed
+    * MinHash band table. Reading these is a metadata-cheap parquet scan
+    * of narrow id/digest tables — the whole-corpus near-dup family
+    * (q43/q49/q62/q65/q75/q85) shares ONE staged collapse + banding per
+    * corpus version instead of recomputing both per query. */
+  private final case class StagedCorpus(
+      digests: DataFrame, dups: DataFrame, bands: DataFrame) {
+    /** (rep_id, n_sh) for multi-member groups whose text shingles —
+      * the stat every intra-group jaccard-1 pair carries. Derived from
+      * the staged digest directory (n_sh > 0 ⇔ ≥ 3 tokens, the
+      * oracle's nonempty rule) — no corpus re-scan. */
+    def dupRepShingleSize: DataFrame =
+      digests
+        .join(dups.select("rep_id").distinct(), Seq("rep_id"), "left_semi")
+        .filter(col("n_sh") > 0)
+        .select("rep_id", "n_sh")
+  }
+
+  private def stagedCorpus(s: SparkSession, dir: String,
+      boundary: BandIndex.Boundary = BandIndex.Boundary.all): StagedCorpus = {
+    val idx = BandIndex.ensure(s, dir, boundary)
+    StagedCorpus(
+      s.read.parquet(s"$idx/digests"),
+      s.read.parquet(s"$idx/dups"),
+      s.read.parquet(s"$idx/bands"))
+  }
 
   /** Representatives with text: anti-join against the (small) dup-member
     * set — the text column stays where the scan put it. */
@@ -178,11 +203,18 @@ object NearDupOps {
     * so the exchange is planned once and reused. */
   private def bandCandidates(banded: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
-    val stats = banded
+    guardedBandPairs(banded
       .withColumn("band_n", count(lit(1)).over(w))
       .withColumn("hub_rank",
         row_number().over(w.orderBy(col("doc_id"))))
-      .filter(col("band_n") > 1)
+      .filter(col("band_n") > 1))
+  }
+
+  /** The guard + self-join over (band, doc_id, band_n, hub_rank) rows —
+    * shared between the live banding ([[bandCandidates]], which computes
+    * the window stats in-plan) and the staged band table (where
+    * [[BandIndex]] precomputed them offline). */
+  private def guardedBandPairs(stats: DataFrame): DataFrame = {
     val a = stats
       .filter(col("band_n") <= SaturatedBand || col("hub_rank") <= StarHubs)
       .select(col("band"), col("doc_id").as("doc_a"))
@@ -191,6 +223,11 @@ object NearDupOps {
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Candidate pairs from the staged band table: the stats are already
+    * in the index, so the probe is one band-keyed self-join. */
+  private def bandCandidatesStaged(bands: DataFrame): DataFrame =
+    guardedBandPairs(bands.filter(col("band_n") > 1))
 
   /** MinHash+LSH candidate pairs (k=64 hashes, 16 bands of 4): docs
     * whose signatures collide in ≥1 band, with the number of colliding
@@ -302,13 +339,13 @@ object NearDupOps {
         col("n_sh").as("n_union"), lit(1.0).as("jaccard"))
   }
 
-  private def expandCollapsed(s: SparkSession, dir: String,
-      verifiedReps: DataFrame, dups: DataFrame): DataFrame = {
+  private def expandCollapsed(verifiedReps: DataFrame, dups: DataFrame,
+      repSh: DataFrame): DataFrame = {
     val st = pairStats.map(col)
     val cross = crossCombos(verifiedReps, dups)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a") +:
         greatest(col("doc_a"), col("doc_b")).as("doc_b") +: st: _*)
-    cross.unionByName(intraPairs(dups, dupRepShingleSize(s, dir, dups)))
+    cross.unionByName(intraPairs(dups, repSh))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -322,9 +359,10 @@ object NearDupOps {
     * (DifferentialGateSpec) re-verifies against brute force at every
     * fixture scale. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val dups = collapsedDups(s, dir)
-    val cand = bandCandidates(mhBandedOf(repDocs(s, dir, dups), 64, 16))
-    expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.8), dups)
+    val sc = stagedCorpus(s, dir)
+    val cand = bandCandidatesStaged(sc.bands)
+    expandCollapsed(rescoreExactJaccard(s, dir, cand, 0.8),
+      sc.dups, sc.dupRepShingleSize)
   }
 
   /** Near-dup cluster resolution — the step after pair detection in a
@@ -355,25 +393,23 @@ object NearDupOps {
     // groups (unshingleable) have no pairs under the contract, so their
     // star edges are filtered the same way the oracle's nonempty rule
     // filters them.
-    val dups = collapsedDups(s, dir)
-    val reps = repDocs(s, dir, dups)
-    val cand = bandCandidates(mhBandedOf(reps, 64, 16))
+    val sc = stagedCorpus(s, dir)
+    val cand = bandCandidatesStaged(sc.bands)
     val repPairs = rescoreExactJaccard(s, dir, cand, 0.8)
       .select("doc_a", "doc_b")
-    val starEdges = dups
-      .join(dupRepShingleSize(s, dir, dups).select("rep_id"), Seq("rep_id"), "left_semi")
+    val starEdges = sc.dups
+      .join(sc.dupRepShingleSize.select("rep_id"), Seq("rep_id"), "left_semi")
       .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
     val pairs = repPairs.unionByName(starEdges)
     // Materialize the edge list once: every propagation round joins
     // against it, and without the checkpoint each round would re-run
     // the whole candidate+verify pipeline that produced the pairs.
-    val edges = pairs
+    val edges = graft.Materialize.stable(pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+      .toDF("src", "dst"))
+    var labels = graft.Materialize.stable(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -381,11 +417,10 @@ object NearDupOps {
         .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels
+      val next = graft.Materialize.stable(labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label")))
       changed = next.filter(col("next_label") < col("label")).count()
       labels = next.select(col("doc_id"), col("next_label").as("label"))
       rounds += 1
@@ -445,8 +480,15 @@ object NearDupOps {
     * existing corpus". In production this is a real batch table. */
   private[llm] def isNewDoc(c: Column): Column = pmod(c, lit(10)) === 7
 
-  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
-    def isNew(c: Column): Column = isNewDoc(c)
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame =
+    incrementalNearDup(s, dir, isNewDoc)
+
+  /** [[incrementalNearDup]] with an explicit ingest boundary: `isNew`
+    * marks the incoming-batch docs; everything else is the existing
+    * corpus. Self-contained (no staged index) — this is the reference
+    * twin the staged path is equivalence-checked against. */
+  def incrementalNearDup(s: SparkSession, dir: String,
+      isNew: Column => Column): DataFrame = {
     val dups = collapsedDups(s, dir)
     val reps = repDocs(s, dir, dups)
     // Group-level batch flags: a rep carries its own side plus any dup
@@ -521,21 +563,28 @@ object NearDupOps {
     *      — shingles only ever computed for candidate docs), then
     *      expanded to directed (new_doc, old_doc) member pairs through
     *      the staged collapse frame and the batch collapse frame. */
-  def incrementalNearDupStaged(s: SparkSession, dir: String): DataFrame = {
+  def incrementalNearDupStaged(s: SparkSession, dir: String): DataFrame =
+    incrementalNearDupStaged(s, dir, BandIndex.Boundary.ingestMod10)
+
+  /** [[incrementalNearDupStaged]] with an explicit ingest boundary —
+    * the production signature: the staged index covers everything
+    * outside `boundary`'s batch, and is keyed on the boundary identity,
+    * so two batch definitions can never share (or poison) an index. */
+  def incrementalNearDupStaged(s: SparkSession, dir: String,
+      boundary: BandIndex.Boundary): DataFrame = {
     val st = pairStats.map(col)
-    val idx = BandIndex.ensure(s, dir)
-    val digests = s.read.parquet(s"$idx/digests")
-    val oldDups = s.read.parquet(s"$idx/dups")
-    val oldBands = s.read.parquet(s"$idx/bands")
+    val sc = stagedCorpus(s, dir, boundary)
+    val digests = sc.digests
+    val oldDups = sc.dups
+    val oldBands = sc.bands
     val batch = graft.Tables.tSpread(s, dir, "documents")
-      .filter(isNewDoc(col("doc_id")))
+      .filter(boundary.isBatch(col("doc_id")))
       .select(col("doc_id"), col("text"), md5(col("text")).as("digest"))
     // 1. exact path: matched batch docs pair with every member of
     // their old group at jaccard 1 (rep + staged dup members).
-    val matched = batch.select("doc_id", "digest")
+    val matched = graft.Materialize.stable(batch.select("doc_id", "digest")
       .join(digests, Seq("digest"))
-      .select(col("doc_id").as("new_doc"), col("rep_id"), col("n_sh"))
-      .localCheckpoint()
+      .select(col("doc_id").as("new_doc"), col("rep_id"), col("n_sh")))
     val exactPairs = matched.filter(col("n_sh") > 0)
       .select(col("new_doc"), col("rep_id").as("old_doc"), col("n_sh"))
       .unionByName(matched.filter(col("n_sh") > 0)
@@ -548,11 +597,10 @@ object NearDupOps {
       .join(digests.select("digest"), Seq("digest"), "left_anti")
     val batchGroups = unmatched.select("doc_id", "digest")
       .groupBy("digest").agg(min(col("doc_id")).as("rep_id"))
-    val batchDups = unmatched.select("doc_id", "digest")
+    val batchDups = graft.Materialize.stable(unmatched.select("doc_id", "digest")
       .join(batchGroups, Seq("digest"))
       .filter(col("doc_id") =!= col("rep_id"))
-      .select("rep_id", "doc_id")
-      .localCheckpoint()
+      .select("rep_id", "doc_id"))
     val batchReps = unmatched
       .join(batchDups.select("doc_id"), Seq("doc_id"), "left_anti")
       .select("doc_id", "text")
@@ -642,16 +690,16 @@ object NearDupOps {
     * probability while the sample keeps the join sparse. */
   def substringOverlap(s: SparkSession, dir: String): DataFrame = {
     val K = 40; val Boiler = 50; val MinShared = 2
-    val dups = collapsedDups(s, dir)
+    val dups = stagedCorpus(s, dir).dups
     // Exploded (rep, gram-digest) frame, materialized once: the
     // boilerplate count, both join sides, and the per-doc sizes all
     // reuse it (4 consumers — without the checkpoint each re-runs the
     // scan + kernel). ~1/16 of corpus chars as 32-hex strings: small.
-    val g = repDocs(s, dir, dups)
+    // The collapse frame itself comes from the staged corpus index.
+    val g = graft.Materialize.stable(repDocs(s, dir, dups)
       .select(col("doc_id"),
         explode(graft.functions.HashKernels.sampled_gram_digests(col("text"), K))
-          .as("gram"))
-      .localCheckpoint()
+          .as("gram")))
     val keep = g.join(
       g.groupBy("gram").agg(count(lit(1)).as("nd"))
         .filter(col("nd") <= Boiler).select("gram"),
@@ -844,9 +892,10 @@ object NearDupOps {
     * dedup decision, where false positives destroy data). Fully
     * oracle-checked against brute-force DuckDB Jaccard. */
   def docEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val dups = collapsedDups(s, dir)
-    val cand = docEmbedCandidatesOf(s, dir, repDocs(s, dir, dups))
-    expandCollapsed(s, dir, rescoreExactJaccard(s, dir, cand, 0.9), dups)
+    val sc = stagedCorpus(s, dir)
+    val cand = docEmbedCandidatesOf(s, dir, repDocs(s, dir, sc.dups))
+    expandCollapsed(rescoreExactJaccard(s, dir, cand, 0.9),
+      sc.dups, sc.dupRepShingleSize)
   }
 
   /** Observability for the saturation contract: post-collapse bands
@@ -858,6 +907,9 @@ object NearDupOps {
     * fixtures, and the soak prints it per decade. One row per
     * (path, band) with the member count. */
   def saturatedBands(s: SparkSession, dir: String): DataFrame = {
+    // Live banding (not the staged table) on purpose: this diagnostic
+    // cross-checks the banding code itself, so it must not read the
+    // artifact it would be auditing.
     val reps = repDocs(s, dir, collapsedDups(s, dir))
     def saturated(banded: DataFrame, path: String): DataFrame =
       banded.groupBy("band").agg(count(lit(1)).as("n_docs"))

@@ -107,17 +107,37 @@ object VectorOps {
     * Approximate by construction → rows-only driver check; mechanism
     * correctness (bucket agreement, planted-duplicate recall,
     * within-bucket ranking) is pinned in VectorFunctionsSpec. */
-  def annTopK(s: SparkSession, dir: String): DataFrame = {
+  def annTopK(s: SparkSession, dir: String): DataFrame =
+    annTopK(s, dir, bits = 8, qLo = 0L, qHi = 5L)
+
+  /** The ANN probe with explicit bucket width and query slice. bits = 0
+    * degenerates to a single bucket = an exact full probe through the
+    * SAME bucket-join + rank plan — the oracle-checkable twin
+    * ([[annFullProbe]], the q67 pattern applied to hyperplane LSH). */
+  def annTopK(s: SparkSession, dir: String, bits: Int,
+      qLo: Long, qHi: Long): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, hyperplane_bucket}
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"),
-        hyperplane_bucket(col("embedding"), 8).as("bucket"),
+        hyperplane_bucket(col("embedding"), bits).as("bucket"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("bucket"), col("norm").as("qnorm")).filter(col("query_id") < 5)
+      col("bucket"), col("norm").as("qnorm"))
+      .filter(col("query_id") >= qLo && col("query_id") < qHi)
     rankTop10(e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id")))
   }
+
+  /** Exact full probe through the ANN plan (bits = 0 ⇒ one bucket ⇒
+    * every vector is a candidate): output is exact cosine top-10, so
+    * the bucket-join + shared ranking tail that q46 runs is fully
+    * DuckDB-oracle-checked here — q46's remaining approximation is
+    * only WHICH candidates its 8-bit buckets surface (soundness of the
+    * returned scores/ordering is pinned in AnnSoundnessSpec). A
+    * different query slice than q40 so the two exact top-k rows cover
+    * different queries. */
+  def annFullProbe(s: SparkSession, dir: String): DataFrame =
+    annTopK(s, dir, bits = 0, qLo = 5L, qHi = 10L)
 
   /** Full-corpus embedding near-duplicate pass: bucket every vector by
     * multi-table hyperplane codes, self-join within buckets only, keep
@@ -182,15 +202,14 @@ object VectorOps {
     // collapsedDups pattern): the frame is proportional to the dup
     // rate, every expansion branch references it, and without the
     // checkpoint each union branch would re-run the digest shuffle.
-    val dups = keyed.select("vec_id", "digest")
+    val dups = graft.Materialize.stable(keyed.select("vec_id", "digest")
       .groupBy("digest")
       .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .select("digest", "rep_id")
       .join(keyed.select("vec_id", "digest"), Seq("digest"))
       .filter(col("vec_id") =!= col("rep_id"))
-      .select("rep_id", "vec_id")
-      .localCheckpoint()
+      .select("rep_id", "vec_id"))
     val reps = keyed
       .join(dups.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"))
@@ -384,7 +403,8 @@ object VectorOps {
     "q41_cosine_near_dup" -> cosineNearDup,
     "q42_label_centroids" -> labelCentroids,
     "q46_ann_topk"        -> annTopK,
-    "q48_embed_neardup_lsh" -> embedNearDupLsh)
+    "q48_embed_neardup_lsh" -> embedNearDupLsh,
+    "q86_ann_full_probe"  -> annFullProbe)
 
   // q46 stays rows-only by necessity: its output is the top-10 of an
   // approximate (bucket-restricted) candidate set, and "which candidates
@@ -393,7 +413,10 @@ object VectorOps {
   // exact-rescored outputs are deterministic functions of the input.
   // q57's IVF probe is approximate for the same reason (cell membership
   // comes from the k-means fit). Both are value-pinned in
-  // VectorFunctionsSpec instead.
+  // VectorFunctionsSpec instead — and each has an exact full-probe twin
+  // under a real DuckDB oracle (q67 for IVF, q86 for the hyperplane
+  // path), plus a one-sided soundness gate (AnnSoundnessSpec: every row
+  // q46 returns carries the exact cosine for its ids).
   val oracleSql: Map[String, String] = Map(
     "q74_int8_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -433,6 +456,24 @@ object VectorOps {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) > 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // q86 = q46's plan at bits=0 (one bucket): exact top-10 per query,
+    // so brute-force SQL is its oracle — covering the bucket join and
+    // ranking tail that q46's approximate probe shares.
+    "q86_ann_full_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |      WHERE vec_id >= 5 AND vec_id < 10),
+        |sims AS (
+        |  SELECT query_id, e.vec_id,
+        |    ROUND(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims)
+        |SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin,
     "q40_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -119,19 +119,22 @@ object Schemas {
   private val validatedPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Cache key for a validated path: (path, mtime, total length). A bare
+  /** Cache key for a validated path: (path, mtime, length). A bare
     * path key would accept a path overwritten with a drifted schema later
     * in the same session (the overwrite-temp-dir pattern the tests and
     * CLI use); keying on the file status means any rewrite re-validates.
-    * Directory mtime changes when the committer renames task files in,
-    * and content length changes on any data rewrite, so either edge
-    * catches an overwrite. */
+    * ONE non-recursive getFileStatus per call — `getContentSummary`
+    * (a recursive listing, expensive on object stores) was the first
+    * formulation and bought nothing: for the directories Spark writes,
+    * every rewrite goes through delete + recreate (overwrite mode) or a
+    * committer rename into the directory, and both bump the directory
+    * mtime, so the mtime edge alone catches the overwrite. For plain
+    * files the length rides along from the same stat. */
   private def statusKey(s: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    val len =
-      if (st.isDirectory) fs.getContentSummary(p).getLength else st.getLen
+    val len = if (st.isDirectory) -1L else st.getLen
     s"$path|${st.getModificationTime}|$len"
   }
 

@@ -38,9 +38,24 @@ class BandIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a non-modulo ingest boundary routes through the same staged path") {
+    // The boundary is an explicit parameter, not a baked-in constant:
+    // stage an index for a range-shaped batch and check the probe still
+    // equals the self-contained twin under that boundary.
+    val dir = "/root/testdata/sf0.001"
+    val ge = BandIndex.Boundary("batch=ge300", c => c >= 300)
+    val want = pairs(NearDupOps.incrementalNearDup(spark, dir, c => c >= 300))
+    val got = pairs(NearDupOps.incrementalNearDupStaged(spark, dir, ge))
+    assert(want.nonEmpty, s"ge300 boundary produced no pairs — fixture too sparse")
+    assert(got == want,
+      s"staged/self-contained drift under non-modulo boundary: " +
+        s"missing=${(want.keySet -- got.keySet).toSeq.sorted} " +
+        s"extra=${(got.keySet -- want.keySet).toSeq.sorted}")
+  }
+
   test("index holds only corpus-side docs, never batch docs or raw text") {
     val dir = "/root/testdata/sf0.01"
-    val idx = BandIndex.ensure(spark, dir)
+    val idx = BandIndex.ensure(spark, dir, BandIndex.Boundary.ingestMod10)
     val digests = spark.read.parquet(s"$idx/digests")
     val bands = spark.read.parquet(s"$idx/bands")
     // Narrow schema: ids and digests only — document text never enters
@@ -59,12 +74,16 @@ class BandIndexSpec extends AnyFunSuite {
     assert(bad.count() == 0L, "bands/ band_n or hub_rank inconsistent")
   }
 
-  test("ensure is idempotent and keyed on corpus version") {
+  test("ensure is idempotent and keyed on corpus version AND boundary") {
     val dir = "/root/testdata/sf0.001"
-    val idx1 = BandIndex.ensure(spark, dir)
-    val idx2 = BandIndex.ensure(spark, dir)
+    val b = BandIndex.Boundary.ingestMod10
+    val idx1 = BandIndex.ensure(spark, dir, b)
+    val idx2 = BandIndex.ensure(spark, dir, b)
     assert(idx1 == idx2)
-    assert(BandIndex.indexDir(spark, "/root/testdata/sf0.01") != idx1,
+    assert(BandIndex.indexDir(spark, "/root/testdata/sf0.01", b) != idx1,
       "different corpora must key to different index paths")
+    assert(BandIndex.indexDir(spark, dir, BandIndex.Boundary.all) != idx1,
+      "different boundaries must key to different index paths — a shared " +
+        "GRAFT_INDEX_DIR must never serve an index with the wrong corpus membership")
   }
 }

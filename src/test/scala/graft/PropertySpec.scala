@@ -102,4 +102,21 @@ class PropertySpec extends AnyFunSuite {
       assert(rows(0).getLong(0) == chars.length.toLong)
     }
   }
+
+  test("char stats count Unicode code points, not UTF-16 code units") {
+    import spark.implicits._
+    // "a😀😀" = 3 code points (5 UTF-16 units): counts and entropy must
+    // use the code-point view, matching DuckDB's length/string_split.
+    val text = "a😀😀"
+    val r = Seq((0L, text)).toDF("doc_id", "text")
+      .select(graft.functions.HashKernels.char_stats(col("text")).as("cs"))
+      .select(col("cs.n_chars"), col("cs.n_distinct_chars"), col("cs.entropy_nats"))
+      .collect().head
+    assert(r.getLong(0) == 3L, s"n_chars: got ${r.getLong(0)}, want 3 code points")
+    assert(r.getLong(1) == 2L)
+    val p1 = 1.0 / 3; val p2 = 2.0 / 3
+    val want = 0.0 - (p1 * math.log(p1) + p2 * math.log(p2))
+    assert(math.abs(r.getDouble(2) - want) < 1e-12,
+      s"entropy: got ${r.getDouble(2)}, want $want")
+  }
 }
