@@ -32,6 +32,9 @@ import org.apache.spark.sql.functions._
   *     digests per shingleable representative, with the per-band member
   *     count and min-id rank PRE-computed so consumers can apply the
   *     saturated-band star guard without re-counting the corpus.
+  *   - `tfbands/` — (band, doc_id, codes, band_n, hub_rank): the
+  *     TF-hyperplane band table for the doc-embed near-dup path, packed
+  *     probe codes inline for the popcount pre-filter.
   *
   * All three tables are narrow (ids + 8/16-byte digests — document text
   * never enters the index). The index is keyed on the corpus version
@@ -65,8 +68,8 @@ object BandIndex {
 
   /** Bump on any change to staged schemas or kernel code. Band
     * parameters and the boundary are IN the identity string already —
-    * this covers what the string cannot see. */
-  private val LayoutVersion = 2
+    * this covers what the string cannot see. v3 added `tfbands/`. */
+  private val LayoutVersion = 3
 
   /** MinHash band shape staged in `bands/` — must match
     * [[NearDupOps.mhBandedFor]] (k hashes, b bands). Part of the cache
@@ -117,6 +120,17 @@ object BandIndex {
       .withColumn("hub_rank",
         row_number().over(w.orderBy(col("doc_id"))).cast("long"))
       .write.mode("overwrite").parquet(s"$tmp/bands")
+    // TF-hyperplane band table (the q49 doc-embed path), packed codes
+    // inline so the probe's popcount pre-filter needs no extra join —
+    // the same (band, id, codes) rows the live plan would shuffle, at
+    // rest. Shape is a pure function of the corpus version (bytes are
+    // in the cache key), so probe and build always agree on it.
+    val (bits, tables) = NearDupOps.tfLshShape(s, dir)
+    NearDupOps.tfBandedFor(reps.select("doc_id", "text"), bits, tables)
+      .withColumn("band_n", count(lit(1)).over(w).cast("long"))
+      .withColumn("hub_rank",
+        row_number().over(w.orderBy(col("doc_id"))).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/tfbands")
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val idxPath = new org.apache.hadoop.fs.Path(idx)
@@ -130,6 +144,14 @@ object BandIndex {
     }
     idx
   }
+
+  /** The staged digest directory as a DataFrame (build-if-absent): one
+    * (digest, rep_id, n_sh) row per distinct corpus text. This is the
+    * static side of the streaming ingest-dedup join (q87) — narrow
+    * enough to broadcast for most corpora, refreshed per corpus
+    * version by the cache key. */
+  def digestTable(s: SparkSession, dir: String, boundary: Boundary): DataFrame =
+    s.read.parquet(s"${ensure(s, dir, boundary)}/digests")
 
   /** Build-if-absent, keyed by (corpus version, boundary, band shape). */
   def ensure(s: SparkSession, dir: String, boundary: Boundary): String = {

@@ -124,8 +124,13 @@ object NearDupOps {
     * of narrow id/digest tables — the whole-corpus near-dup family
     * (q43/q49/q62/q65/q75/q85) shares ONE staged collapse + banding per
     * corpus version instead of recomputing both per query. */
-  private final case class StagedCorpus(
-      digests: DataFrame, dups: DataFrame, bands: DataFrame) {
+  private final case class StagedCorpus(s: SparkSession, idx: String) {
+    def digests: DataFrame = s.read.parquet(s"$idx/digests")
+    def dups: DataFrame = s.read.parquet(s"$idx/dups")
+    def bands: DataFrame = s.read.parquet(s"$idx/bands")
+    /** TF-hyperplane band table with inline packed codes — the staged
+      * side of the doc-embed path (q49). */
+    def tfbands: DataFrame = s.read.parquet(s"$idx/tfbands")
     /** (rep_id, n_sh) for multi-member groups whose text shingles —
       * the stat every intra-group jaccard-1 pair carries. Derived from
       * the staged digest directory (n_sh > 0 ⇔ ≥ 3 tokens, the
@@ -138,13 +143,8 @@ object NearDupOps {
   }
 
   private def stagedCorpus(s: SparkSession, dir: String,
-      boundary: BandIndex.Boundary = BandIndex.Boundary.all): StagedCorpus = {
-    val idx = BandIndex.ensure(s, dir, boundary)
-    StagedCorpus(
-      s.read.parquet(s"$idx/digests"),
-      s.read.parquet(s"$idx/dups"),
-      s.read.parquet(s"$idx/bands"))
-  }
+      boundary: BandIndex.Boundary = BandIndex.Boundary.all): StagedCorpus =
+    StagedCorpus(s, BandIndex.ensure(s, dir, boundary))
 
   /** Representatives with text: anti-join against the (small) dup-member
     * set — the text column stays where the scan put it. */
@@ -662,6 +662,44 @@ object NearDupOps {
       .orderBy("new_doc", "old_doc")
   }
 
+  /** Exact-dup ingest flags for an incoming batch against the STAGED
+    * corpus digest directory — the gate a continuously-ingesting
+    * pipeline applies before paying any near-dup work: a digest hit
+    * means the doc is an exact duplicate of an already-ingested group,
+    * and `rep_id` names that group's canonical doc (−1 when novel; the
+    * sentinel keeps the column non-null so the cross-engine dtype is a
+    * plain int64). Per batch this is ONE narrow lookup join — the probe
+    * side carries (doc_id, 16-byte digest), the corpus side is the
+    * staged digest table, no corpus re-scan and no state.
+    *
+    * The same projection + join runs UNCHANGED as a Structured
+    * Streaming stream-static join (`readStream` the incoming docs,
+    * [[flagAgainstDigests]] against [[BandIndex.digestTable]]) — the
+    * streaming form is pinned stream ≡ batch in
+    * StreamingIngestDedupSpec; this batch twin is the driver-facing,
+    * DuckDB-oracle-checked query (q87). */
+  def ingestDedupFlags(s: SparkSession, dir: String): DataFrame =
+    ingestDedupFlags(s, dir, BandIndex.Boundary.ingestMod10)
+
+  def ingestDedupFlags(s: SparkSession, dir: String,
+      boundary: BandIndex.Boundary): DataFrame =
+    flagAgainstDigests(
+      graft.Tables.t(s, dir, "documents")
+        .filter(boundary.isBatch(col("doc_id")))
+        .select(col("doc_id"), md5(col("text")).as("digest")),
+      BandIndex.digestTable(s, dir, boundary))
+      .orderBy("doc_id")
+
+  /** The shared core of batch and streaming ingest dedup: (doc_id,
+    * digest) probe rows left-joined to a digest directory. No sort, no
+    * state — legal as the stream side of a stream-static join. */
+  def flagAgainstDigests(batch: DataFrame, digests: DataFrame): DataFrame =
+    batch
+      .join(digests.select("digest", "rep_id"), Seq("digest"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), lit(-1L)).as("rep_id"),
+        col("rep_id").isNotNull.as("is_exact_dup"))
+
   /** Exact substring-overlap pairs over distinct texts — the
     * training-set substring-dedup signal of Lee et al., "Deduplicating
     * Training Data Makes Language Models Better" (ACL 2022), §4.1
@@ -794,8 +832,6 @@ object NearDupOps {
 
   private def docEmbedCandidatesOf(s: SparkSession, dir: String,
       docs: DataFrame): DataFrame = {
-    import graft.functions.HashKernels.shingle_tf_vector
-    import graft.functions.VectorFunctions.{codeBandKeys, code_agreement, hyperplane_codes}
     // Bits size the buckets (candidate cost ~ N²/2^bits per table) and
     // adapt to corpus size from file metadata (no job at plan
     // construction). Narrower buckets cost per-table recall, so tables
@@ -826,11 +862,7 @@ object NearDupOps {
     // config of 18 bits) while near-identical pairs (plane agreement
     // ≥0.97) stay at recall ≈1 − 1e-11 — the documented scale knob: pay
     // more tables for boundary recall, or accept the taper.
-    val bytes = graft.Tables.tableSizeBytes(s, dir, "documents")
-    val bits = math.min(24, math.max(12,
-      math.ceil(math.log(math.max(bytes / 4096.0, 2.0)) / math.log(2)).toInt))
-    val tables = math.min(32,
-      math.ceil(16.0 * math.pow(1.0 / 0.88, (bits - 12).toDouble)).toInt)
+    val (bits, tables) = tfLshShape(s, dir)
     // The projection runs ONCE per doc (hyperplane_codes over the cached
     // plane matrix); what rides the band shuffle is the packed code
     // array (`tables` ints), never the 256-float vector — an ~8× shuffle
@@ -838,12 +870,7 @@ object NearDupOps {
     // isNotNull filter on the vector: Catalyst would push it through the
     // projection and evaluate the kernel twice per row; explode of the
     // null band array already drops unshingleable docs for free.
-    val e = docs
-      .select(col("doc_id"),
-        hyperplane_codes(shingle_tf_vector(col("text"), 3, 256), bits, tables)
-          .as("codes"))
-      .select(col("doc_id"), col("codes"),
-        explode(codeBandKeys(col("codes"), bits, tables)).as("band"))
+    val e = tfBandedFor(docs, bits, tables)
     // Degenerate-bucket guard, star-degraded: a band holding more than
     // SaturatedBand docs is a saturated code region where all-vs-all
     // pairing is O(size²). Instead of dropping such bands outright
@@ -858,24 +885,64 @@ object NearDupOps {
     // share the band partitioning with the self-join, so the exchange
     // is planned once and reused.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
-    val stats = e
+    tfGuardedPairs(e
       .withColumn("band_n", count(lit(1)).over(w))
       .withColumn("hub_rank",
-        row_number().over(w.orderBy(col("doc_id"))))
-      .filter(col("band_n") > 1)
+        row_number().over(w.orderBy(col("doc_id")))),
+      bits)
+  }
+
+  /** The adaptive hyperplane-LSH shape for the corpus at `dir`, from
+    * file metadata only (no job at plan construction) — deterministic
+    * per corpus version, so the staged index build and the online probe
+    * derive the same (bits, tables) by construction. Sizing rationale
+    * in [[docEmbedCandidatesOf]]'s scaladoc. */
+  private[llm] def tfLshShape(s: SparkSession, dir: String): (Int, Int) = {
+    val bytes = graft.Tables.tableSizeBytes(s, dir, "documents")
+    val bits = math.min(24, math.max(12,
+      math.ceil(math.log(math.max(bytes / 4096.0, 2.0)) / math.log(2)).toInt))
+    val tables = math.min(32,
+      math.ceil(16.0 * math.pow(1.0 / 0.88, (bits - 12).toDouble)).toInt)
+    (bits, tables)
+  }
+
+  /** Exploded (doc_id, codes, band) TF-hyperplane banding over an
+    * arbitrary (doc_id, text) frame — one shared definition for the
+    * live candidates and [[BandIndex]]'s staged `tfbands/` table. The
+    * projection runs once per doc; what rides the band shuffle is the
+    * packed code array (`tables` ints), never the 256-float vector. */
+  private[llm] def tfBandedFor(docs: DataFrame, bits: Int, tables: Int): DataFrame = {
+    import graft.functions.HashKernels.shingle_tf_vector
+    import graft.functions.VectorFunctions.{codeBandKeys, hyperplane_codes}
+    docs
+      .select(col("doc_id"),
+        hyperplane_codes(shingle_tf_vector(col("text"), 3, 256), bits, tables)
+          .as("codes"))
+      .select(col("doc_id"), col("codes"),
+        explode(codeBandKeys(col("codes"), bits, tables)).as("band"))
+  }
+
+  /** Guard + popcount-pre-filtered self-join over (band, doc_id, codes,
+    * band_n, hub_rank) rows — shared between the live path (window
+    * stats computed in-plan) and the staged `tfbands/` table (stats
+    * precomputed offline).
+    *
+    * Coarse pre-filter before the exact-verify join: a threshold-
+    * boundary true pair (3-gram Jaccard 0.9 → cosine ≈ 0.95, minus
+    * feature-hash noise on short docs → plane agreement p ≈ 0.88) has
+    * σ ≈ 0.023 over the tables×bits ≥ 192 code bits, so the 0.78 cut
+    * sits >4σ below the worst-case design point (0.85 clipped 2 of 249
+    * true pairs at sf0.1), while still killing ~99% of bucket-collision
+    * noise (agreement ~0.5–0.75) for the price of a popcount — the
+    * shingle-array shuffle in the verify join only ever sees
+    * survivors. */
+  private def tfGuardedPairs(allStats: DataFrame, bits: Int): DataFrame = {
+    import graft.functions.VectorFunctions.code_agreement
+    val stats = allStats.filter(col("band_n") > 1)
     val a = stats
       .filter(col("band_n") <= SaturatedBand || col("hub_rank") <= StarHubs)
       .select(col("band"), col("doc_id").as("doc_a"), col("codes").as("ca"))
     val b = stats.select(col("band"), col("doc_id").as("doc_b"), col("codes").as("cb"))
-    // Coarse pre-filter before the exact-verify join: a threshold-
-    // boundary true pair (3-gram Jaccard 0.9 → cosine ≈ 0.95, minus
-    // feature-hash noise on short docs → plane agreement p ≈ 0.88) has
-    // σ ≈ 0.023 over the tables×bits ≥ 192 code bits, so the 0.78 cut
-    // sits >4σ below the worst-case design point (0.85 clipped 2 of 249
-    // true pairs at sf0.1), while still killing ~99% of bucket-collision
-    // noise (agreement ~0.5–0.75) for the price of a popcount — the
-    // shingle-array shuffle in the verify join only ever sees
-    // survivors.
     a.join(b, Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(code_agreement(col("ca"), col("cb"), bits) >= 0.78)
@@ -893,7 +960,8 @@ object NearDupOps {
     * oracle-checked against brute-force DuckDB Jaccard. */
   def docEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     val sc = stagedCorpus(s, dir)
-    val cand = docEmbedCandidatesOf(s, dir, repDocs(s, dir, sc.dups))
+    val (bits, _) = tfLshShape(s, dir)
+    val cand = tfGuardedPairs(sc.tfbands, bits)
     expandCollapsed(rescoreExactJaccard(s, dir, cand, 0.9),
       sc.dups, sc.dupRepShingleSize)
   }
@@ -916,11 +984,7 @@ object NearDupOps {
         .filter(col("n_docs") > SaturatedBand)
         .select(lit(path).as("path"), col("band"), col("n_docs"))
     val mh = saturated(mhBandedOf(reps, 64, 16), "minhash")
-    val bytes = graft.Tables.tableSizeBytes(s, dir, "documents")
-    val bits = math.min(24, math.max(12,
-      math.ceil(math.log(math.max(bytes / 4096.0, 2.0)) / math.log(2)).toInt))
-    val tables = math.min(32,
-      math.ceil(16.0 * math.pow(1.0 / 0.88, (bits - 12).toDouble)).toInt)
+    val (bits, tables) = tfLshShape(s, dir)
     import graft.functions.HashKernels.shingle_tf_vector
     import graft.functions.VectorFunctions.{codeBandKeys, hyperplane_codes}
     val tf = reps
@@ -968,7 +1032,8 @@ object NearDupOps {
     "q75_canonical_selection" -> canonicalSelection,
     "q76_incremental_neardup" -> incrementalNearDup,
     "q84_incremental_staged" -> incrementalNearDupStaged,
-    "q85_substring_overlap" -> substringOverlap)
+    "q85_substring_overlap" -> substringOverlap,
+    "q87_ingest_dedup_flags" -> ((s, dir) => ingestDedupFlags(s, dir)))
 
   // q45 hashes with xxhash64 (not available in DuckDB) → rows-only
   // driver check; its value-level verification is NearDupSpec. q43/q49
@@ -978,6 +1043,18 @@ object NearDupOps {
   // fixture scale — and candidate recall on planted dups is additionally
   // pinned in NearDupSpec).
   val oracleSql: Map[String, String] = Map(
+    "q87_ingest_dedup_flags" ->
+      """WITH corpus AS (
+        |  SELECT md5(text) AS digest, MIN(doc_id) AS rep_id
+        |  FROM documents WHERE doc_id % 10 <> 7 GROUP BY 1),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS digest
+        |  FROM documents WHERE doc_id % 10 = 7)
+        |SELECT b.doc_id,
+        |  COALESCE(c.rep_id, -1) AS rep_id,
+        |  c.rep_id IS NOT NULL AS is_exact_dup
+        |FROM batch b LEFT JOIN corpus c USING (digest)
+        |ORDER BY doc_id""".stripMargin,
     "q75_canonical_selection" ->
       """WITH RECURSIVE
         |docsh AS (

@@ -29,7 +29,12 @@ object ScaleSoak {
     //    base corpus size, so banding cost must stay flat while the
     //    expanded pair output grows quadratically per group);
     //  - synthetic (default): hash-generated docs over a shared
-    //    vocabulary → dup-SPARSE corpus, measures clean scaling.
+    //    vocabulary → dup-SPARSE corpus, measures clean scaling;
+    //  - skew (args(1)="skew"): synthetic text, but ONE source owns 80%
+    //    of the corpus and ~10% of docs are exact copies drawn from a
+    //    small seed pool → realistic web-crawl shape; exercises the
+    //    q79/q83 digest exchanges and the q72 source rollup under
+    //    provenance skew, and the collapse path under a real dup rate.
     val mode = args.lift(1).getOrElse("synthetic")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
@@ -46,15 +51,31 @@ object ScaleSoak {
     } else {
       val n = nDocs * reps
       val vocabArr = array((0 until 1000).map(i => lit(s"w$i")): _*)
+      // In skew mode, 1 in 10 docs re-draws its text from a pool of
+      // n/20 seeds (exact-dup groups, ~5k-member mega-groups at the 5M
+      // point); otherwise the text seed is the doc id (dup-sparse).
+      val seed =
+        if (mode == "skew")
+          when(pmod(xxhash64(col("doc_id"), lit(7)), lit(10)) === 0,
+            pmod(col("doc_id"), lit(math.max(n / 20, 1L))))
+            .otherwise(col("doc_id"))
+        else col("doc_id")
+      val source =
+        if (mode == "skew")
+          when(pmod(xxhash64(col("doc_id"), lit(11)), lit(10)) < 8, lit("web"))
+            .otherwise(concat(lit("src_"),
+              pmod(xxhash64(col("doc_id"), lit(13)), lit(5)).cast("string")))
+        else lit("synth")
       spark.range(n).select(col("id").as("doc_id"))
-        .select(col("doc_id"),
+        .withColumn("s", seed)
+        .select(col("doc_id"), col("s"),
           concat_ws(" ", transform(
-            sequence(lit(1), lit(40) + pmod(xxhash64(col("doc_id")), lit(40)).cast("int")),
+            sequence(lit(1), lit(40) + pmod(xxhash64(col("s")), lit(40)).cast("int")),
             i => element_at(vocabArr,
-              (pmod(xxhash64(col("doc_id"), i), lit(1000)) + 1).cast("int"))))
+              (pmod(xxhash64(col("s"), i), lit(1000)) + 1).cast("int"))))
             .as("text"))
         .select(col("doc_id"), col("text"), lit("en").as("lang"),
-          lit("synth").as("source"), length(col("text")).cast("long").as("n_chars"))
+          source.as("source"), length(col("text")).cast("long").as("n_chars"))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
@@ -86,6 +107,13 @@ object ScaleSoak {
       println(f"[soak] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs")
     }
     println(s"[soak] corpus: ${nDocs * reps} docs, ${nEmb * reps} vectors")
+    // The staged-corpus build is a real pipeline stage — time it
+    // explicitly so probe timings below measure probes, not the build
+    // the first staged query would otherwise absorb.
+    time("band_index_build") {
+      graft.llm.BandIndex.ensure(spark, dir, graft.llm.BandIndex.Boundary.all)
+      ()
+    }
     time("minhash_pairs") {
       graft.llm.NearDupOps.minhashPairs(spark, dir)
         .write.format("noop").mode("overwrite").save()
