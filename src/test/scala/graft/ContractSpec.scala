@@ -14,6 +14,26 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("every query has an oracle unless on the documented rows-only allowlist") {
+    // The rows-only set is CLOSED: each member is inherently
+    // non-SQL-expressible (engine-specific hashing or an approximate
+    // candidate set) and carries a value-level spec plus — for q46/q57 —
+    // an exact full-probe twin under a real oracle (q86/q67). A new
+    // query landing without an oracle must either get one or be argued
+    // onto this list explicitly.
+    val rowsOnly = Set(
+      "q27_approx_profile",     // HLL sketch (engine-specific registers)
+      "q45_simhash",            // xxhash64 fingerprint (no DuckDB xxhash)
+      "q46_ann_topk",           // approximate bucket recall (twin: q86)
+      "q51_media_features",     // declared JVM decode stub
+      "q54_rolling_fingerprint", // Karp-Rabin rolling-hash stream
+      "q57_ivf_topk")           // approximate cell recall (twin: q67)
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnly,
+      s"oracle coverage drift: unexpected rows-only=${(missing -- rowsOnly).toSeq.sorted} " +
+        s"now-oracled=${(rowsOnly -- missing).toSeq.sorted}")
+  }
+
   test("query names are well-formed and their numbers unique") {
     val names = SparkEntry.queries.keySet
     assert(names.forall(_.matches("q\\d+_[a-z0-9_]+")), "bad query name format")
