@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions._
   *     digests per shingleable representative, with the per-band member
   *     count and min-id rank PRE-computed so consumers can apply the
   *     saturated-band star guard without re-counting the corpus.
-  *   - `tfbands/` — (band, doc_id, codes, band_n, hub_rank): the
-  *     TF-hyperplane band table for the doc-embed near-dup path, packed
-  *     probe codes inline for the popcount pre-filter.
+  *   - `tfcodes/` — (doc_id, codes): packed TF-hyperplane probe codes
+  *     per shingleable representative — the staged side of the
+  *     doc-embed near-dup path; its band explosion is derived in-plan
+  *     at probe time.
   *
   * All three tables are narrow (ids + 8/16-byte digests — document text
   * never enters the index). The index is keyed on the corpus version
@@ -68,8 +69,9 @@ object BandIndex {
 
   /** Bump on any change to staged schemas or kernel code. Band
     * parameters and the boundary are IN the identity string already —
-    * this covers what the string cannot see. v3 added `tfbands/`. */
-  private val LayoutVersion = 3
+    * this covers what the string cannot see. v3 added `tfbands/`; v4
+    * replaced it with the narrow `tfcodes/`. */
+  private val LayoutVersion = 4
 
   /** MinHash band shape staged in `bands/` — must match
     * [[NearDupOps.mhBandedFor]] (k hashes, b bands). Part of the cache
@@ -120,17 +122,27 @@ object BandIndex {
       .withColumn("hub_rank",
         row_number().over(w.orderBy(col("doc_id"))).cast("long"))
       .write.mode("overwrite").parquet(s"$tmp/bands")
-    // TF-hyperplane band table (the q49 doc-embed path), packed codes
-    // inline so the probe's popcount pre-filter needs no extra join —
-    // the same (band, id, codes) rows the live plan would shuffle, at
-    // rest. Shape is a pure function of the corpus version (bytes are
-    // in the cache key), so probe and build always agree on it.
+    // TF-hyperplane probe codes (doc_id → packed code array) for the
+    // q49 doc-embed path — the EXPENSIVE per-doc work (shingle-TF
+    // vectorization + plane projection over the text) staged as one
+    // narrow row per shingleable rep. The band table itself is derived
+    // in-plan at probe time (explode of codeBandKeys over these codes,
+    // pure integer arithmetic): a materialized band table with inline
+    // codes costs tables × (8 + 4·tables) bytes per doc — ~20 GB, 10×
+    // the corpus, at the 5M-doc soak point — while this table is
+    // ~(8 + 4·tables) bytes per doc and the explosion is free to
+    // recompute. Shape (bits, tables) is a pure function of the corpus
+    // version (bytes are in the cache key), so probe and build always
+    // agree on it.
     val (bits, tables) = NearDupOps.tfLshShape(s, dir)
-    NearDupOps.tfBandedFor(reps.select("doc_id", "text"), bits, tables)
-      .withColumn("band_n", count(lit(1)).over(w).cast("long"))
-      .withColumn("hub_rank",
-        row_number().over(w.orderBy(col("doc_id"))).cast("long"))
-      .write.mode("overwrite").parquet(s"$tmp/tfbands")
+    import graft.functions.HashKernels.shingle_tf_vector
+    import graft.functions.VectorFunctions.hyperplane_codes
+    reps
+      .select(col("doc_id"),
+        hyperplane_codes(shingle_tf_vector(col("text"), 3, 256), bits, tables)
+          .as("codes"))
+      .filter(col("codes").isNotNull)
+      .write.mode("overwrite").parquet(s"$tmp/tfcodes")
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val idxPath = new org.apache.hadoop.fs.Path(idx)

@@ -128,9 +128,10 @@ object NearDupOps {
     def digests: DataFrame = s.read.parquet(s"$idx/digests")
     def dups: DataFrame = s.read.parquet(s"$idx/dups")
     def bands: DataFrame = s.read.parquet(s"$idx/bands")
-    /** TF-hyperplane band table with inline packed codes — the staged
-      * side of the doc-embed path (q49). */
-    def tfbands: DataFrame = s.read.parquet(s"$idx/tfbands")
+    /** Packed TF-hyperplane probe codes per shingleable rep — the
+      * staged side of the doc-embed path (q49); its band explosion is
+      * derived in-plan by the probe. */
+    def tfcodes: DataFrame = s.read.parquet(s"$idx/tfcodes")
     /** (rep_id, n_sh) for multi-member groups whose text shingles —
       * the stat every intra-group jaccard-1 pair carries. Derived from
       * the staged digest directory (n_sh > 0 ⇔ ≥ 3 tokens, the
@@ -862,6 +863,8 @@ object NearDupOps {
     // config of 18 bits) while near-identical pairs (plane agreement
     // ≥0.97) stay at recall ≈1 − 1e-11 — the documented scale knob: pay
     // more tables for boundary recall, or accept the taper.
+    import graft.functions.HashKernels.shingle_tf_vector
+    import graft.functions.VectorFunctions.hyperplane_codes
     val (bits, tables) = tfLshShape(s, dir)
     // The projection runs ONCE per doc (hyperplane_codes over the cached
     // plane matrix); what rides the band shuffle is the packed code
@@ -870,20 +873,36 @@ object NearDupOps {
     // isNotNull filter on the vector: Catalyst would push it through the
     // projection and evaluate the kernel twice per row; explode of the
     // null band array already drops unshingleable docs for free.
-    val e = tfBandedFor(docs, bits, tables)
-    // Degenerate-bucket guard, star-degraded: a band holding more than
-    // SaturatedBand docs is a saturated code region where all-vs-all
-    // pairing is O(size²). Instead of dropping such bands outright
-    // (which silently lost every pair of a >100-doc dup cluster), they
-    // degrade to a STAR on the band's StarHubs smallest doc ids:
-    // O(8·size) candidates that keep the cluster CONNECTED (and robust
-    // to one hub failing the verify threshold). The driver-facing query
-    // runs this over exact-dup-collapsed representatives, so identical
-    // mega-clusters never saturate a band — [[saturatedBands]] reports
-    // any remaining distinct-text saturation and the differential gate
-    // asserts there is none on the shipped fixtures. Both window stats
-    // share the band partitioning with the self-join, so the exchange
-    // is planned once and reused.
+    tfCandidatesFromCodes(
+      docs.select(col("doc_id"),
+        hyperplane_codes(shingle_tf_vector(col("text"), 3, 256), bits, tables)
+          .as("codes")),
+      bits, tables)
+  }
+
+  /** Band explosion + degenerate-bucket guard + popcount pre-filter
+    * over a (doc_id, codes) frame — shared by the live candidates
+    * (codes projected from text in-plan) and the staged probe (codes
+    * read from [[BandIndex]]'s `tfcodes/`).
+    *
+    * Degenerate-bucket guard, star-degraded: a band holding more than
+    * SaturatedBand docs is a saturated code region where all-vs-all
+    * pairing is O(size²). Instead of dropping such bands outright
+    * (which silently lost every pair of a >100-doc dup cluster), they
+    * degrade to a STAR on the band's StarHubs smallest doc ids:
+    * O(8·size) candidates that keep the cluster CONNECTED (and robust
+    * to one hub failing the verify threshold). The driver-facing query
+    * runs this over exact-dup-collapsed representatives, so identical
+    * mega-clusters never saturate a band — [[saturatedBands]] reports
+    * any remaining distinct-text saturation and the differential gate
+    * asserts there is none on the shipped fixtures. Both window stats
+    * share the band partitioning with the self-join, so the exchange
+    * is planned once and reused. */
+  private def tfCandidatesFromCodes(codes: DataFrame,
+      bits: Int, tables: Int): DataFrame = {
+    import graft.functions.VectorFunctions.codeBandKeys
+    val e = codes.select(col("doc_id"), col("codes"),
+      explode(codeBandKeys(col("codes"), bits, tables)).as("band"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
     tfGuardedPairs(e
       .withColumn("band_n", count(lit(1)).over(w))
@@ -906,26 +925,8 @@ object NearDupOps {
     (bits, tables)
   }
 
-  /** Exploded (doc_id, codes, band) TF-hyperplane banding over an
-    * arbitrary (doc_id, text) frame — one shared definition for the
-    * live candidates and [[BandIndex]]'s staged `tfbands/` table. The
-    * projection runs once per doc; what rides the band shuffle is the
-    * packed code array (`tables` ints), never the 256-float vector. */
-  private[llm] def tfBandedFor(docs: DataFrame, bits: Int, tables: Int): DataFrame = {
-    import graft.functions.HashKernels.shingle_tf_vector
-    import graft.functions.VectorFunctions.{codeBandKeys, hyperplane_codes}
-    docs
-      .select(col("doc_id"),
-        hyperplane_codes(shingle_tf_vector(col("text"), 3, 256), bits, tables)
-          .as("codes"))
-      .select(col("doc_id"), col("codes"),
-        explode(codeBandKeys(col("codes"), bits, tables)).as("band"))
-  }
-
   /** Guard + popcount-pre-filtered self-join over (band, doc_id, codes,
-    * band_n, hub_rank) rows — shared between the live path (window
-    * stats computed in-plan) and the staged `tfbands/` table (stats
-    * precomputed offline).
+    * band_n, hub_rank) rows.
     *
     * Coarse pre-filter before the exact-verify join: a threshold-
     * boundary true pair (3-gram Jaccard 0.9 → cosine ≈ 0.95, minus
@@ -960,8 +961,8 @@ object NearDupOps {
     * oracle-checked against brute-force DuckDB Jaccard. */
   def docEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     val sc = stagedCorpus(s, dir)
-    val (bits, _) = tfLshShape(s, dir)
-    val cand = tfGuardedPairs(sc.tfbands, bits)
+    val (bits, tables) = tfLshShape(s, dir)
+    val cand = tfCandidatesFromCodes(sc.tfcodes, bits, tables)
     expandCollapsed(rescoreExactJaccard(s, dir, cand, 0.9),
       sc.dups, sc.dupRepShingleSize)
   }
