@@ -77,5 +77,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CodeAgreement].getName, "code_agreement"),
       (exprs: Seq[Expression]) =>
         CodeAgreement(exprs(0), exprs(1), intArg(exprs(2)))))
+    // Spark's own Bloom-sketch pair (internal, used by runtime row-level
+    // filtering) exposed as SQL: build with
+    //   (SELECT bloom_filter_agg(xxhash64(k), items, bits) FROM build)
+    // — the parser makes that a scalar subquery, exactly the input form
+    // might_contain's type check demands.
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2), 0, 0).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
   }
 }

@@ -173,12 +173,75 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Snapshot diff between two corpus versions — the audit step of an
+    * incremental ingest ("what changed since the last crawl?"): added /
+    * removed / changed / unchanged status per doc_id by content digest.
+    * The general form takes the two snapshots as frames; the fixture
+    * adapter simulates version drift deterministically (old = docs with
+    * id%5≠4 truncated to 120 chars — the pre-cleanup crawl; new = docs
+    * with id%7≠3 at full text).
+    *
+    * Scale shape: each snapshot is scanned once and reduced to
+    * (doc_id, digest) AT THE SCAN — text never rides the full-outer
+    * shuffle, which carries 8+16 bytes per doc. At 100 TB the join
+    * shuffles ~1/4000th of corpus bytes; with both snapshots bucketed
+    * by doc_id it degenerates to a zip of co-located partitions. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    oldSnap.select(col("doc_id"), md5(col("text")).as("old_digest"))
+      .join(
+        newSnap.select(col("doc_id"), md5(col("text")).as("new_digest")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_digest"), col("new_digest"),
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") =!= col("new_digest"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    snapshotDiff(
+      docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("text")),
+      docs.filter(col("doc_id") % 7 =!= 3).select(col("doc_id"), col("text")))
+  }
+
+  /** Adjacent-token-pair frequencies — the counting step of one
+    * BPE/WordPiece merge round (Sennrich et al. 2016 §3.2, lifted from
+    * chars to whitespace tokens): the top-20 most frequent adjacent
+    * pairs are the merge candidates, with corpus occurrence and
+    * document-frequency counts. Pairs are emitted map-side from a
+    * zip_with over two slice views of the token array (codegen'd, no
+    * explode of intermediate structs); ONE hash aggregation on the pair
+    * is the only corpus shuffle (count + distinct-doc count share it as
+    * a partial-agg pair), and the top-20 plans as TakeOrderedAndProject
+    * — per-partition heads, no global sort. Count-desc then pair-asc
+    * makes the cut deterministic cross-engine. */
+  def tokenPairMerges(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(col("text"))
+    graft.Tables.tSpread(s, dir, "documents")
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_common_gram_filter" -> commonGramFilter,
     "q80_tfidf_terms" -> tfidfTerms,
     "q81_char_entropy" -> charEntropy,
     "q82_mixture_weights" -> mixtureWeights,
-    "q83_dup_rate_by_source" -> dupRateBySource)
+    "q83_dup_rate_by_source" -> dupRateBySource,
+    "q88_snapshot_diff" -> snapshotDiff,
+    "q89_token_pair_merges" -> tokenPairMerges)
 
   val oracleSql: Map[String, String] = Map(
     "q79_common_gram_filter" ->
@@ -256,5 +319,31 @@ object CorpusOps {
         |  CAST(SUM(CASE WHEN d.doc_id <> g.rep THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*) AS dup_frac
         |FROM d JOIN g ON d.digest = g.digest
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q88_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(substr(text, 1, 120)) AS old_digest
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |new AS (
+        |  SELECT doc_id, md5(text) AS new_digest
+        |  FROM documents WHERE doc_id % 7 <> 3)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_digest, new_digest,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_digest <> new_digest THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q89_token_pair_merges" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |            FROM documents),
+        |p AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(tk) < 2 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 1),
+        |           i -> tk[i] || ' ' || tk[i+1]) END) AS pair
+        |  FROM tk)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM p GROUP BY pair
+        |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin)
 }

@@ -201,6 +201,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Decontamination at blocklist scale: same contract and output as
+    * [[decontaminate]] (q68), but the eval-gram set reaches the train
+    * side as a BLOOM SKETCH, not an exact broadcast. q68's broadcast
+    * ships every eval gram string to every executor — fine for one
+    * eval suite, a scale-killer when the blocklist is itself corpus-
+    * sized (all of eval + held-out + licensed-content fingerprints:
+    * billions of grams). The sketch is ~10 bits per gram at ~1% false
+    * positives regardless of gram width, and it rides a scalar subquery
+    * (the same shape Spark's own runtime row-level filtering injects,
+    * SPARK-32268) so it is built once and shared by every scan task.
+    *
+    * The probe is NOT the answer: `might_contain` false positives would
+    * poison the count, so survivors go through the exact gram join —
+    * but now only the ~(hit-rate + 1%) fraction of train grams rides
+    * that shuffle instead of all of them. Composition stays exact ⇒
+    * full hash oracle (q68's SQL verbatim). Grams shuffle as md5
+    * digests; the fixed sketch size (1 MiB / 2^20 items here) is the
+    * 10-bits-per-item rule — production sizes it from the blocklist
+    * count estimate. */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions.in_bloom
+    import graft.functions.HashKernels.shingle_array
+    val docs = graft.Tables.tSpread(s, dir, "documents")
+    val evalGrams = docs.filter(col("doc_id") % 29 === 0)
+      .select(explode(shingle_array(col("text"), 8)).as("gram"))
+      .select(md5(col("gram")).as("g"))
+      .distinct()
+    val sketch = evalGrams.select(
+      graft.functions.BloomFunctions.bloom_filter_agg(
+        xxhash64(col("g")), 1L << 20, 8L << 20).as("bf"))
+    val trainGrams = docs.filter(col("doc_id") % 29 =!= 0)
+      .select(col("doc_id"), explode(shingle_array(col("text"), 8)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    val hits = trainGrams
+      .filter(in_bloom(sketch, xxhash64(col("g"))))
+      .join(evalGrams, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+    docs.filter(col("doc_id") % 29 =!= 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** PII-style redaction over the events props payload: digit runs →
     * `<NUM>`, email-shaped tokens → `<EMAIL>`. Pure per-row regex
     * rewriting (codegen'd, patterns compiled once) — the text-cleaning
@@ -354,6 +400,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> decontaminate,
+    "q92_bloom_decontaminate" -> bloomDecontaminate,
     "q69_redact_pii"    -> redactPii,
     "q77_normalize_text" -> normalizeText,
     "q78_chunk_windows" -> chunkWindows,
@@ -460,6 +507,30 @@ object TextOps {
         |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS BIGINT) AS share
         |FROM h ORDER BY bucket_lo""".stripMargin,
     "q68_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 8 THEN []
+        |      ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' '
+        |          || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) END AS gs
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |eval_g AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 29 = 0),
+        |train_g AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 29 <> 0),
+        |hits AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |  FROM train_g t JOIN eval_g e ON t.gram = e.gram
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+        |  COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q92 composes Bloom-prefilter + exact verify ⇒ same answer as q68:
+    // the oracle is q68's SQL verbatim (the sketch is an optimization,
+    // not a semantic).
+    "q92_bloom_decontaminate" ->
       """WITH grams AS (
         |  SELECT doc_id,
         |    CASE WHEN len(tk) < 8 THEN []

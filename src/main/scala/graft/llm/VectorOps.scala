@@ -391,7 +391,117 @@ object VectorOps {
       .filter(col("scale") > 0)
       .orderBy("vec_id")
 
+  /** Semantic deduplication — the SemDeDup recipe (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): restrict the pairwise cosine comparison to
+    * each k-means cluster, connect pairs above the threshold, keep one
+    * representative per connected component. The cluster assignment
+    * here is the fixture's `label` column (the provided coarse
+    * quantization — production runs the IVF trainer, `IvfIndex`, and
+    * uses its cell ids the same way).
+    *
+    * Scale shape: the all-pairs comparison SemDeDup exists to avoid is
+    * bounded per cluster — k grows with the corpus (k ≈ n/1000 in the
+    * paper), so per-cluster pair counts stay ~constant while the
+    * cluster key partitions the join. Pairs shuffle on the cluster id;
+    * per-pair work is one fused dot product; the component step runs on
+    * the (tiny) above-threshold edge list, not the corpus
+    * ([[Graphs.connectedComponents]]). Sims are rounded to 4dp before
+    * thresholding so cross-engine ulp noise cannot flip an edge. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val e = t(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding").as("v"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val edges = a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("sim"))
+      .filter(col("sim") >= 0.35)
+      .select(col("id_a"), col("id_b"))
+    val comp = Graphs.connectedComponents(edges)
+      .select(col("id").as("vec_id"), col("component"))
+    val wc = Window.partitionBy("cluster_id")
+    e.select(col("vec_id"), col("label"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Prototypicality / outlier scoring by distance to the cluster
+    * centroid — the pruning signal of Sorscher et al. ("Beyond neural
+    * scaling laws", 2022) and the standard mislabeled-embedding gate:
+    * a vector far from its own cluster's centroid is noise, a join
+    * artifact, or mislabeled. Flags `dist > median + 3·MAD` (the
+    * robust z-score, immune to the outliers it hunts).
+    *
+    * Scale + parity design, in three steps that each stay distributed:
+    * 1. centroids: one posexplode pass → (label, pos) mean — a k·d-row
+    *    result regardless of corpus size — reassembled into arrays and
+    *    BROADCAST back; the per-vector distance is then a fused
+    *    zip_with fold, no second explode of the corpus. Centroid
+    *    coordinates and distances are rounded (6dp) so the float-sum
+    *    ordering freedom of the mean cannot leak into the comparison.
+    * 2. median & MAD as ORDER STATISTICS over the value HISTOGRAM:
+    *    group by the rounded distance (distinct-value-sized frame),
+    *    cumulative count, pick the first value whose cumulative count
+    *    reaches ⌈n/2⌉. Selection, not interpolation — the picked value
+    *    is a member of the input, so both engines agree exactly where
+    *    interpolated quantiles would differ in ulps. (Spark's exact
+    *    `percentile` also buffers every value per group; the histogram
+    *    form aggregates first and is the scale path.)
+    * 3. the gate compares per-row values against the two broadcast
+    *    scalars — no shuffle. */
+  def centroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val e = t(s, dir, "embeddings")
+    val expl = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("x").cast("double").as("x"))
+    val cent = expl.groupBy("label", "pos")
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val dist = e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(aggregate(
+          zip_with(col("embedding"), col("cv"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, v) => acc + v)), 6).as("dist6"))
+    val n = dist.agg(count(lit(1)).as("n"))
+    def histMedian(values: DataFrame, vcol: String, out: String): DataFrame = {
+      val wcum = Window.orderBy(vcol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      values.groupBy(vcol).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .crossJoin(broadcast(n))
+        .filter(col("cum") >= ceil(col("n") / 2.0))
+        .agg(min(col(vcol)).as(out))
+    }
+    val med = histMedian(dist, "dist6", "med")
+    val dev = dist.crossJoin(broadcast(med))
+      .select(round(abs(col("dist6") - col("med")), 6).as("dev6"))
+    val mad = histMedian(dev, "dev6", "mad")
+    dist.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("vec_id"), col("label"), col("dist6"), col("med"), col("mad"),
+        (col("dist6") > col("med") + lit(3) * col("mad")).as("flag_outlier"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_semantic_dedup"  -> semanticDedup,
+    "q91_centroid_outliers" -> centroidOutliers,
     "q74_int8_quantize"   -> int8Quantize,
     "q57_ivf_topk"        -> ivfTopK,
     // probing every cell must reproduce brute force bit-for-bit — an
@@ -418,6 +528,57 @@ object VectorOps {
   // path), plus a one-sided soundness gate (AnnSoundnessSpec: every row
   // q46 returns carries the exact cosine for its ids).
   val oracleSql: Map[String, String] = Map(
+    "q90_semantic_dedup" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |      AS sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM sims WHERE sim >= 0.35),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, g.b FROM reach r JOIN edges g ON g.a = r.dst),
+        |comp AS (SELECT src AS vec_id, MIN(dst) AS component FROM reach GROUP BY src),
+        |allv AS (
+        |  SELECT e.vec_id, e.label, COALESCE(c.component, e.vec_id) AS cluster_id
+        |  FROM e LEFT JOIN comp c ON c.vec_id = e.vec_id),
+        |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |       FROM allv GROUP BY 1)
+        |SELECT a.vec_id, a.label, a.cluster_id, cs.n_members,
+        |       a.vec_id = a.cluster_id AS keep
+        |FROM allv a JOIN cs USING (cluster_id)
+        |ORDER BY a.vec_id""".stripMargin,
+    "q91_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex0 AS (SELECT vec_id, label, v,
+        |          unnest(generate_series(1, len(v))) AS pos FROM e),
+        |ex AS (SELECT vec_id, label, pos, v[pos] AS x FROM ex0),
+        |cent AS (SELECT label, pos, round(avg(x), 6) AS c
+        |         FROM ex GROUP BY label, pos),
+        |centarr AS (SELECT label, list(c ORDER BY pos) AS cv
+        |            FROM cent GROUP BY label),
+        |dist AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i])))), 6) AS dist6
+        |  FROM e JOIN centarr USING (label)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dist),
+        |h AS (SELECT dist6, COUNT(*) AS cnt FROM dist GROUP BY 1),
+        |hc AS (SELECT dist6, SUM(cnt) OVER (ORDER BY dist6) AS cum FROM h),
+        |med AS (SELECT MIN(dist6) AS med FROM hc, n WHERE cum >= ceil(n / 2.0)),
+        |dev AS (SELECT round(abs(dist6 - med), 6) AS dev6 FROM dist, med),
+        |dh AS (SELECT dev6, COUNT(*) AS cnt FROM dev GROUP BY 1),
+        |dhc AS (SELECT dev6, SUM(cnt) OVER (ORDER BY dev6) AS cum FROM dh),
+        |mad AS (SELECT MIN(dev6) AS mad FROM dhc, n WHERE cum >= ceil(n / 2.0))
+        |SELECT vec_id, label, dist6, med, mad,
+        |  dist6 > med + 3 * mad AS flag_outlier
+        |FROM dist, med, mad ORDER BY vec_id""".stripMargin,
     "q74_int8_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

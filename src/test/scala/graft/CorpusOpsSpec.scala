@@ -108,7 +108,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r("clean").getLong(3) == 0 && r("clean").getDouble(4) == 0.0)
   }
 
-  test("q79-q83 run non-degenerate on the sf0.001 fixture") {
+  test("snapshot diff classifies added/removed/changed/unchanged by digest") {
+    import spark.implicits._
+    val oldSnap = Seq((0L, "same text"), (1L, "old body"), (2L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((0L, "same text"), (1L, "new body"), (3L, "fresh"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.snapshotDiff(oldSnap, newSnap).collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r == Map(0L -> "unchanged", 1L -> "changed",
+      2L -> "removed", 3L -> "added"))
+    // digests travel, text does not: changed row carries both digests
+    val row1 = CorpusOps.snapshotDiff(oldSnap, newSnap).collect()
+      .find(_.getLong(0) == 1L).get
+    assert(row1.getString(1) != null && row1.getString(2) != null
+      && row1.getString(1) != row1.getString(2))
+  }
+
+  test("token pair merges count adjacent pairs with deterministic top-k order") {
+    val d = docsDir(Seq(
+      (0L, "a b a b c", "s"),   // pairs: "a b" x2, "b a", "b c"
+      (1L, "a b x", "s"),       // pairs: "a b", "b x"
+      (2L, "solo", "s")))       // 1 token → no pairs
+    val rows = CorpusOps.tokenPairMerges(spark, d).collect()
+    assert(rows.head.getString(0) == "a b"
+      && rows.head.getLong(1) == 3 && rows.head.getLong(2) == 2,
+      "top merge candidate must be the corpus-most-frequent pair")
+    // remaining pairs all have n_occ 1 → tie broken by pair string asc
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("a b", "b a", "b c", "b x"))
+    assert(!rows.exists(_.getString(0).contains("solo")),
+      "single-token docs contribute no pairs")
+  }
+
+  test("q79-q83 and q88-q89 run non-degenerate on the sf0.001 fixture") {
     val dir = "/root/testdata/sf0.001"
     for ((name, q) <- CorpusOps.queries) {
       val n = q(spark, dir).count()

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.VectorOps
+
+/** Value-level checks for the embedding-space curation operators:
+  * semantic dedup (q90, the SemDeDup shape) and centroid-distance
+  * outlier scoring (q91). The DuckDB oracle pins both on the driver
+  * tables; these fixtures pin the semantics a hash can't explain —
+  * cluster-restricted comparison, transitive merge, robust-gate
+  * behavior around a planted outlier. */
+class SemanticOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def embDir(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("semops").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("semantic dedup merges transitively within a cluster, never across") {
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val d = embDir(Seq(
+      (0L, e1, 0),                            // cluster 0 prototype
+      (1L, Seq(1f, 0.02f, 0f, 0f), 0),        // cos ≈ 1 with 0
+      (2L, Seq(1f, 0.04f, 0.01f, 0f), 0),     // cos ≈ 1 with 0 and 1
+      (3L, Seq(0f, 1f, 0f, 0f), 0),           // orthogonal → own cluster
+      (4L, e1, 1)))                           // identical to 0 but other cluster
+    val r = VectorOps.semanticDedup(spark, d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert((0L to 2L).forall(i => r(i).getLong(2) == 0L),
+      "near-identical same-label vectors form one component")
+    assert(r(0L).getLong(3) == 3 && r(0L).getBoolean(4), "min id is canonical")
+    assert(!r(1L).getBoolean(4) && !r(2L).getBoolean(4))
+    assert(r(3L).getLong(2) == 3L && r(3L).getBoolean(4),
+      "orthogonal vector survives as its own cluster")
+    assert(r(4L).getLong(2) == 4L && r(4L).getBoolean(4),
+      "an identical vector in ANOTHER cluster is never compared — " +
+        "SemDeDup's comparisons are cluster-local by construction")
+  }
+
+  test("centroid outliers: robust gate flags the planted far vector only") {
+    // five jittered members near (1,0,0,0) plus one far outlier; the
+    // centroid shifts toward the outlier, but median+3·MAD is immune
+    val d = embDir(Seq(
+      (0L, Seq(1.00f, 0.01f, 0f, 0f), 0),
+      (1L, Seq(0.99f, 0.00f, 0f, 0f), 0),
+      (2L, Seq(1.01f, -0.01f, 0f, 0f), 0),
+      (3L, Seq(1.00f, 0.00f, 0.01f, 0f), 0),
+      (4L, Seq(0.98f, 0.02f, 0f, 0f), 0),
+      (5L, Seq(0f, 0f, 10f, 0f), 0)))
+    val r = VectorOps.centroidOutliers(spark, d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(5L).getBoolean(5), "far vector must be flagged")
+    assert((0L to 4L).forall(i => !r(i).getBoolean(5)),
+      "tight-cluster members stay unflagged")
+    val med = r(0L).getDouble(3)
+    val mad = r(0L).getDouble(4)
+    assert(med > 0 && mad >= 0 && r(5L).getDouble(2) > med + 3 * mad)
+    // med/mad are order statistics OF THE INPUT distances — membership,
+    // not interpolation (the cross-engine-exact property the histogram
+    // form buys)
+    val dists = (0L to 5L).map(i => r(i).getDouble(2)).toSet
+    assert(dists.contains(med), "median must be an input value")
+  }
+
+  test("q90/q91 run non-degenerate on the sf0.001 fixture") {
+    for (name <- Seq("q90_semantic_dedup", "q91_centroid_outliers")) {
+      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0, s"$name returned no rows on the fixture")
+    }
+  }
+}
