@@ -234,6 +234,67 @@ object CorpusOps {
       .limit(20)
   }
 
+  /** Corpus-LM negative-log-likelihood quality score — the
+    * perplexity-filter shape of CCNet/Gopher (score each document under
+    * a language model trained on the corpus; outliers are noise or
+    * boilerplate), with the LM being an add-1-smoothed word-bigram model
+    * trained on the corpus itself in the same plan:
+    * P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+|V|), doc score = mean −ln P over
+    * the doc's bigrams. A real pipeline swaps in a pretrained KenLM —
+    * the dataflow (broadcastable model stats joined back to per-doc
+    * events) is identical; training in-plan keeps the operator
+    * self-contained and exactly oracle-checkable.
+    *
+    * Plan shape: ONE tokenize pass feeds the per-doc bigram counts
+    * (doc_id, w₁, w₂, n) — the vocabulary-per-doc projection, a few
+    * percent of corpus bytes, materialized once like q80's tf frame.
+    * Corpus bigram counts c₁₂ and history counts c₁ re-aggregate that
+    * frame (narrow, no second scan); |V| is a projection-only second
+    * scan (distinct tokens, column-pruned at parquet). The scoring join
+    * keys on (w₁,w₂)/(w₁) — the exchanges the count aggregations already
+    * made, so AQE broadcasts when the model is small and shuffle-joins
+    * when it is not (same posture as q80). Float determinism: each
+    * bigram's ln is rounded to 6dp, weighted by its exact integer count,
+    * and the per-doc sum accumulates over a sorted list — cross-engine
+    * identical term order. */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(col("text"))
+    // Per-doc bigram counts: pairs emitted map-side via zip_with over
+    // two slice views (q89's shape), aggregated per (doc, w1, w2).
+    val docPair = graft.Materialize.stable(
+      graft.Tables.tSpread(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("n")))
+    val c12 = docPair.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
+    val c1 = docPair.groupBy("w1").agg(sum(col("n")).as("c1"))
+    val v = t(s, dir, "documents")
+      .select(explode(tk).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    docPair
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("wlogp",
+        round(log((col("c12") + 1).cast("double") / (col("c1") + col("v"))), 6)
+          * col("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        sort_array(collect_list(col("wlogp"))).as("ws"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-aggregate(col("ws"), lit(0.0), _ + _) / col("n_bigrams"), 4)
+          .as("nll"))
+      .withColumn("flag_outlier", col("nll") > 7.0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_common_gram_filter" -> commonGramFilter,
     "q80_tfidf_terms" -> tfidfTerms,
@@ -241,7 +302,8 @@ object CorpusOps {
     "q82_mixture_weights" -> mixtureWeights,
     "q83_dup_rate_by_source" -> dupRateBySource,
     "q88_snapshot_diff" -> snapshotDiff,
-    "q89_token_pair_merges" -> tokenPairMerges)
+    "q89_token_pair_merges" -> tokenPairMerges,
+    "q95_lm_perplexity" -> lmPerplexity)
 
   val oracleSql: Map[String, String] = Map(
     "q79_common_gram_filter" ->
@@ -333,6 +395,31 @@ object CorpusOps {
         |       WHEN old_digest <> new_digest THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q95_lm_perplexity" ->
+      """WITH tkv AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |             FROM documents),
+        |p AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(tk) < 2 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 1),
+        |           i -> struct_pack(w1 := tk[i], w2 := tk[i+1])) END) AS pr
+        |  FROM tkv),
+        |dp AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM p GROUP BY 1, 2, 3),
+        |c12q AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12
+        |         FROM dp GROUP BY 1, 2),
+        |c1q AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM dp GROUP BY 1),
+        |vq AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |       FROM (SELECT unnest(tk) AS tok FROM tkv)),
+        |sc AS (SELECT dp.doc_id, dp.n,
+        |    round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)), 6) * dp.n AS wlogp
+        |  FROM dp JOIN c12q USING (w1, w2) JOIN c1q USING (w1) CROSS JOIN vq)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  round(0.0 - list_sum(list(wlogp ORDER BY wlogp)) / SUM(n), 4) AS nll,
+        |  (round(0.0 - list_sum(list(wlogp ORDER BY wlogp)) / SUM(n), 4) > 7.0)
+        |    AS flag_outlier
+        |FROM sc GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "q89_token_pair_merges" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk

@@ -1024,6 +1024,74 @@ object NearDupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Exact edit-distance verification over a candidate-pair frame — the
+    * verify stage of fuzzy dedup when the similarity that matters is
+    * character-level (OCR noise, template fills, small in-place edits)
+    * rather than bag-of-shingles Jaccard. `pairs` carries (id_a, id_b);
+    * similarity is 1 − levenshtein/max(len), rounded by the
+    * floor(x·10⁴+0.5) midpoint rule (the one rounding both engines agree
+    * on for doubles).
+    *
+    * Scale shape: the corpus is scanned narrow; only CANDIDATE texts are
+    * joined in (the pair list is blocking- or LSH-bounded, orders of
+    * magnitude smaller than the corpus), so full-corpus text never rides
+    * a shuffle — the first join broadcasts the pair ids into the scan,
+    * the second shuffles candidate rows only. Levenshtein is O(len²) per
+    * pair; the candidate generator, not this verifier, is responsible
+    * for keeping the pair count subquadratic. */
+  def editVerify(docs: DataFrame, pairs: DataFrame, minSim: Double): DataFrame = {
+    val ta = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    // The candidate frame is tiny in BYTES but heavy in CPU (levenshtein
+    // is O(len²) per pair), so two plan hazards would serialize it: AQE's
+    // size-based coalescing folds the post-join exchange onto one core,
+    // and the sim-threshold filter gets pushed into the join condition —
+    // evaluating levenshtein inside the (single-partition) join pipeline
+    // and a second time downstream. Repartitioning by pair AND cutting
+    // lineage on the (small) candidate-text frame pins the plan: one
+    // levenshtein per pair, spread across the cluster.
+    val spread = graft.Materialize.stable(
+      pairs.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+          col("id_a"), col("id_b")))
+    spread
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast("long").as("max_len"))
+      .withColumn("sim",
+        floor((lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+          * 10000 + lit(0.5)) / 10000)
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "edit_dist", "max_len", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Edit-distance near-dup with classic blocking (the sorted-
+    * neighborhood / blocking-key family of record linkage): candidates
+    * are pairs agreeing on (source, lang, ⌊len/25⌋) — metadata a
+    * character-level near-dup almost always preserves — then exact
+    * normalized-levenshtein verify at ≥ 0.30. At sf0.1 blocking admits
+    * ~8k of the 12.5M possible pairs (~1/1500); in production the
+    * candidate generator would be the staged MinHash band index
+    * (editVerify composes with any pair source — NearDupSpec runs it
+    * over band-collision candidates), but the blocked form is the one
+    * that is fully DuckDB-expressible, which buys q93 an exact oracle
+    * instead of a rows-only check. */
+  def editNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("long").as("n"))
+    val a = d.select(col("doc_id").as("id_a"), col("source"), col("lang"),
+      floor(col("n") / 25).as("bkt"))
+    val b = d.select(col("doc_id").as("id_b"), col("source"), col("lang"),
+      floor(col("n") / 25).as("bkt"))
+    val pairs = a.join(b, Seq("source", "lang", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    editVerify(t(s, dir, "documents"), pairs, minSim = 0.30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_minhash_neardup" -> minhashNearDup,
     "q44_ngram_jaccard" -> ngramJaccard,
@@ -1034,7 +1102,8 @@ object NearDupOps {
     "q76_incremental_neardup" -> incrementalNearDup,
     "q84_incremental_staged" -> incrementalNearDupStaged,
     "q85_substring_overlap" -> substringOverlap,
-    "q87_ingest_dedup_flags" -> ((s, dir) => ingestDedupFlags(s, dir)))
+    "q87_ingest_dedup_flags" -> ((s, dir) => ingestDedupFlags(s, dir)),
+    "q93_edit_neardup" -> editNearDup)
 
   // q45 hashes with xxhash64 (not available in DuckDB) → rows-only
   // driver check; its value-level verification is NearDupSpec. q43/q49
@@ -1044,6 +1113,26 @@ object NearDupOps {
   // fixture scale — and candidate recall on planted dups is additionally
   // pinned in NearDupSpec).
   val oracleSql: Map[String, String] = Map(
+    "q93_edit_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+        |    greatest(a.n, b.n) AS max_len
+        |  FROM d a JOIN d b
+        |    ON a.source = b.source AND a.lang = b.lang
+        |   AND floor(a.n / 25) = floor(b.n / 25)
+        |   AND a.doc_id < b.doc_id),
+        |s AS (
+        |  SELECT id_a, id_b, edit_dist, max_len,
+        |    floor((1.0 - CAST(edit_dist AS DOUBLE) / max_len) * 10000 + 0.5)
+        |      / 10000 AS sim
+        |  FROM p)
+        |SELECT id_a, id_b, edit_dist, max_len, sim
+        |FROM s WHERE sim >= 0.30
+        |ORDER BY id_a, id_b""".stripMargin,
     "q87_ingest_dedup_flags" ->
       """WITH corpus AS (
         |  SELECT md5(text) AS digest, MIN(doc_id) AS rep_id

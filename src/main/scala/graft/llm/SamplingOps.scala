@@ -105,13 +105,83 @@ object SamplingOps {
       budget = 2000L)
   }
 
+  /** Importance-weighted Bernoulli (Poisson) downsampling: each doc is
+    * kept independently with probability proportional to its weight —
+    * here length, p = min(1, n_chars/400), the "prefer substantive
+    * documents" gate of a quality-weighted mixture (the per-item form of
+    * temperature/quality reweighting; DoReMi-style pipelines apply
+    * exactly this shape with a learned weight).
+    *
+    * Like q63, the decision is a pure function of the row: the keep
+    * threshold is p·2³² computed in exact integer arithmetic (the
+    * numerator n_chars·2³² is < 2⁵³ so the one double division is
+    * correctly rounded in both engines, and the quotient is ≥ 1/400 from
+    * any integer, so floor is unambiguous), rendered as 8 hex digits and
+    * compared against the doc's uniform md5 bucket — string compare at
+    * equal length IS the numeric compare. Per-row, no shuffle,
+    * reproducible under retries and corpus growth. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("hash_bucket", substring(
+        md5(concat(lit("wsamp1:"), col("doc_id").cast("string"))), 1, 8))
+      .withColumn("keep_thr", lower(lpad(conv(
+        least(floor(col("n_chars") * lit(4294967296L) / 400), lit(4294967295L))
+          .cast("long").cast("string"), 10, 16), 8, "0")))
+      .filter(col("hash_bucket") < col("keep_thr"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("hash_bucket"), col("keep_thr"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test split — the hash-bucket holdout rule
+    * every training-data build needs: 90/5/5 by the first 8 hex chars of
+    * a salted md5 of the doc id. A doc's split NEVER changes when the
+    * corpus grows or is re-partitioned (the property a `rand()` split
+    * lacks), which is what makes the val/test sets stable across
+    * pipeline re-runs — the same determinism argument as q63, applied to
+    * the holdout boundary. Per-row, no shuffle. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("hash_bucket", substring(
+        md5(concat(lit("split1:"), col("doc_id").cast("string"))), 1, 8))
+      .withColumn("split",
+        when(col("hash_bucket") < "e6666666", "train")
+          .when(col("hash_bucket") < "f3333333", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("hash_bucket"), col("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_hash_sample" -> hashSample,
     "q64_shard_pack"  -> ((s, dir) => shardPack(s, dir)),
     "q65_curation_pipeline" -> curationPipeline,
-    "q66_stratified_topn" -> ((s, dir) => stratifiedTopN(s, dir)))
+    "q66_stratified_topn" -> ((s, dir) => stratifiedTopN(s, dir)),
+    "q94_weighted_sample" -> weightedSample,
+    "q97_split_assign" -> splitAssign)
 
   val oracleSql: Map[String, String] = Map(
+    "q94_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars,
+        |    substring(md5('wsamp1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hash_bucket,
+        |    lower(lpad(to_hex(CAST(least(
+        |      floor(n_chars * 4294967296 / 400), 4294967295) AS BIGINT)),
+        |      8, '0')) AS keep_thr
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, hash_bucket, keep_thr
+        |FROM b WHERE hash_bucket < keep_thr
+        |ORDER BY doc_id""".stripMargin,
+    "q97_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source,
+        |    substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hash_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, source, hash_bucket,
+        |  CASE WHEN hash_bucket < 'e6666666' THEN 'train'
+        |       WHEN hash_bucket < 'f3333333' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
     "q66_stratified_topn" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id, source,

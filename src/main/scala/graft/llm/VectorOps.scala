@@ -81,6 +81,52 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** k-NN label assignment (k = 10): predict each held-out query
+    * vector's label by majority vote over its 10 exact-cosine nearest
+    * neighbors — the label-propagation / auto-labeling step of
+    * embedding-based curation (assign topics or quality tiers to new
+    * docs from an already-labeled corpus). Queries are the vec_id % 50
+    * hold-outs; candidates are everything else, so prediction never sees
+    * the query's own row. Vote is (count desc, label asc) — fully
+    * deterministic — and the output carries the true label for an
+    * in-plan accuracy readout.
+    *
+    * Scale shape: the query block broadcasts (same as q40 — at a large
+    * query set this becomes the IVF probe, whose ranking tail q57/q67
+    * already share); per-pair work is one fused codegen'd dot product;
+    * the vote is a narrow two-stage aggregation on (query_id, label)
+    * over the top-k rows only. */
+  def knnLabel(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        col("label").cast("long").as("label"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val q = e
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("label").as("true_label"))
+      .filter(col("query_id") % 50 === 0)
+    val sims = e.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("true_label"), col("vec_id"), col("label"),
+        round(dot_product(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)
+          .as("sim"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    sims.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+      .groupBy("query_id", "true_label", "label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("n_votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
   /** Per-label centroid profile: mean vector norm and count per label —
     * the aggregation shape of IVF coarse quantization (group → centroid
     * stats), one shuffle on the (tiny) label key. */
@@ -514,7 +560,8 @@ object VectorOps {
     "q42_label_centroids" -> labelCentroids,
     "q46_ann_topk"        -> annTopK,
     "q48_embed_neardup_lsh" -> embedNearDupLsh,
-    "q86_ann_full_probe"  -> annFullProbe)
+    "q86_ann_full_probe"  -> annFullProbe,
+    "q96_knn_label"       -> knnLabel)
 
   // q46 stays rows-only by necessity: its output is the top-10 of an
   // approximate (bucket-restricted) candidate set, and "which candidates
@@ -528,6 +575,32 @@ object VectorOps {
   // path), plus a one-sided soundness gate (AnnSoundnessSpec: every row
   // q46 returns carries the exact cosine for its ids).
   val oracleSql: Map[String, String] = Map(
+    "q96_knn_label" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv
+        |      FROM e WHERE vec_id % 50 = 0),
+        |c AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+        |sims AS (
+        |  SELECT query_id, true_label, c.vec_id, c.label,
+        |    ROUND(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4)
+        |      AS sim
+        |  FROM c CROSS JOIN q),
+        |top AS (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims),
+        |votes AS (SELECT query_id, true_label, label,
+        |    CAST(COUNT(*) AS BIGINT) AS n_votes
+        |  FROM top WHERE rn <= 10 GROUP BY 1, 2, 3),
+        |pick AS (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+        |  FROM votes)
+        |SELECT query_id, true_label, label AS pred_label, n_votes,
+        |  (label = true_label) AS correct
+        |FROM pick WHERE vr = 1
+        |ORDER BY query_id""".stripMargin,
     "q90_semantic_dedup" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

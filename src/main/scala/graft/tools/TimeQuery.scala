@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-query bench harness for plan iteration: times named catalog
+  * queries through the same noop-sink materialization as `graft.Bench`,
+  * without paying for the other ~100 queries. Usage:
+  *
+  *   SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.tools.TimeQuery q93_edit_neardup [reps]"
+  *
+  * Prints one line per rep (first rep absorbs codegen/JIT warmup —
+  * compare the later reps when judging a plan change).
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val names = args.filterNot(_.forall(_.isDigit)).toSeq
+    val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names; r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[timequery] $n rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

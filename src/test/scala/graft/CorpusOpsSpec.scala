@@ -141,6 +141,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       "single-token docs contribute no pairs")
   }
 
+  test("LM perplexity: hand-computed add-1 bigram scores on a tiny corpus") {
+    // Corpus: "a b", "a b", "a c", "solo" → V = {a,b,c,solo} = 4 (the
+    // vocabulary counts every token, including single-token docs that
+    // contribute no bigrams); histories c1(a) = 3; c12(a,b) = 2,
+    // c12(a,c) = 1.
+    //   P(b|a) = (2+1)/(3+4) = 3/7 → doc "a b": nll = -ln(3/7) = 0.8473
+    //   P(c|a) = (1+1)/(3+4) = 2/7 → doc "a c": nll = -ln(2/7) = 1.2528
+    val d = docsDir(Seq(
+      (0L, "a b", "s"), (1L, "a b", "s"), (2L, "a c", "s"),
+      (3L, "solo", "s"))) // 1 token → no bigrams → no score row
+    val rows = CorpusOps.lmPerplexity(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((0L, 1L, 0.8473), (1L, 1L, 0.8473), (2L, 1L, 1.2528)),
+      s"got $rows")
+  }
+
+  test("LM perplexity: common phrasing scores below rare phrasing, counts weighted") {
+    // doc 0 repeats one common bigram 3×; doc 1 is three distinct rare ones
+    val d = docsDir(Seq(
+      (0L, "x y x y x y", "s"),
+      (1L, "p q r s t u", "s"),
+      (2L, "x y", "s"), (3L, "x y", "s"))) // boost c12(x,y)
+    val byId = CorpusOps.lmPerplexity(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId(0L)._1 == 5L, "5 bigram positions, dup pairs weighted by count")
+    assert(byId(0L)._2 < byId(1L)._2,
+      "doc made of corpus-frequent bigrams must score lower nll than rare one")
+  }
+
   test("q79-q83 and q88-q89 run non-degenerate on the sf0.001 fixture") {
     val dir = "/root/testdata/sf0.001"
     for ((name, q) <- CorpusOps.queries) {

@@ -379,6 +379,60 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("edit-distance verify computes exact normalized levenshtein over given pairs") {
+    import graft.llm.NearDupOps
+    val docs = Seq(
+      (0L, "aaaa"), (1L, "aaab"),           // dist 1, max 4 → sim 0.75
+      (2L, "kitten"), (3L, "sitting"),      // dist 3, max 7 → 1-3/7 = 0.5714
+      (4L, "zzzz"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (2L, 3L), (0L, 4L)).toDF("id_a", "id_b")
+    val got = NearDupOps.editVerify(docs, pairs, minSim = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSeq
+    assert(got == Seq((0L, 1L, 1L, 0.75), (0L, 4L, 4L, 0.0), (2L, 3L, 3L, 0.5714)))
+    // threshold drops the dissimilar pair
+    assert(NearDupOps.editVerify(docs, pairs, minSim = 0.5).count() == 2)
+  }
+
+  test("edit near-dup finds the planted in-block pair and respects blocking") {
+    import graft.llm.NearDupOps
+    val tx = (1 to 40).map(i => f"word$i%02d").mkString(" ") // 279 chars
+    val txEdited = tx.replace("word07", "wort07").replace("word33", "ward33")
+    val dir = java.nio.file.Files.createTempDirectory("editnd").toString
+    Seq(
+      (0L, tx, "en", "src0", tx.length.toLong),
+      (1L, txEdited, "en", "src0", txEdited.length.toLong), // same block → found
+      (2L, tx, "en", "src1", tx.length.toLong),             // other source → never paired
+      (3L, "tiny doc", "en", "src0", 8L))                   // other length bucket
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = NearDupOps.editNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((0L, 1L)),
+      s"blocking must admit only the same-(source,lang,bucket) pair, got ${rows.toSeq}")
+    val (_, _, dist, sim) = rows.head
+    assert(dist == 2L, "two single-char edits → levenshtein 2")
+    assert(sim == math.floor((1.0 - 2.0 / tx.length) * 10000 + 0.5) / 10000)
+  }
+
+  test("edit verify composes with band-index candidates (production candidate source)") {
+    import graft.llm.NearDupOps
+    // candidates from the exact-Jaccard brute pairs stand in for any
+    // LSH/blocking generator: editVerify only contracts on (id_a, id_b)
+    val cand = NearDupOps.exactNearDupBrute(spark, sfDir, minJaccard = 0.5)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val docs = Tables.t(spark, sfDir, "documents")
+    val out = NearDupOps.editVerify(docs, cand, minSim = 0.0).collect()
+    assert(out.length == cand.count(),
+      "verify must score every candidate pair exactly once")
+    out.foreach { r =>
+      val (dist, maxLen, sim) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert((dist == 0L) == (sim == 1.0),
+        "sim 1.0 iff zero edit distance")
+      assert(dist <= maxLen && sim >= 0.0 && sim <= 1.0)
+    }
+  }
+
   test("substring overlap is non-vacuous and invariant-clean on fixtures") {
     import graft.llm.NearDupOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>

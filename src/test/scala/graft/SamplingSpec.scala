@@ -58,4 +58,57 @@ class SamplingSpec extends AnyFunSuite {
     // tokens conserved
     assert(rows.map(_._2).sum == rows.last._3)
   }
+
+  test("weighted sample: docs at full weight always kept, keep rate tracks length") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = SamplingOps.weightedSample(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // p = min(1, n/400): every long doc must be kept
+    val long = docs.filter(_._2 >= 400).keySet
+    assert(long.subsetOf(kept), "n_chars >= 400 means p = 1, never dropped")
+    // aggregate keep rate among short docs ≈ mean(n/400), binomial 4σ
+    val short = docs.filter(_._2 < 400)
+    if (short.size > 30) {
+      val expect = short.values.map(_.toDouble / 400).sum / short.size
+      val got = short.keySet.count(kept).toDouble / short.size
+      val tol = 4 * math.sqrt(expect * (1 - expect) / short.size)
+      assert(math.abs(got - expect) <= tol,
+        s"keep rate $got vs expected $expect ± $tol")
+    }
+  }
+
+  test("weighted sample: decision is per-doc stable under corpus slicing") {
+    val full = SamplingOps.weightedSample(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val d = java.nio.file.Files.createTempDirectory("wsampSub").toString
+    Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 100)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val slice = SamplingOps.weightedSample(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(slice == full.filter(_ < 100))
+  }
+
+  test("split assign: exhaustive, disjoint, 90/5/5 within tolerance, stable") {
+    val total = Tables.t(spark, sfDir, "documents").count()
+    val rows = SamplingOps.splitAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(4))
+    assert(rows.length == total, "every doc gets exactly one split")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byName = rows.groupBy(_._2).view.mapValues(_.length.toDouble / total).toMap
+    for ((name, want) <- Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)) {
+      val got = byName.getOrElse(name, 0.0)
+      val tol = 4 * math.sqrt(want * (1 - want) / total)
+      assert(math.abs(got - want) <= tol, s"$name: got $got want $want ± $tol")
+    }
+    // holdout membership never moves when the corpus is sliced
+    val d = java.nio.file.Files.createTempDirectory("splitSub").toString
+    Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val sliced = SamplingOps.splitAssign(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val fullMap = rows.toMap
+    sliced.foreach { case (id, sp) => assert(fullMap(id) == sp) }
+  }
 }

@@ -73,4 +73,41 @@ class SemanticOpsSpec extends AnyFunSuite {
       assert(n > 0, s"$name returned no rows on the fixture")
     }
   }
+
+  test("kNN label: planted clusters predict their own label, queries never self-vote") {
+    // Three tight clusters on orthogonal axes; vec_ids chosen so 0, 50,
+    // 100 are the % 50 == 0 query hold-outs, one per cluster. Every
+    // neighbor of a query is its own cluster → unanimous correct vote.
+    def jit(axis: Int, eps: Float): Seq[Float] = {
+      val v = Array(0f, 0f, 0f, 0f); v(axis) = 1f; v((axis + 1) % 4) = eps
+      v.toSeq
+    }
+    val rows =
+      (Seq((0L, 0), (50L, 1), (100L, 2)).map { case (id, ax) => (id, jit(ax, 0f), ax) }) ++
+      (1L to 12L).map(i => (i, jit(0, 0.01f * i), 0)) ++
+      (51L to 62L).map(i => (i, jit(1, 0.01f * (i - 50)), 1)) ++
+      (101L to 112L).map(i => (i, jit(2, 0.01f * (i - 100)), 2))
+    val d = embDir(rows)
+    val got = VectorOps.knnLabel(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.map(_._1).toSeq == Seq(0L, 50L, 100L), "one row per hold-out query")
+    got.foreach { case (q, truth, pred, votes, correct) =>
+      assert(pred == truth && correct, s"query $q predicted $pred, wanted $truth")
+      assert(votes == 10L, s"query $q: unanimous 10-vote neighborhood, got $votes")
+    }
+  }
+
+  test("kNN label: majority vote tie-break is deterministic (count desc, label asc)") {
+    // One query equidistant from two 5-member clusters with labels 2 and
+    // 1 → 5-5 tie at k = 10 → smaller label wins.
+    val d = embDir(
+      Seq((0L, Seq(1f, 1f, 0f, 0f), 9)) ++
+      (1L to 5L).map(i => (i, Seq(1f, 0.001f * i, 0f, 0f), 2)) ++
+      (6L to 10L).map(i => (i, Seq(0.001f * (i - 5), 1f, 0f, 0f), 1)))
+    val r = VectorOps.knnLabel(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(2) == 1L, "5-5 tie must resolve to the smaller label")
+    assert(r.head.getLong(3) == 5L)
+    assert(!r.head.getBoolean(4))
+  }
 }
