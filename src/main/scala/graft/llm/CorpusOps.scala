@@ -295,6 +295,98 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Heavy-hitter tokens via an in-plan count-min sketch + exact verify
+    * (Cormode & Muthukrishnan 2005) — the bounded-memory path to "which
+    * tokens dominate the corpus". The sketch is d=4 hashed counter rows
+    * of w=2048 buckets built with ONE tiny aggregation (partial agg
+    * compresses each partition to ≤ d·w counters before the shuffle, so
+    * shuffle volume is O(d·w·partitions), independent of corpus size);
+    * candidates are the distinct tokens whose min-over-depths estimate
+    * clears the threshold. CMS only overestimates, so candidates ⊇ the
+    * true heavy set, and the exact counting pass — the expensive
+    * full-vocabulary shuffle at 100 TB — runs ONLY over candidate
+    * occurrences (left-semi prune at the scan side). Overestimated
+    * stragglers die in the exact filter, so the composed operator is
+    * exact and shares the plain frequency-threshold oracle. */
+  def heavyHitters(s: SparkSession, dir: String, minFreq: Long = 500L): DataFrame = {
+    val d = 4
+    val w = 2048
+    val toks = graft.Tables.tSpread(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val buckets = (0 until d).map(i =>
+      struct(lit(i).as("depth"), pmod(xxhash64(col("tok"), lit(i)), lit(w)).as("bucket")))
+    val cms = toks
+      .select(explode(array(buckets: _*)).as("db"))
+      .groupBy(col("db.depth").as("depth"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val candidates = toks.distinct()
+      .select(col("tok"), explode(array(buckets: _*)).as("db"))
+      .select(col("tok"), col("db.depth").as("depth"), col("db.bucket").as("bucket"))
+      .join(broadcast(cms), Seq("depth", "bucket"))
+      .groupBy("tok")
+      .agg(min(col("cnt")).as("est"))
+      .filter(col("est") >= minFreq)
+      .select("tok")
+    toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("tok"))
+  }
+
+  /** Incremental aggregate maintenance by algebraic merge — the
+    * materialized-view upkeep every warehouse ingest runs: per-stratum
+    * partial aggregates of the existing corpus merge with the incoming
+    * batch's partials through the monoid ops (sum/sum/max/min), WITHOUT
+    * rescanning the corpus. The fixture splits on doc_id % 10 = 7 (the
+    * repo's standard ingest boundary); the oracle recomputes from
+    * scratch over everything — merged partials must equal it exactly.
+    * At 100 TB the "old" side is a few rows per stratum read from the
+    * previous run's output; only the batch is scanned. */
+  def aggMaintenance(s: SparkSession, dir: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"), col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        max(col("n_chars")).as("max_chars"), min(col("doc_id")).as("min_id"))
+    val docs = t(s, dir, "documents")
+    partial(docs.filter(col("doc_id") % 10 =!= 7))
+      .unionAll(partial(docs.filter(col("doc_id") % 10 === 7)))
+      .groupBy("source", "lang")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        max(col("max_chars")).as("max_chars"), min(col("min_id")).as("min_id"))
+      .orderBy("source", "lang")
+  }
+
+  /** Exact per-source length quantiles by ORDER-STATISTIC selection
+    * (p50/p90/p99 of n_chars) — the distribution profile a curation run
+    * reads before choosing chunking/packing budgets. Selection, not
+    * interpolation: the k-th smallest value with k = ⌈q·n⌉ computed in
+    * integer arithmetic ((q·n + den − 1) div den), so every reported
+    * quantile is an input value and the result is cross-engine exact —
+    * the same property q91's median/MAD uses. One window per source
+    * (rank) + one rollup; exact `percentile` would buffer every value
+    * per group, while this shape is two narrow exchanges on the source
+    * key. */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val wN = Window.partitionBy("source")
+    def k(num: Int, den: Int) =
+      floor((col("n") * num + (den - 1)) / den).cast("long")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy("source")
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(when(col("rn") === k(1, 2), col("n_chars"))).as("p50"),
+        max(when(col("rn") === k(9, 10), col("n_chars"))).as("p90"),
+        max(when(col("rn") === k(99, 100), col("n_chars"))).as("p99"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_common_gram_filter" -> commonGramFilter,
     "q80_tfidf_terms" -> tfidfTerms,
@@ -303,7 +395,10 @@ object CorpusOps {
     "q83_dup_rate_by_source" -> dupRateBySource,
     "q88_snapshot_diff" -> snapshotDiff,
     "q89_token_pair_merges" -> tokenPairMerges,
-    "q95_lm_perplexity" -> lmPerplexity)
+    "q95_lm_perplexity" -> lmPerplexity,
+    "q98_heavy_hitters" -> ((s, dir) => heavyHitters(s, dir)),
+    "q99_agg_maintenance" -> aggMaintenance,
+    "q100_length_quantiles" -> lengthQuantiles)
 
   val oracleSql: Map[String, String] = Map(
     "q79_common_gram_filter" ->
@@ -396,6 +491,38 @@ object CorpusOps {
         |       ELSE 'unchanged' END AS status
         |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q98_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |               AS tok
+        |             FROM documents)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM tok GROUP BY tok
+        |HAVING COUNT(*) >= 500
+        |ORDER BY freq DESC, tok""".stripMargin,
+    "q99_agg_maintenance" ->
+      """SELECT source, lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |    AS BIGINT) AS n_tokens,
+        |  MAX(n_chars) AS max_chars,
+        |  MIN(doc_id) AS min_id
+        |FROM documents
+        |GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+    "q100_length_quantiles" ->
+      """WITH s AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT source, MAX(n) AS n_docs,
+        |  MAX(CASE WHEN rn = CAST(floor((n * 1 + 1) / 2) AS BIGINT)
+        |      THEN n_chars END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(floor((n * 9 + 9) / 10) AS BIGINT)
+        |      THEN n_chars END) AS p90,
+        |  MAX(CASE WHEN rn = CAST(floor((n * 99 + 99) / 100) AS BIGINT)
+        |      THEN n_chars END) AS p99
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "q95_lm_perplexity" ->
       """WITH tkv AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |             FROM documents),

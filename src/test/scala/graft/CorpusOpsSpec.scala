@@ -170,6 +170,48 @@ class CorpusOpsSpec extends AnyFunSuite {
       "doc made of corpus-frequent bigrams must score lower nll than rare one")
   }
 
+  test("heavy hitters: CMS candidates superset the true heavy set, verify trims exactly") {
+    // "hot" 60×, "warm" 30×, 50 distinct cold tokens 1× each
+    val d = docsDir(
+      (0L to 5L).map(i => (i, Seq.fill(10)("hot").mkString(" "), "s")) ++
+      (6L to 8L).map(i => (i, Seq.fill(10)("warm").mkString(" "), "s")) ++
+      Seq((9L, (0 until 50).map(i => s"cold$i").mkString(" "), "s")))
+    val got = CorpusOps.heavyHitters(spark, d, minFreq = 40L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("hot", 60L)), s"only the true heavy hitter survives, got $got")
+    // threshold at 25 admits both, ordered freq desc
+    val both = CorpusOps.heavyHitters(spark, d, minFreq = 25L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(both == Seq(("hot", 60L), ("warm", 30L)))
+  }
+
+  test("agg maintenance: merged partials equal a from-scratch recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val merged = CorpusOps.aggMaintenance(spark, dir).collect().toSeq
+    val scratch = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("n_tok"),
+        col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        max(col("n_chars")).as("max_chars"), min(col("doc_id")).as("min_id"))
+      .orderBy("source", "lang").collect().toSeq
+    assert(merged == scratch,
+      "monoid merge of (corpus, batch) partials must equal the full recompute")
+  }
+
+  test("length quantiles: selection picks exact order statistics") {
+    // source "a": lengths 1..10 → k50 = ⌈5⌉ = 5th → 5; k90 = ⌈9⌉ = 9th → 9;
+    // k99 = ⌈9.9⌉ = 10th → 10. Single-doc source: all quantiles = its value.
+    val d = docsDir(
+      (1L to 10L).map(i => (i, "x" * i.toInt, "a")).map { case (i, tx, s) => (i, tx, s) } ++
+      Seq((99L, "y" * 7, "b")))
+    val got = CorpusOps.lengthQuantiles(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 10L, 5L, 9L, 10L), ("b", 1L, 7L, 7L, 7L)),
+      s"got ${got.toSeq}")
+  }
+
   test("q79-q83 and q88-q89 run non-degenerate on the sf0.001 fixture") {
     val dir = "/root/testdata/sf0.001"
     for ((name, q) <- CorpusOps.queries) {
