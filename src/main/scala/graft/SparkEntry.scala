@@ -20,7 +20,9 @@ object SparkEntry {
     ops.AdvancedQueries.queries ++
     ops.ShapeQueries.queries ++
     ops.ScaleUtils.queries ++
+    ops.TimeSeriesOps.queries ++
     llm.TextOps.queries ++
+    llm.QualityOps.queries ++
     llm.VectorOps.queries ++
     llm.NearDupOps.queries ++
     llm.CorpusOps.queries ++
@@ -37,7 +39,9 @@ object SparkEntry {
     ops.AdvancedQueries.oracleSql ++
     ops.ShapeQueries.oracleSql ++
     ops.ScaleUtils.oracleSql ++
+    ops.TimeSeriesOps.oracleSql ++
     llm.TextOps.oracleSql ++
+    llm.QualityOps.oracleSql ++
     llm.VectorOps.oracleSql ++
     llm.NearDupOps.oracleSql ++
     llm.CorpusOps.oracleSql ++

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Round-4 time-series analytics: gap-filled (forward-filled) daily
+  * price series and cohort retention — the two remaining classic
+  * warehouse time shapes the catalog lacked.
+  *
+  * Both are built from the engine-portable primitives the repo
+  * standardizes on: date grids come from `sequence` (the q09 generator),
+  * forward fill uses the count-over grouping trick instead of
+  * `IGNORE NULLS` (identical semantics, expressible in every SQL
+  * dialect), and week arithmetic is integer day-diff division — no
+  * locale-dependent `date_trunc('week', …)`.
+  */
+object TimeSeriesOps {
+
+  /** Gap-filled daily price series — the as-of/forward-fill transform a
+    * market feed needs before any day-over-day computation: for each
+    * part, a dense daily grid from its first to last observation, with
+    * missing days carrying the last observed price forward.
+    *
+    * Forward fill = the grouping trick: a running COUNT of non-null
+    * observations partitions each series into segments that start at an
+    * observation, and MAX over (part, segment) broadcasts it — two
+    * window passes over the SAME (part, day) sort order, so Spark plans
+    * one Exchange + one Sort and both windows ride it.
+    *
+    * Scale: the grid explodes from the per-part [min, max] span — size
+    * |parts|·|days|, independent of fact-row count; the left join back
+    * to observations keys on (part, day), the partitioning the grid was
+    * born with. At 100 TB the fact scan reduces to (part, day, min) at
+    * the scan (partial agg), so the shuffle carries one row per
+    * (part, day), not per lineitem. Parts ≤ 50 bounds the fixture
+    * output; the plan shape is part-count-agnostic. */
+  def priceGapfill(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "lineitem")
+      .filter(col("l_partkey") <= 50)
+      .select(col("l_partkey").as("part"),
+        to_date(col("l_shipdate")).as("day"), col("l_extendedprice"))
+      .groupBy("part", "day")
+      .agg(round(min(col("l_extendedprice")), 2).as("obs_price"))
+    val grid = obs.groupBy("part")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("part"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wCum = Window.partitionBy("part").orderBy("day")
+    grid.join(obs, Seq("part", "day"), "left")
+      .withColumn("grp", count(col("obs_price")).over(wCum))
+      .withColumn("price_filled",
+        max(col("obs_price")).over(Window.partitionBy("part", "grp")))
+      .withColumn("is_filled", col("obs_price").isNull)
+      .drop("grp")
+      .orderBy("part", "day")
+  }
+
+  /** Weekly cohort retention over the event stream — the
+    * activation/retention matrix every product-analytics warehouse
+    * computes: users are cohorted by the epoch-week of their first
+    * event, and each (cohort, week-offset) cell counts the distinct
+    * users still active that many weeks later, with the retention rate
+    * against the cohort's size.
+    *
+    * Weeks are floor(days-since-2024-01-01 / 7) — pure integer
+    * arithmetic, identical in every engine (date_trunc('week') is
+    * locale/ISO-dependent and is avoided). Plan: one (user, week)
+    * distinct aggregation (the only corpus-sized shuffle — partial
+    * aggs collapse each user's events map-side), a min-week window per
+    * user riding the same user-keyed exchange, then a tiny
+    * (cohort, offset) rollup joined to cohort sizes. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val week = floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7)
+    val uw = t(s, dir, "events")
+      .select(col("user_id"), week.as("week"))
+      .distinct()
+    val wUser = Window.partitionBy("user_id")
+    val cells = uw
+      .withColumn("cohort_week", min(col("week")).over(wUser))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(sizes, Seq("cohort_week"))
+      .withColumn("retention",
+        round(col("n_users").cast("double") / col("cohort_size"), 4))
+      .select("cohort_week", "week_offset", "n_users", "cohort_size", "retention")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_price_gapfill" -> priceGapfill,
+    "q105_cohort_retention" -> cohortRetention)
+
+  val oracleSql: Map[String, String] = Map(
+    "q104_price_gapfill" ->
+      """WITH obs AS (SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+        |    round(MIN(l_extendedprice), 2) AS obs_price
+        |  FROM lineitem WHERE l_partkey <= 50 GROUP BY 1, 2),
+        |span AS (SELECT part, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY 1),
+        |grid AS (SELECT part,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |j AS (SELECT g.part, g.day, o.obs_price
+        |      FROM grid g LEFT JOIN obs o USING (part, day)),
+        |c AS (SELECT *, COUNT(obs_price) OVER
+        |    (PARTITION BY part ORDER BY day) AS grp FROM j)
+        |SELECT part, day, obs_price,
+        |  MAX(obs_price) OVER (PARTITION BY part, grp) AS price_filled,
+        |  obs_price IS NULL AS is_filled
+        |FROM c ORDER BY part, day""".stripMargin,
+    "q105_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+        |      AS BIGINT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, week,
+        |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw),
+        |cells AS (SELECT cohort_week, week - cohort_week AS week_offset,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM c GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_week, n_users AS cohort_size
+        |          FROM cells WHERE week_offset = 0)
+        |SELECT cells.cohort_week, cells.week_offset, cells.n_users,
+        |  sizes.cohort_size,
+        |  round(CAST(cells.n_users AS DOUBLE) / sizes.cohort_size, 4) AS retention
+        |FROM cells JOIN sizes USING (cohort_week)
+        |ORDER BY cells.cohort_week, cells.week_offset""".stripMargin)
+}

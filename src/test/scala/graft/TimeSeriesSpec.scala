@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TimeSeriesOps
+
+/** Value-level checks for the round-4 time-series operators (q104–q105);
+  * the DuckDB oracle pins them on the driver tables. */
+class TimeSeriesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("price gapfill: dense grid, observed days keep their price, gaps carry forward") {
+    val rows = TimeSeriesOps.priceGapfill(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (part, xs) =>
+      val days = xs.map(_._2).sorted
+      // dense: one row per calendar day across the span
+      assert(days.length ==
+        java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1,
+        s"part $part grid has gaps")
+      // first day of the span is an observation by construction
+      val first = xs.minBy(_._2)
+      assert(first._3.isDefined && !first._5)
+      // forward fill: every row's filled price is the last observed price
+      var last = Double.NaN
+      xs.sortBy(_._2).foreach { case (_, _, obs, filled, isFilled) =>
+        obs match {
+          case Some(p) =>
+            assert(!isFilled && filled == p); last = p
+          case None =>
+            assert(isFilled && filled == last,
+              s"gap day must carry the previous observation forward")
+        }
+      }
+    }
+  }
+
+  test("cohort retention on a hand-built event stream") {
+    val d = java.nio.file.Files.createTempDirectory("cohort").toString
+    def ns(week: Int, day: Int = 0): Long =
+      (19723L + week * 7 + day) * 86400L * 1000000000L // 2024-01-01 epoch day
+    // user 1: weeks 0,1,3; user 2: week 0; user 3: weeks 1,2
+    val ev = Seq(
+      (1L, ns(0), 1L), (2L, ns(0, 1), 1L), (3L, ns(1), 1L), (4L, ns(3), 1L),
+      (5L, ns(0, 2), 2L),
+      (6L, ns(1, 4), 3L), (7L, ns(2), 3L))
+    ev.map { case (id, t, u) => (id, t, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = TimeSeriesOps.cohortRetention(spark, d).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r == Map(
+      (0L, 0L) -> ((2L, 2L, 1.0)),   // users 1,2 start in week 0
+      (0L, 1L) -> ((1L, 2L, 0.5)),   // user 1 active in week 1
+      (0L, 3L) -> ((1L, 2L, 0.5)),   // user 1 active in week 3
+      (1L, 0L) -> ((1L, 1L, 1.0)),   // user 3 starts in week 1
+      (1L, 1L) -> ((1L, 1L, 1.0)))) // user 3 active in week 2
+  }
+}
