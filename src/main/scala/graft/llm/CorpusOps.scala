@@ -387,7 +387,44 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Vocabulary-growth (Heaps-law) curve — cumulative token and
+    * distinct-type counts as the corpus is scanned in doc_id order, one
+    * row per 50-doc bucket, with the running type/token ratio. The
+    * curve a corpus builder reads to size tokenizer vocabularies and
+    * detect template/duplication plateaus (a flattening TTR means new
+    * documents stop contributing new vocabulary).
+    *
+    * "Cumulative distinct" without a running-distinct window (which
+    * would buffer the vocabulary per row): a type is NEW at exactly one
+    * doc — its min doc_id — so per-bucket new-type counts are a plain
+    * aggregation of the term table's min, and the cumulative curve is a
+    * window sum over the tiny bucket table. Two corpus-sized shuffles
+    * (doc key, term key), then arithmetic on |buckets| rows. The TTR is
+    * a single exact division of integer counts — unrounded, both
+    * engines produce the identical double. */
+  def vocabGrowth(s: SparkSession, dir: String, bucket: Long = 50L): DataFrame = {
+    val tok = graft.Tables.tSpread(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val newPerDoc = tok.groupBy("tok").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val perBucket = perDoc.join(newPerDoc, Seq("doc_id"), "left")
+      .withColumn("bucket", floor(col("doc_id") / bucket))
+      .groupBy("bucket")
+      .agg(sum(col("n_tok")).as("toks"),
+        sum(coalesce(col("n_new"), lit(0L))).as("news"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .select(col("bucket"),
+        sum(col("toks")).over(w).as("n_tokens_cum"),
+        sum(col("news")).over(w).as("n_distinct_cum"))
+      .withColumn("ttr",
+        col("n_distinct_cum").cast("double") / col("n_tokens_cum"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_vocab_growth" -> ((s, dir) => vocabGrowth(s, dir)),
     "q79_common_gram_filter" -> commonGramFilter,
     "q80_tfidf_terms" -> tfidfTerms,
     "q81_char_entropy" -> charEntropy,
@@ -401,6 +438,28 @@ object CorpusOps {
     "q100_length_quantiles" -> lengthQuantiles)
 
   val oracleSql: Map[String, String] = Map(
+    "q110_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+        |       FROM tok GROUP BY 1),
+        |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+        |       FROM (SELECT tok, MIN(doc_id) AS doc_id FROM tok GROUP BY 1)
+        |       GROUP BY 1),
+        |pb AS (SELECT CAST(floor(pd.doc_id / 50) AS BIGINT) AS bucket,
+        |    CAST(SUM(pd.n_tok) AS BIGINT) AS toks,
+        |    CAST(SUM(COALESCE(nd.n_new, 0)) AS BIGINT) AS news
+        |  FROM pd LEFT JOIN nd USING (doc_id) GROUP BY 1)
+        |SELECT bucket,
+        |  CAST(SUM(toks) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS n_tokens_cum,
+        |  CAST(SUM(news) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS n_distinct_cum,
+        |  CAST(SUM(news) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(SUM(toks) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |        AS BIGINT) AS ttr
+        |FROM pb ORDER BY bucket""".stripMargin,
     "q79_common_gram_filter" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |            FROM documents),

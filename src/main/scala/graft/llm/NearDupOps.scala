@@ -1024,6 +1024,94 @@ object NearDupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Chunk-granular near-dup across documents — [[graft.llm.TextOps
+    * chunkWindows]]'s sliding windows (width 40 / stride 30, the
+    * training-sequence unit) put through the MinHash+LSH cascade: find
+    * pairs of chunks FROM DIFFERENT DOCUMENTS whose 3-shingle Jaccard
+    * clears 0.9. This is the span-granular fuzzy complement to q101's
+    * exact window dedup and q43's doc-level near-dup: a long verbatim
+    * passage embedded in two otherwise-different documents surfaces
+    * here as its chunks pairing off, without either document pairing as
+    * a whole.
+    *
+    * Oracle-exactness argument (q43's, one level down): at the 0.9
+    * threshold on 3-shingles of ~40-token chunks, qualifying fixture
+    * pairs are identical shingle SETS (identical or trivially-reordered
+    * spans); identical sets hash to identical signatures, so every band
+    * collides and candidate recall at the threshold is complete —
+    * deterministically, not probabilistically. The sim is then
+    * exact-verified integer set arithmetic rounded by the midpoint rule,
+    * so the output is a pure function of the input.
+    *
+    * Scale shape: chunks leave the scan as (ids, 16 minhash ints, 40
+    * shingle digests) — no chunk text rides any shuffle; banding
+    * shuffles (band, ids); the verify joins key on (chunk, digest) and
+    * touch CANDIDATE chunks only. */
+  def chunkNearDup(s: SparkSession, dir: String): DataFrame = {
+    val width = 40
+    val stride = 30
+    val k = 16
+    val bands = 8
+    val tk = toks(col("text"))
+    val chunks = graft.Tables.tSpread(s, dir, "documents")
+      .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        ceil(greatest(col("n_tokens") - (width - stride), lit(1L))
+          .cast("double") / stride).cast("long"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("tk"), (col("chunk_id") * stride + 1).cast("int"), lit(width)))
+          .as("chunk_text"))
+      .select(col("doc_id"), col("chunk_id"),
+        shingles(col("chunk_text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // Digested shingles + signature, staged once: the banding branch and
+    // both verify branches read it.
+    val keyed = graft.Materialize.stable(chunks
+      .select(col("doc_id"), col("chunk_id"),
+        transform(col("sh"), g => md5(g)).as("shd"),
+        minhashSignature(col("sh"), k).as("sig")))
+    val banded = keyed
+      .select(col("doc_id"), col("chunk_id"),
+        explode(bandKeys(col("sig"), k, bands)).as("band"))
+    val a = banded.select(col("band"), col("doc_id").as("doc_a"),
+      col("chunk_id").as("chunk_a"))
+    val b = banded.select(col("band"), col("doc_id").as("doc_b"),
+      col("chunk_id").as("chunk_b"))
+    val cand = a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "chunk_a", "doc_b", "chunk_b")
+      .dropDuplicates("doc_a", "chunk_a", "doc_b", "chunk_b")
+    val ex = keyed.select(col("doc_id"), col("chunk_id"),
+      explode(col("shd")).as("gd"))
+    val sizes = keyed.select(col("doc_id"), col("chunk_id"),
+      size(col("shd")).cast("long").as("n_sh"))
+    // Intersection counts restricted to candidates: fan candidate pairs
+    // out over side A's digests, then match side B on (chunk, digest).
+    val inter = cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("chunk_id").as("chunk_a"),
+        col("gd")), Seq("doc_a", "chunk_a"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("chunk_id").as("chunk_b"),
+        col("gd")), Seq("doc_b", "chunk_b", "gd"))
+      .groupBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("chunk_id").as("chunk_a"), col("n_sh").as("n_a")),
+        Seq("doc_a", "chunk_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("chunk_id").as("chunk_b"), col("n_sh").as("n_b")),
+        Seq("doc_b", "chunk_b"))
+      .select(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"),
+        (floor(col("n_inter") * 10000.0
+          / (col("n_a") + col("n_b") - col("n_inter")) + 0.5) / 10000)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+  }
+
   /** Exact edit-distance verification over a candidate-pair frame — the
     * verify stage of fuzzy dedup when the similarity that matters is
     * character-level (OCR noise, template fills, small in-place edits)
@@ -1103,7 +1191,8 @@ object NearDupOps {
     "q84_incremental_staged" -> incrementalNearDupStaged,
     "q85_substring_overlap" -> substringOverlap,
     "q87_ingest_dedup_flags" -> ((s, dir) => ingestDedupFlags(s, dir)),
-    "q93_edit_neardup" -> editNearDup)
+    "q93_edit_neardup" -> editNearDup,
+    "q107_chunk_neardup" -> chunkNearDup)
 
   // q45 hashes with xxhash64 (not available in DuckDB) → rows-only
   // driver check; its value-level verification is NearDupSpec. q43/q49
@@ -1113,6 +1202,34 @@ object NearDupOps {
   // fixture scale — and candidate recall on planted dups is additionally
   // pinned in NearDupSpec).
   val oracleSql: Map[String, String] = Map(
+    "q107_chunk_neardup" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |            FROM documents),
+        |ch AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(1, CAST(ceil(greatest(len(tk) - 10, 1) / 30.0) AS BIGINT)),
+        |      i -> struct_pack(chunk_id := i - 1,
+        |        ctk := list_slice(tk, (i - 1) * 30 + 1,
+        |          least((i - 1) * 30 + 40, len(tk)))))) AS s
+        |  FROM tk),
+        |sh AS (SELECT doc_id, CAST(s.chunk_id AS BIGINT) AS chunk_id,
+        |    list_distinct(CASE WHEN len(s.ctk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(s.ctk) - 2),
+        |        i -> s.ctk[i] || ' ' || s.ctk[i+1] || ' ' || s.ctk[i+2]) END) AS grams
+        |  FROM ch),
+        |g AS (SELECT doc_id, chunk_id, len(grams) AS n_sh, unnest(grams) AS gr
+        |      FROM sh WHERE len(grams) > 0),
+        |p AS (SELECT a.doc_id AS doc_a, a.chunk_id AS chunk_a,
+        |    b.doc_id AS doc_b, b.chunk_id AS chunk_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter,
+        |    any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        |  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, chunk_a, doc_b, chunk_b,
+        |  floor(n_inter * 10000.0 / (n_a + n_b - n_inter) + 0.5) / 10000 AS jaccard
+        |FROM p
+        |WHERE floor(n_inter * 10000.0 / (n_a + n_b - n_inter) + 0.5) / 10000 >= 0.9
+        |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin,
     "q93_edit_neardup" ->
       """WITH d AS (
         |  SELECT doc_id, source, lang, text, CAST(length(text) AS BIGINT) AS n

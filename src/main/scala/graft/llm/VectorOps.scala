@@ -395,6 +395,71 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id")))
   }
 
+  /** IVF index maintenance — add an ingest batch to the staged index
+    * WITHOUT re-clustering (the standard FAISS `add` path: centroids are
+    * frozen, new vectors go to their nearest existing cell; periodic
+    * re-trains happen offline on their own cadence). The repo's standard
+    * ingest boundary (vec_id % 10 = 7) plays the incoming batch: its
+    * vectors are assigned by an in-plan nearest-centroid argmin against
+    * the index's materialized centroid table (a |batch|×k broadcast
+    * cross-join — k rows, never a corpus shuffle), then unioned with the
+    * staged lists minus the batch. The integrity contract is q67's,
+    * extended over maintenance: a FULL probe of the merged index must
+    * still equal brute-force cosine — no vector lost, duplicated, or
+    * broken by the add path — which is exactly what the oracle checks.
+    * Cell-placement equivalence (frozen-centroid argmin ≡ the trainer's
+    * own assignment) is pinned in VectorFunctionsSpec. At 100 TB the
+    * add touches O(batch) rows; the corpus lists are read, not
+    * rewritten (parquet-partitioned by cell, the batch appends as new
+    * files per cell). */
+  def ivfAddBatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val idx = IvfIndex.ensure(s, dir)
+    val lists = s.read.parquet(s"$idx/lists")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val isNew = pmod(col("vec_id"), lit(10)) === 7
+    val staged = lists.filter(!isNew).select("vec_id", "cell", "v", "norm")
+    val batch = t(s, dir, "embeddings").filter(isNew)
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val dist = aggregate(
+      zip_with(col("v").cast("array<double>"), col("centroid"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    val assigned = batch.crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cell", "v", "norm")
+    val merged = staged.unionByName(assigned)
+    val q = merged.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val probed = q.crossJoin(broadcast(centroids.select(col("cell"))))
+    rankTop10(merged.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id")))
+  }
+
+  /** The merged-lists frame of [[ivfAddBatch]]'s add path, exposed for
+    * the cell-placement spec. */
+  private[graft] def ivfAddAssignments(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val idx = IvfIndex.ensure(s, dir)
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val isNew = pmod(col("vec_id"), lit(10)) === 7
+    val batch = t(s, dir, "embeddings").filter(isNew)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val dist = aggregate(
+      zip_with(col("v").cast("array<double>"), col("centroid"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    batch.crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cell")
+  }
+
   /** Round-1 inline form (fit + probe in one plan) — kept as the
     * reference implementation the split build/probe path is spec-checked
     * against (VectorFunctionsSpec "probe-after-build ≡ inline"). */
@@ -555,6 +620,7 @@ object VectorOps {
     // mis-assigned in the materialized inverted lists (q57 itself stays
     // approximate/rows-only; this row pins the index it probes)
     "q67_ivf_full_probe"  -> ivfFullProbe,
+    "q106_ivf_add_batch"  -> ivfAddBatch,
     "q40_cosine_topk"     -> cosineTopK,
     "q41_cosine_near_dup" -> cosineNearDup,
     "q42_label_centroids" -> labelCentroids,
@@ -666,6 +732,24 @@ object VectorOps {
         |  list_max(list_transform(err, x -> abs(x))) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
     "q67_ivf_full_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT query_id, e.vec_id,
+        |    ROUND(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims)
+        |SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin,
+    // q106 shares q67's brute-force oracle BY DESIGN: the maintenance
+    // contract is that a full probe of the frozen-centroid-merged index
+    // still equals brute force — any vector the add path drops,
+    // duplicates, or corrupts breaks the hash match.
+    "q106_ivf_add_batch" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
         |sims AS (

@@ -128,7 +128,52 @@ object AdvancedQueries {
       .orderBy("user_id")
   }
 
+  /** Robust anomaly report per event type — median/MAD with the
+    * modified z-score rule (Iglewicz & Hoaglin 1993: |0.6745·(x −
+    * med)/MAD| > 3.5 flags an outlier; ~4% of the fixture's
+    * heavy-tailed event values trip it). Robust statistics, not
+    * mean/σ, because a heavy tail drags the mean toward its own
+    * outliers. Median and MAD are ORDER-STATISTIC selections (k =
+    * ⌈n/2⌉ in integer arithmetic, the q100 rule) so every reported
+    * value is an input value and the result is cross-engine exact; the
+    * outlier test is rearranged to the multiplication form dev·6745 >
+    * MAD·35000 — one IEEE product per side, no division — so the
+    * comparison is deterministic in both engines.
+    *
+    * Plan shape: two rank windows + one rollup, all exchanged on the
+    * 5-value event-type key; nothing buffers a whole group (exact
+    * `percentile` would). At 100 TB with skewed group sizes the same
+    * shape holds per key — selection windows stream sorted runs. */
+  def valueOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "events")
+      .select(col("event_type"), col("value").as("x"), col("event_id"))
+    val wN = Window.partitionBy("event_type")
+    def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
+      val wR = Window.partitionBy("event_type").orderBy(col(v), col("event_id"))
+      df.withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(wN))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === floor((col("n") + 1) / 2), col(v))).as(out))
+    }
+    val med = medianOf(o, "x", "median_value")
+    val dev = o.join(med, Seq("event_type"))
+      .withColumn("dv", abs(col("x") - col("median_value")))
+    val mad = medianOf(dev, "dv", "mad")
+    dev.join(mad, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("median_value")).as("median_value"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dv") * 6745 > col("mad") * 35000, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_frac",
+        col("n_outliers").cast("double") / col("n_events"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_value_outliers"  -> valueOutliers,
     "q56_latest_per_user"  -> latestPerUser,
     "q39_range_join_bands" -> rangeJoinBands,
     "q25_asof_join"        -> asofJoin,
@@ -137,6 +182,34 @@ object AdvancedQueries {
     "q47_sessionize"       -> sessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q109_value_outliers" ->
+      """WITH o AS (SELECT event_type, value AS x, event_id FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM o),
+        |med AS (SELECT event_type,
+        |    MAX(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT) THEN x END)
+        |      AS median_value
+        |  FROM r GROUP BY 1),
+        |d AS (SELECT o.event_type, o.x, o.event_id, med.median_value,
+        |    abs(o.x - med.median_value) AS dv
+        |  FROM o JOIN med USING (event_type)),
+        |r2 AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM d),
+        |mad AS (SELECT event_type,
+        |    MAX(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT) THEN dv END) AS mad
+        |  FROM r2 GROUP BY 1)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MAX(d.median_value) AS median_value, MAX(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dv * 6745 > mad.mad * 35000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN d.dv * 6745 > mad.mad * 35000 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS outlier_frac
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q56_latest_per_user" ->
       """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id

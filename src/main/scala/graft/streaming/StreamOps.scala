@@ -61,6 +61,38 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Sliding-window rates: 10-minute windows advancing every 5 minutes,
+    * counts per event type, 10-minute watermark. The overlapping-window
+    * complement to [[hourlyTypeCounts]]'s tumbling shape — each event
+    * lands in exactly two windows, state is bounded by the watermark,
+    * and the per-window counts are the rate signal a monitoring
+    * dashboard reads. */
+  def slidingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"),
+        unix_micros(col("window.end")).as("we_us"),
+        col("event_type"), col("n_events"))
+
+  /** Batch twin of [[slidingTypeCounts]] (q108): identical window
+    * assignment over the static table — an event at t belongs to the
+    * two epoch-aligned 10-minute windows starting at ⌊t/5m⌋·5m and that
+    * minus 5m, which is exactly how the oracle unrolls it. Stream ≡
+    * batch is pinned in StreamingSpec. Timestamps export as unix micros
+    * (q61's convention). */
+  def slidingCountsBatch(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"),
+        unix_micros(col("window.end")).as("we_us"),
+        col("event_type"), col("n_events"))
+      .orderBy("ws_us", "event_type")
+
   /** Stream-stream interval join: attribute each purchase to clicks by
     * the same user in the preceding 30 minutes. Both sides carry
     * watermarks and the join condition bounds event-time distance, so
@@ -211,9 +243,20 @@ object StreamOps {
       .orderBy("user_id", "session_start_us")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q61_session_window" -> sessionWindowBatch)
+    Map("q61_session_window" -> sessionWindowBatch,
+      "q108_sliding_counts" -> slidingCountsBatch)
 
   val oracleSql: Map[String, String] = Map(
+    "q108_sliding_counts" ->
+      """WITH w AS (SELECT event_type,
+        |    unnest([CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000,
+        |            CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000
+        |              - 300000000]) AS ws_us
+        |  FROM events)
+        |SELECT ws_us, ws_us + 600000000 AS we_us, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY ws_us, event_type
+        |ORDER BY ws_us, event_type""".stripMargin,
     "q61_session_window" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, value, event_id FROM events),
