@@ -26,6 +26,7 @@ object SparkEntry {
     llm.VectorOps.queries ++
     llm.NearDupOps.queries ++
     llm.CorpusOps.queries ++
+    llm.CorpusAudit.queries ++
     llm.SamplingOps.queries ++
     llm.MultimodalOps.queries ++
     streaming.StreamOps.queries
@@ -45,6 +46,7 @@ object SparkEntry {
     llm.VectorOps.oracleSql ++
     llm.NearDupOps.oracleSql ++
     llm.CorpusOps.oracleSql ++
+    llm.CorpusAudit.oracleSql ++
     llm.SamplingOps.oracleSql ++
     llm.MultimodalOps.oracleSql ++
     streaming.StreamOps.oracleSql

@@ -1,0 +1,238 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Corpus-audit operators, round 4: collocation mining (PMI),
+  * source-term affinity, schema-evolution ingest, and the dedup growth
+  * curve. The reports a corpus builder runs BETWEEN pipeline stages to
+  * decide what to fix next — all pure aggregation arithmetic over the
+  * token/digest tables the other llm operators already stage, so every
+  * one carries a full DuckDB hash oracle.
+  *
+  * Float posture (the q95 rule): every logarithm is taken on ONE double
+  * ratio assembled from exact integer counts by a fixed sequence of IEEE
+  * products/divisions — both engines evaluate the identical expression
+  * tree — then rounded to 4dp before any ranking.
+  */
+object CorpusAudit {
+
+  private def tokens(c: org.apache.spark.sql.Column) =
+    graft.functions.Tokenize.tokens(c)
+
+  /** Collocation mining by pointwise mutual information (Church & Hanks
+    * 1990): PMI(w₁,w₂) = ln(p(w₁w₂) / (p(w₁)p(w₂))) over adjacent token
+    * pairs, min support 25 occurrences, top-20 by (rounded PMI, pair).
+    * High-PMI pairs are the multi-word units a tokenizer or phrase
+    * miner should treat as one symbol — the statistical step behind
+    * merge rules that q89's raw pair counts only rank by frequency.
+    *
+    * Plan: ONE corpus-sized pair aggregation (q89's map-side zip_with
+    * emission) + one unigram aggregation re-read from the same scan;
+    * the probability arithmetic joins pair rows to two broadcastable
+    * unigram sides on the exchanges the counts already made (AQE
+    * decides, the q80 posture); top-20 plans as TakeOrderedAndProject. */
+  def pmiCollocations(s: SparkSession, dir: String, minCount: Long = 25L): DataFrame = {
+    val tk = tokens(col("text"))
+    val toks = graft.Tables.tSpread(s, dir, "documents")
+      .select(col("doc_id"), tk.as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(sum(col("c")).as("n1"))
+    // n2 is the TOTAL bigram count — computed before the support filter,
+    // so p(w1w2) is a real probability, not one renormalized over the
+    // surviving pairs.
+    val pairsAll = toks.filter(size(col("tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val n2 = pairsAll.agg(sum(col("c12")).as("n2"))
+    pairsAll
+      .filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi",
+        round(log((col("c12").cast("double") / col("n2"))
+          / ((col("c1").cast("double") / col("n1"))
+            * (col("c2").cast("double") / col("n1")))), 4))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Source-term affinity — the "distinctive vocabulary per source"
+    * report (the relative-frequency-ratio / source-level PMI form of
+    * Monroe et al. 2008's fightin'-words question): score(s,t) =
+    * ln((c_st/C_s) / (c_t/C)), the log of how over-represented term t
+    * is in source s vs the whole corpus. Top-3 per source at min
+    * support 20, ranked on the 4dp-rounded score with term tie-break
+    * (the q80 determinism rule).
+    *
+    * Plan: one (source, term) aggregation is the corpus shuffle; term
+    * totals re-aggregate it (narrow); source totals and the corpus
+    * total are broadcast scalars; the top-3 window partitions by
+    * source. */
+  def sourceTermAffinity(s: SparkSession, dir: String, minCount: Long = 20L): DataFrame = {
+    val st = graft.Materialize.stable(
+      graft.Tables.tSpread(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c_st")))
+    val termTot = st.groupBy("term").agg(sum(col("c_st")).as("c_t"))
+    val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("c_s"))
+    val tot = st.agg(sum(col("c_st")).as("c_all"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("term"))
+    st.filter(col("c_st") >= minCount)
+      .join(termTot, Seq("term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        round(log((col("c_st").cast("double") / col("c_s"))
+          / (col("c_t").cast("double") / col("c_all"))), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("source", "rank", "term", "c_st", "c_t", "score")
+      .orderBy("source", "rank")
+  }
+
+  /** Schema-evolution ingest — union a legacy snapshot that PREDATES two
+    * columns (no lang, no n_chars) with the current table, by column
+    * NAME with null fill (`unionByName(allowMissingColumns)`), then
+    * profile the merged corpus. The everyday warehouse reality the
+    * strict schema gate (Schemas.validateOnce) exists to catch — this
+    * operator is the sanctioned path: evolution happens at UNION time
+    * with explicit null semantics, not by loosening the per-file gate.
+    * The legacy snapshot is the q88 fixture rule (doc_id % 5 ≠ 4,
+    * 120-char truncation) shifted to ids 100000+, so provenance is
+    * disjoint. Per-row, one rollup — no scale caveats. */
+  def schemaUnion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val legacy = docs.filter(col("doc_id") % 5 =!= 4)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        substring(col("text"), 1, 120).as("text"),
+        col("source"))
+    val merged = docs.unionByName(legacy, allowMissingColumns = true)
+    merged.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        sum(coalesce(col("n_chars"), lit(-1L))).as("sum_chars_sentinel"),
+        count(col("n_chars")).as("n_with_chars"))
+      .orderBy("source")
+  }
+
+  /** Dedup growth curve — cumulative exact-duplicate fraction as the
+    * corpus is ingested in doc_id order, one row per 50-doc bucket: a
+    * doc is a duplicate if its content digest first occurred at an
+    * earlier doc_id. The operational twin of q110's vocabulary curve —
+    * a RISING dup_frac slope tells the builder which ingest decade
+    * started re-crawling old content. Same no-buffer trick: a digest is
+    * new at exactly its min doc_id, so the curve is one digest-keyed
+    * window + window sums over the tiny bucket table. */
+  def dedupCurve(s: SparkSession, dir: String, bucket: Long = 50L): DataFrame = {
+    val wD = Window.partitionBy("digest")
+    val perDoc = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("first_id", min(col("doc_id")).over(wD))
+      .withColumn("is_dup", col("doc_id") =!= col("first_id"))
+    val perBucket = perDoc
+      .withColumn("bucket", floor(col("doc_id") / bucket))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dups"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .select(col("bucket"),
+        sum(col("n")).over(w).as("n_docs_cum"),
+        sum(col("dups")).over(w).as("n_dups_cum"))
+      .withColumn("dup_frac",
+        col("n_dups_cum").cast("double") / col("n_docs_cum"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_pmi_collocations" -> ((s, dir) => pmiCollocations(s, dir)),
+    "q113_source_term_affinity" -> ((s, dir) => sourceTermAffinity(s, dir)),
+    "q114_schema_union" -> schemaUnion,
+    "q115_dedup_curve" -> ((s, dir) => dedupCurve(s, dir)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q111_pmi_collocations" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |            FROM documents),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY 1),
+        |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uni),
+        |p AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(tk) < 2 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 1),
+        |           i -> struct_pack(w1 := tk[i], w2 := tk[i+1])) END) AS pr
+        |  FROM tk),
+        |pairs AS (SELECT pr.w1 AS w1, pr.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |          FROM p GROUP BY 1, 2),
+        |n2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS n2 FROM pairs)
+        |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+        |  round(ln((CAST(c12 AS DOUBLE) / n2)
+        |    / ((CAST(u1.c AS DOUBLE) / n1) * (CAST(u2.c AS DOUBLE) / n1))), 4)
+        |    AS pmi
+        |FROM pairs
+        |JOIN uni u1 ON pairs.w1 = u1.w
+        |JOIN uni u2 ON pairs.w2 = u2.w
+        |CROSS JOIN n1 CROSS JOIN n2
+        |WHERE c12 >= 25
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q113_source_term_affinity" ->
+      """WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+        |  FROM (SELECT source,
+        |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |srct AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS c_s FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS c_all FROM st),
+        |sc AS (SELECT st.source, st.term, st.c_st, tt.c_t,
+        |    round(ln((CAST(st.c_st AS DOUBLE) / srct.c_s)
+        |      / (CAST(tt.c_t AS DOUBLE) / tot.c_all)), 4) AS score
+        |  FROM st JOIN tt USING (term) JOIN srct USING (source) CROSS JOIN tot
+        |  WHERE st.c_st >= 20),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY source ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, term, c_st, c_t, score
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+    "q114_schema_union" ->
+      """WITH merged AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text, 1, 120), NULL, source, NULL
+        |  FROM documents WHERE doc_id % 5 <> 4)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |  CAST(SUM(COALESCE(n_chars, -1)) AS BIGINT) AS sum_chars_sentinel,
+        |  CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
+    "q115_dedup_curve" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |f AS (SELECT doc_id,
+        |    doc_id <> MIN(doc_id) OVER (PARTITION BY digest) AS is_dup
+        |  FROM d),
+        |pb AS (SELECT CAST(floor(doc_id / 50) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dups
+        |  FROM f GROUP BY 1)
+        |SELECT bucket,
+        |  CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS n_docs_cum,
+        |  CAST(SUM(dups) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS n_dups_cum,
+        |  CAST(SUM(dups) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |        AS BIGINT) AS dup_frac
+        |FROM pb ORDER BY bucket""".stripMargin)
+}

@@ -90,11 +90,52 @@ object TimeSeriesOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Strictly-ordered funnel — users who progressed view → click →
+    * purchase in TIME ORDER (q10's funnel counts per-step populations
+    * with no ordering constraint; this is the sequenced version every
+    * product-analytics engine ships as its funnel primitive). Step k's
+    * anchor is the user's first step-k event strictly after their
+    * step-(k−1) anchor — the standard first-touch rule.
+    *
+    * Plan: one narrow per-step aggregation each (user-keyed exchanges
+    * AQE co-locates), then three scalar counts cross-joined into the
+    * one-row report. The event scan is shared; nothing buffers a user's
+    * event list. Timestamps compare at the fixture's native microsecond
+    * grain in both engines. */
+  def orderedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_price_gapfill" -> priceGapfill,
-    "q105_cohort_retention" -> cohortRetention)
+    "q105_cohort_retention" -> cohortRetention,
+    "q112_ordered_funnel" -> orderedFunnel)
 
   val oracleSql: Map[String, String] = Map(
+    "q112_ordered_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_full_funnel""".stripMargin,
     "q104_price_gapfill" ->
       """WITH obs AS (SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
         |    round(MIN(l_extendedprice), 2) AS obs_price

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.CorpusAudit
+
+/** Value-level checks for the round-4 corpus-audit operators
+  * (q111/q113/q114/q115) on controlled fixtures. */
+class CorpusAuditSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("audit").toString
+    rows.map { case (id, tx, src) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("PMI ranks an always-together pair above an independent one") {
+    // "p q" occur ONLY together (30 times); filler tokens are twice as
+    // frequent and split across two pair types, so their PMI is lower.
+    val rows = (0 until 30).map(i => (i.toLong, "p q", "s")) ++
+      (30 until 60).map(i => (i.toLong, "f1 f2 f1 f2", "s"))
+    val r = CorpusAudit.pmiCollocations(spark, docsDir(rows), minCount = 25)
+      .collect()
+    assert(r.nonEmpty)
+    val top = r.head
+    assert((top.getString(0), top.getString(1)) == (("p", "q")))
+    // exact arithmetic: c12=30, n2=30+90 (filler emits 3 pairs × 30 docs),
+    // c1=c2=30, n1=60+120 → PMI = ln 9
+    val pmi = math.rint(math.log((30.0 / 120) / ((30.0 / 180) * (30.0 / 180))) * 1e4) / 1e4
+    assert(top.getDouble(5) == pmi)
+    // the exclusive pair beats the frequent-but-split filler pair (ln 4.5)
+    val f = r.find(x => x.getString(0) == "f1" && x.getString(1) == "f2").get
+    assert(f.getDouble(5) < top.getDouble(5))
+  }
+
+  test("source-term affinity surfaces a source's private vocabulary") {
+    // "zzz" appears only in source A (25 times — above min support);
+    // shared filler is spread evenly.
+    val rows = (0 until 25).map(i => (i.toLong, "zzz common words here", "A")) ++
+      (25 until 50).map(i => (i.toLong, "common words here also", "B"))
+    val r = CorpusAudit.sourceTermAffinity(spark, docsDir(rows), minCount = 20)
+      .collect()
+    val aTop = r.filter(_.getString(0) == "A").minBy(_.getLong(1))
+    assert(aTop.getString(2) == "zzz", "the private term must rank first for A")
+    // a term unique to A has score ln(c_st/c_s / (c_t/c_all)) with c_st=c_t
+    assert(aTop.getDouble(5) > 0)
+  }
+
+  test("schema union fills evolved columns with nulls and keeps provenance") {
+    val d = docsDir(Seq(
+      (0L, "alpha beta", "s"), (1L, "gamma delta", "s"),
+      (2L, "epsilon zeta", "s"), (3L, "eta theta", "s"),
+      (4L, "iota kappa", "s"))) // id 4 excluded from the legacy snapshot
+    val r = CorpusAudit.schemaUnion(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 9, "5 current + 4 legacy docs")        // n_docs
+    assert(row.getLong(2) == 4, "legacy rows have null lang")       // n_legacy
+    assert(row.getLong(4) == 5, "only current rows carry n_chars")  // n_with_chars
+    // sentinel sum = sum of current n_chars + (-1 per legacy row)
+    val expected = Seq("alpha beta", "gamma delta", "epsilon zeta",
+      "eta theta", "iota kappa").map(_.length.toLong).sum - 4
+    assert(row.getLong(3) == expected)
+  }
+
+  test("dedup curve rises exactly when re-crawled content arrives") {
+    // bucket 0 (ids 0-49): all unique; bucket 1 (ids 50-99): all copies
+    // of doc 0
+    val rows = (0 until 50).map(i => (i.toLong, s"unique text $i", "s")) ++
+      (50 until 100).map(i => (i.toLong, "unique text 0", "s"))
+    val r = CorpusAudit.dedupCurve(spark, docsDir(rows)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(0L) == ((50L, 0L, 0.0)))
+    assert(r(1L) == ((100L, 50L, 0.5)))
+  }
+}

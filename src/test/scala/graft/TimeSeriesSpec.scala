@@ -38,6 +38,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ordered funnel counts only strictly-sequenced progressions") {
+    val d = java.nio.file.Files.createTempDirectory("funnel").toString
+    def ns(day: Int): Long = (19723L + day) * 86400L * 1000000000L
+    // user 1: view < click < purchase (full funnel)
+    // user 2: click BEFORE view, none after → view stage only
+    // user 3: purchase BEFORE click → view+click only
+    // user 4: never views → not counted anywhere
+    val ev = Seq(
+      (1L, ns(0), 1L, "view"), (2L, ns(1), 1L, "click"), (3L, ns(2), 1L, "purchase"),
+      (4L, ns(0), 2L, "click"), (5L, ns(1), 2L, "view"),
+      (6L, ns(0), 3L, "view"), (7L, ns(0), 3L, "purchase"), (8L, ns(1), 3L, "click"),
+      (9L, ns(0), 4L, "click"), (10L, ns(1), 4L, "purchase"))
+    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = TimeSeriesOps.orderedFunnel(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
   test("cohort retention on a hand-built event stream") {
     val d = java.nio.file.Files.createTempDirectory("cohort").toString
     def ns(week: Int, day: Int = 0): Long =
