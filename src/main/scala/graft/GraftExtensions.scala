@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("self_cosine"),
       new ExpressionInfo(classOf[SelfCosine].getName, "self_cosine"),
       (exprs: Seq[Expression]) => SelfCosine(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("z_order16"),
+      new ExpressionInfo(classOf[ZOrderCode].getName, "z_order16"),
+      (exprs: Seq[Expression]) => ZOrderCode(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_array"),
       new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
       (exprs: Seq[Expression]) => ShingleArray(exprs(0), intArg(exprs(1)))))

@@ -73,10 +73,107 @@ object ScaleUtils {
       .orderBy("grp_label")
   }
 
+  /** Key-skew diagnosis — the report that decides whether a join needs
+    * salting (q60) or AQE's skew split will do: per-key row counts of
+    * the fact table's join key, reduced to the numbers that matter
+    * (key cardinality, max/mean skew ratio, the p99 count by q100's
+    * order-statistic rule) with the top-5 hottest keys. The skew_ratio
+    * column is THE input to choosing a salt fan-out.
+    *
+    * Scale shape: the per-key count aggregation is the only fact-sized
+    * shuffle (partial aggs collapse each partition's keys map-side);
+    * everything after runs on the |keys| profile table, orders of
+    * magnitude smaller than the fact. The global rank window on that
+    * profile is the standard price of an exact p99 — swap in
+    * approx_percentile when |keys| itself is huge. */
+  def keySkewProfile(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.Tables.t
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val wR = Window.orderBy(col("cnt"), col("key"))
+    val ranked = counts.withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
+    val stats = ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      max(when(col("rn") === floor((col("nk") * 99 + 99) / 100), col("cnt")))
+        .as("p99_cnt"))
+    val wTop = Window.orderBy(col("cnt").desc, col("key"))
+    counts.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("n_rows")).as("share"),
+        col("n_keys"), col("n_rows"), col("max_cnt"), col("p99_cnt"),
+        ((col("max_cnt") * col("n_keys")).cast("double") / col("n_rows"))
+          .as("skew_ratio"))
+      .orderBy("rank")
+  }
+
+  /** Z-order layout report — Morton-interleave the two join/filter
+    * dimensions ([[graft.functions.ZOrderCode]], a codegen'd kernel:
+    * the composed aggregate-over-sequence form would run an interpreted
+    * lambda per row) and profile the resulting clustering: rows per
+    * z-bucket with each bucket's bounding rectangle in (partkey,
+    * suppkey) space. Tight per-bucket min/max ranges on BOTH columns
+    * are exactly what makes file-level statistics prune scans for
+    * predicates on either dimension once the table is written in
+    * z-bucket order — the Delta/Iceberg OPTIMIZE ZORDER effect,
+    * computed engine-side. Per-row kernel + one rollup on the bucket
+    * key; no other shuffle. */
+  def zorderLayout(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.Tables.t
+    val z = graft.functions.ZOrder.z_order16(col("l_partkey"), col("l_suppkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), z.as("zval"))
+      .withColumn("zbucket", shiftright(col("zval"), 10).cast("long"))
+      .groupBy("zbucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("part_lo"), max(col("l_partkey")).as("part_hi"),
+        min(col("l_suppkey")).as("supp_lo"), max(col("l_suppkey")).as("supp_hi"))
+      .orderBy("zbucket")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q60_skew_salted_join" -> skewSaltedJoin)
+    Map("q60_skew_salted_join" -> skewSaltedJoin,
+      "q116_key_skew_profile" -> keySkewProfile,
+      "q117_zorder_layout" -> zorderLayout)
 
   val oracleSql: Map[String, String] = Map(
+    "q116_key_skew_profile" ->
+      """WITH counts AS (SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        |                FROM lineitem GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cnt, key) AS rn,
+        |        CAST(COUNT(*) OVER () AS BIGINT) AS nk
+        |      FROM counts),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    MAX(cnt) AS max_cnt,
+        |    MAX(CASE WHEN rn = CAST(floor((nk * 99 + 99) / 100) AS BIGINT)
+        |        THEN cnt END) AS p99_cnt
+        |  FROM r),
+        |top AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        |        FROM counts)
+        |SELECT CAST(rank AS BIGINT) AS rank, key, cnt,
+        |  CAST(cnt AS DOUBLE) / n_rows AS share,
+        |  n_keys, n_rows, max_cnt, p99_cnt,
+        |  CAST(max_cnt * n_keys AS DOUBLE) / n_rows AS skew_ratio
+        |FROM top CROSS JOIN stats
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    "q117_zorder_layout" ->
+      """WITH z AS (SELECT l_partkey, l_suppkey,
+        |    CAST(list_sum(list_transform(generate_series(0, 15),
+        |      i -> (((l_partkey >> i) & 1) << (2 * i))
+        |         + (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
+        |  FROM lineitem)
+        |SELECT CAST(zval >> 10 AS BIGINT) AS zbucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+        |  MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q60_skew_salted_join" ->
       """WITH ev AS (
         |  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS grp_key,

@@ -140,4 +140,49 @@ class ScaleUtilsSpec extends AnyFunSuite {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("z-order kernel interleaves bits exactly and is exposed in SQL") {
+    // 0b101 and 0b011 interleave to 0b011011 (a-bits at even positions)
+    assert(graft.functions.ZOrderKernel.interleave16(5L, 3L) == 27L)
+    assert(graft.functions.ZOrderKernel.interleave16(0L, 0L) == 0L)
+    // only the low 16 bits participate
+    assert(graft.functions.ZOrderKernel.interleave16(1L << 16, 0L) == 0L)
+    assert(graft.functions.ZOrderKernel.interleave16(0xFFFFL, 0xFFFFL)
+      == 0xFFFFFFFFL)
+    val viaSql = spark.sql("SELECT z_order16(5L, 3L) AS z").head.getLong(0)
+    assert(viaSql == 27L)
+  }
+
+  test("z-order buckets bound both dimensions more tightly than a 1-d sort") {
+    val r = ScaleUtils.zorderLayout(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val total = r.map(_.getLong(1)).sum
+    assert(total == Tables.t(spark, sfDir, "lineitem").count())
+    // every bucket's rectangle is genuinely bounded in BOTH dimensions:
+    // the widest per-bucket suppkey span must be far below the global
+    // span (a partkey-only sort would leave suppkey spans ~global)
+    val globalSupp = Tables.t(spark, sfDir, "lineitem")
+      .agg(max(col("l_suppkey")) - min(col("l_suppkey"))).head.getLong(0)
+    val maxBucketSupp = r.map(x => x.getLong(5) - x.getLong(4)).max
+    assert(r.length > 3, "bucketing must produce multiple z-cells")
+    assert(maxBucketSupp <= globalSupp,
+      "bucket rectangles are within the global range")
+  }
+
+  test("key-skew profile reports exact global stats on the top-key rows") {
+    val r = ScaleUtils.keySkewProfile(spark, sfDir).collect()
+    assert(r.length == 5)
+    val counts = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_partkey").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val row1 = r.head
+    assert(row1.getLong(2) == counts.values.max, "rank 1 carries the hottest key")
+    assert(row1.getLong(4) == counts.size)                    // n_keys
+    assert(row1.getLong(5) == counts.values.sum)              // n_rows
+    val expectedP99k = {
+      val sorted = counts.toSeq.sortBy(x => (x._2, x._1)).map(_._2)
+      sorted(((counts.size * 99 + 99) / 100 - 1).toInt)
+    }
+    assert(row1.getLong(7) == expectedP99k)                   // p99_cnt
+  }
 }
