@@ -172,7 +172,36 @@ object AdvancedQueries {
       .orderBy("event_type")
   }
 
+  /** Per-source top-3 documents by length through the typed
+    * [[graft.functions.TopKAggregator]] (Dataset `Aggregator`, §2.9's
+    * custom-UDAF surface) — exposed as a checked catalog query, not
+    * just a spec: the aggregator keeps a bounded k-buffer per group on
+    * the MAP side, so only k candidates per group per input partition
+    * cross the shuffle — the right trade at 100 TB where the window
+    * form (`row_number().over(...)`) shuffles every row. Ordering is
+    * total (value desc, id asc), so the result is deterministic under
+    * ties and equals the window-form oracle exactly. n_chars survives
+    * the double round-trip exactly (all values ≪ 2⁵³). */
+  def topKBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopKAggregator
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, nc) => TopKAggregator.Entry(id, nc.toDouble) }
+      .agg(TopKAggregator(3).toColumn)
+      .flatMap { case (src, entries) =>
+        entries.zipWithIndex.map { case (e, i) =>
+          (src, (i + 1).toLong, e.id, e.value.toLong)
+        }
+      }
+      .toDF("source", "rank", "doc_id", "n_chars")
+      .orderBy("source", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_topk_aggregator" -> topKBySource,
     "q109_value_outliers"  -> valueOutliers,
     "q56_latest_per_user"  -> latestPerUser,
     "q39_range_join_bands" -> rangeJoinBands,
@@ -182,6 +211,13 @@ object AdvancedQueries {
     "q47_sessionize"       -> sessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q119_topk_aggregator" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "q109_value_outliers" ->
       """WITH o AS (SELECT event_type, value AS x, event_id FROM events),
         |r AS (SELECT *,

@@ -242,11 +242,34 @@ object StreamOps {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start_us")
 
+  /** Batch twin of [[purchaseAttribution]] (q118): the same interval-
+    * join DataFrame code over the static table (the join predicate and
+    * projections are identical; only the watermarks are streaming-side
+    * no-ops in batch). All (purchase, click-within-preceding-30min)
+    * pairs per user — the stream-stream join output, now under a full
+    * DuckDB oracle; stream ≡ batch is pinned in StreamingSpec. */
+  def purchaseAttributionBatch(s: SparkSession, dir: String): DataFrame =
+    purchaseAttribution(graft.Tables.t(s, dir, "events"))
+      .orderBy("purchase_id", "click_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q61_session_window" -> sessionWindowBatch,
-      "q108_sliding_counts" -> slidingCountsBatch)
+      "q108_sliding_counts" -> slidingCountsBatch,
+      "q118_purchase_attribution" -> purchaseAttributionBatch)
 
   val oracleSql: Map[String, String] = Map(
+    "q118_purchase_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(ts) AS purchase_ts_us, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, user_id, click_id, purchase_ts_us, click_ts_us,
+        |  purchase_value
+        |FROM p JOIN c USING (user_id)
+        |WHERE click_ts_us <= purchase_ts_us
+        |  AND click_ts_us >= purchase_ts_us - 1800000000
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "q108_sliding_counts" ->
       """WITH w AS (SELECT event_type,
         |    unnest([CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000,
