@@ -156,13 +156,106 @@ object CorpusAudit {
       .orderBy("bucket")
   }
 
+  /** MERGE/upsert of an incoming snapshot into the standing corpus —
+    * the warehouse MERGE INTO semantics (new version wins, unmatched
+    * old rows carry forward, unmatched new rows insert) over the q88
+    * snapshot fixtures, with the per-row action classification a merge
+    * audit logs. Digests are computed AT THE SCAN on each side, so the
+    * full-outer join shuffles (doc_id, 32-byte digest) — never text;
+    * at 100 TB with both snapshots bucketed by doc_id the join is a
+    * co-located zip (the S7 layout). */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 120)).as("old_digest"))
+    val nw = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("new_digest"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_digest").isNull, "insert")
+          .when(col("new_digest").isNull, "carry")
+          .when(col("old_digest") =!= col("new_digest"), "update")
+          .otherwise("noop").as("action"),
+        coalesce(col("new_digest"), col("old_digest")).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  /** SCD type-2 history build — the versioned-dimension shape every
+    * warehouse keeps for slowly-changing rows: one row per (doc,
+    * version span) with valid_from/valid_to version stamps and a
+    * current flag, from the q88 snapshot pair (version 1 = legacy crawl,
+    * version 2 = current). A doc whose content survived both versions
+    * gets ONE spanning row; a changed doc closes its v1 row and opens a
+    * current v2 row. Built as three narrow branches over the digest
+    * diff frame (computed once) — the join shuffles ids and digests
+    * only. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 120)).as("old_digest"))
+    val nw = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("new_digest"))
+    val diff = graft.Materialize.stable(
+      old.join(nw, Seq("doc_id"), "full_outer"))
+    val spanning = diff.filter(col("old_digest") === col("new_digest"))
+      .select(col("doc_id"), col("old_digest").as("digest"),
+        lit(1L).as("valid_from"), lit(2L).as("valid_to"), lit(true).as("is_current"))
+    val closedV1 = diff
+      .filter(col("old_digest").isNotNull &&
+        (col("new_digest").isNull || col("old_digest") =!= col("new_digest")))
+      .select(col("doc_id"), col("old_digest").as("digest"),
+        lit(1L).as("valid_from"), lit(1L).as("valid_to"), lit(false).as("is_current"))
+    val openedV2 = diff
+      .filter(col("new_digest").isNotNull &&
+        (col("old_digest").isNull || col("old_digest") =!= col("new_digest")))
+      .select(col("doc_id"), col("new_digest").as("digest"),
+        lit(2L).as("valid_from"), lit(2L).as("valid_to"), lit(true).as("is_current"))
+    spanning.unionByName(closedV1).unionByName(openedV2)
+      .orderBy("doc_id", "valid_from", "valid_to")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_upsert_merge" -> upsertMerge,
+    "q121_scd2_history" -> scd2History,
     "q111_pmi_collocations" -> ((s, dir) => pmiCollocations(s, dir)),
     "q113_source_term_affinity" -> ((s, dir) => sourceTermAffinity(s, dir)),
     "q114_schema_union" -> schemaUnion,
     "q115_dedup_curve" -> ((s, dir) => dedupCurve(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "q120_upsert_merge" ->
+      """WITH old AS (SELECT doc_id, md5(substr(text, 1, 120)) AS old_digest
+        |             FROM documents WHERE doc_id % 5 <> 4),
+        |new AS (SELECT doc_id, md5(text) AS new_digest
+        |        FROM documents WHERE doc_id % 7 <> 3)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |       WHEN n.doc_id IS NULL THEN 'carry'
+        |       WHEN old_digest <> new_digest THEN 'update'
+        |       ELSE 'noop' END AS action,
+        |  COALESCE(new_digest, old_digest) AS digest
+        |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q121_scd2_history" ->
+      """WITH old AS (SELECT doc_id, md5(substr(text, 1, 120)) AS old_digest
+        |             FROM documents WHERE doc_id % 5 <> 4),
+        |new AS (SELECT doc_id, md5(text) AS new_digest
+        |        FROM documents WHERE doc_id % 7 <> 3),
+        |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_digest, new_digest
+        |      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, old_digest AS digest,
+        |  CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to,
+        |  true AS is_current
+        |FROM d WHERE old_digest = new_digest
+        |UNION ALL
+        |SELECT doc_id, old_digest, CAST(1 AS BIGINT), CAST(1 AS BIGINT), false
+        |FROM d WHERE old_digest IS NOT NULL
+        |  AND (new_digest IS NULL OR old_digest <> new_digest)
+        |UNION ALL
+        |SELECT doc_id, new_digest, CAST(2 AS BIGINT), CAST(2 AS BIGINT), true
+        |FROM d WHERE new_digest IS NOT NULL
+        |  AND (old_digest IS NULL OR old_digest <> new_digest)
+        |ORDER BY doc_id, valid_from, valid_to""".stripMargin,
     "q111_pmi_collocations" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |            FROM documents),

@@ -153,6 +153,19 @@ object ScaleSoak {
       graft.llm.CorpusOps.dupRateBySource(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    // Round-4 corpus ops with corpus-proportional shuffles: the exact
+    // span dedup's digest window (q101) and the chunk-granular
+    // MinHash+LSH cascade (q107 — the catalog's most expensive single
+    // query; its soak slope is the evidence the banding stays
+    // subquadratic as chunks multiply).
+    time("window_dedup") {
+      graft.llm.QualityOps.windowDedup(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("chunk_neardup") {
+      graft.llm.NearDupOps.chunkNearDup(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
     // The saturation contract's soak assertion (ADVICE r2): pair-level
     // completeness inside a saturated band rests on the 8-hub star, so
     // report how many post-collapse distinct-text bands enter that

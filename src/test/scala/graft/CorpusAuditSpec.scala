@@ -66,6 +66,35 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(row.getLong(3) == expected)
   }
 
+  test("upsert merge classifies insert/carry/update/noop per doc") {
+    val longText = ("x " * 80).trim // 159 chars → truncated legacy differs
+    val d = docsDir(Seq(
+      (0L, "short stable text", "s"),   // both versions, same digest → noop
+      (1L, longText, "s"),              // both, legacy truncated → update
+      (3L, "legacy only", "s"),         // 3 % 7 = 3 → absent from new → carry
+      (9L, "new only", "s")))           // 9 % 5 = 4 → absent from legacy → insert
+    val r = CorpusAudit.upsertMerge(spark, d).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(0L -> "noop", 1L -> "update", 3L -> "carry", 9L -> "insert"))
+  }
+
+  test("scd2 history spans stable rows and versions changed ones") {
+    val longText = ("y " * 80).trim
+    val d = docsDir(Seq(
+      (0L, "short stable text", "s"),
+      (1L, longText, "s"),
+      (3L, "legacy only", "s"),
+      (9L, "new only", "s")))
+    val r = CorpusAudit.scd2History(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    val byDoc = r.groupBy(_._1)
+    assert(byDoc(0L).toSeq == Seq((0L, 1L, 2L, true)), "stable doc spans v1..v2")
+    assert(byDoc(1L).toSet == Set((1L, 1L, 1L, false), (1L, 2L, 2L, true)),
+      "changed doc closes v1 and opens a current v2")
+    assert(byDoc(3L).toSeq == Seq((3L, 1L, 1L, false)), "removed doc closes at v1")
+    assert(byDoc(9L).toSeq == Seq((9L, 2L, 2L, true)), "new doc opens at v2")
+  }
+
   test("dedup curve rises exactly when re-crawled content arrives") {
     // bucket 0 (ids 0-49): all unique; bucket 1 (ids 50-99): all copies
     // of doc 0
