@@ -1043,39 +1043,39 @@ object NearDupOps {
     * exact-verified integer set arithmetic rounded by the midpoint rule,
     * so the output is a pure function of the input.
     *
-    * Scale shape: chunks leave the scan as (ids, 16 minhash ints, 40
-    * shingle digests) — no chunk text rides any shuffle; banding
-    * shuffles (band, ids); the verify joins key on (chunk, digest) and
-    * touch CANDIDATE chunks only. */
+    * Scale shape: the chunk frame is staged once (map-side explode of
+    * the scan — the checkpoint is the only place chunk text lives);
+    * banding and verify both derive from it through FUSED kernels
+    * (ShingleMinHash text→signature, ShingleArray + codegen md5 for the
+    * digests — the composed shingles()/transform(md5) form ran as an
+    * interpreted lambda per row and was ~5× slower at the soak point),
+    * so no chunk text rides any shuffle; banding shuffles (band, ids);
+    * the verify joins key on (chunk, digest) and touch CANDIDATE chunks
+    * only. */
   def chunkNearDup(s: SparkSession, dir: String): DataFrame = {
     val width = 40
     val stride = 30
     val k = 16
     val bands = 8
+    import graft.functions.HashKernels.{shingle_array, shingle_minhash}
     val tk = toks(col("text"))
-    val chunks = graft.Tables.tSpread(s, dir, "documents")
-      .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n_tokens"))
-      .withColumn("n_chunks",
-        ceil(greatest(col("n_tokens") - (width - stride), lit(1L))
-          .cast("double") / stride).cast("long"))
-      .select(col("doc_id"), col("tk"),
-        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+    val chunks = graft.Materialize.stable(
+      graft.Tables.tSpread(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n_tokens"))
+        .withColumn("n_chunks",
+          ceil(greatest(col("n_tokens") - (width - stride), lit(1L))
+            .cast("double") / stride).cast("long"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          concat_ws(" ",
+            slice(col("tk"), (col("chunk_id") * stride + 1).cast("int"), lit(width)))
+            .as("chunk_text"))
+        .filter(size(shingle_array(col("chunk_text"), 3)) > 0))
+    val banded = chunks
       .select(col("doc_id"), col("chunk_id"),
-        concat_ws(" ",
-          slice(col("tk"), (col("chunk_id") * stride + 1).cast("int"), lit(width)))
-          .as("chunk_text"))
-      .select(col("doc_id"), col("chunk_id"),
-        shingles(col("chunk_text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // Digested shingles + signature, staged once: the banding branch and
-    // both verify branches read it.
-    val keyed = graft.Materialize.stable(chunks
-      .select(col("doc_id"), col("chunk_id"),
-        transform(col("sh"), g => md5(g)).as("shd"),
-        minhashSignature(col("sh"), k).as("sig")))
-    val banded = keyed
-      .select(col("doc_id"), col("chunk_id"),
-        explode(bandKeys(col("sig"), k, bands)).as("band"))
+        explode(bandKeys(shingle_minhash(col("chunk_text"), 3, k), k, bands))
+          .as("band"))
     val a = banded.select(col("band"), col("doc_id").as("doc_a"),
       col("chunk_id").as("chunk_a"))
     val b = banded.select(col("band"), col("doc_id").as("doc_b"),
@@ -1084,10 +1084,11 @@ object NearDupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "chunk_a", "doc_b", "chunk_b")
       .dropDuplicates("doc_a", "chunk_a", "doc_b", "chunk_b")
-    val ex = keyed.select(col("doc_id"), col("chunk_id"),
-      explode(col("shd")).as("gd"))
-    val sizes = keyed.select(col("doc_id"), col("chunk_id"),
-      size(col("shd")).cast("long").as("n_sh"))
+    val ex = chunks.select(col("doc_id"), col("chunk_id"),
+      explode(shingle_array(col("chunk_text"), 3)).as("g"))
+      .select(col("doc_id"), col("chunk_id"), md5(col("g")).as("gd"))
+    val sizes = chunks.select(col("doc_id"), col("chunk_id"),
+      size(shingle_array(col("chunk_text"), 3)).cast("long").as("n_sh"))
     // Intersection counts restricted to candidates: fan candidate pairs
     // out over side A's digests, then match side B on (chunk, digest).
     val inter = cand

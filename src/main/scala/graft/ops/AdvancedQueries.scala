@@ -200,7 +200,46 @@ object AdvancedQueries {
       .orderBy("source", "rank")
   }
 
+  /** Data-quality constraint report — the Deequ/expectations shape: a
+    * fixed battery of integrity checks (referential orphans, key
+    * uniqueness, value-domain bounds) each reduced to (violations,
+    * total, rate) and unioned into one audit frame. The events→customer
+    * orphan check fires on the fixture (user_id 0 has no customer row)
+    * — a real violation, not a vacuous zero. Each check is one narrow
+    * anti-join or aggregation; totals ride broadcast cross-joins; at
+    * 100 TB every check is a scan + one exchange, and the checks are
+    * independent branches Spark schedules concurrently. The childless-
+    * orders check fires on the fixture (257 orders carry no lineitem at
+    * sf0.01) — a real violation, not a vacuous zero. */
+  def dqReport(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val cust = t(s, dir, "customer")
+    val ev = t(s, dir, "events")
+    def row(name: String, viol: DataFrame, total: DataFrame): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(total.agg(count(lit(1)).as("n_total"))))
+        .select(lit(name).as("check_name"), col("n_violations"), col("n_total"),
+          (col("n_violations").cast("double") / col("n_total")).as("violation_rate"))
+    val orphanLi = li.join(orders,
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val dupOrderKeys = orders.groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val orphanUsers = ev.join(cust,
+      col("user_id") === col("c_custkey"), "left_anti")
+    val badValues = ev.filter(col("value") <= 0 || col("value").isNull)
+    val childlessOrders = orders.join(li,
+      col("o_orderkey") === col("l_orderkey"), "left_anti")
+    row("orphan_lineitems", orphanLi, li)
+      .unionByName(row("duplicate_order_keys", dupOrderKeys, orders))
+      .unionByName(row("orphan_event_users", orphanUsers, ev))
+      .unionByName(row("nonpositive_event_values", badValues, ev))
+      .unionByName(row("childless_orders", childlessOrders, orders))
+      .orderBy("check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_dq_report"       -> dqReport,
     "q119_topk_aggregator" -> topKBySource,
     "q109_value_outliers"  -> valueOutliers,
     "q56_latest_per_user"  -> latestPerUser,
@@ -211,6 +250,38 @@ object AdvancedQueries {
     "q47_sessionize"       -> sessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q124_dq_report" ->
+      """WITH checks AS (
+        |  SELECT 'orphan_lineitems' AS check_name,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_total
+        |  UNION ALL
+        |  SELECT 'duplicate_order_keys',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |      (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        |  UNION ALL
+        |  SELECT 'orphan_event_users',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = e.user_id)),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+        |  UNION ALL
+        |  SELECT 'nonpositive_event_values',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        |     WHERE value <= 0 OR value IS NULL),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+        |  UNION ALL
+        |  SELECT 'childless_orders',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                       WHERE l.l_orderkey = o.o_orderkey)),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders))
+        |SELECT check_name, n_violations, n_total,
+        |  CAST(n_violations AS DOUBLE) / n_total AS violation_rate
+        |FROM checks ORDER BY check_name""".stripMargin,
     "q119_topk_aggregator" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source

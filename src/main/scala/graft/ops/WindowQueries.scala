@@ -79,13 +79,96 @@ object WindowQueries {
       .orderBy("c_nationkey", "c_acctbal", "c_custkey")
   }
 
+  /** Trailing 7-day revenue — the RANGE-frame window (an interval of the
+    * ORDER key, not a row count) the catalog lacked: days with no orders
+    * leave real gaps, so a rows-frame would silently span them. The
+    * frame key is the integer day number (datediff from the TPC-H
+    * epoch), making the range arithmetic engine-portable. All window
+    * sums run on exact DECIMAL(18,2) — order-independent, so the
+    * segment-tree evaluation DuckDB uses and Spark's streaming frame
+    * agree bit-for-bit — and convert to double only on output (the
+    * CoreQueries money rule). */
+  def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+      .withColumn("day_num",
+        datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7_dec", sum(col("rev_dec")).over(w))
+      .withColumn("orders_7d", sum(col("n_orders")).over(w))
+      .select(col("day"), col("n_orders"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("rev7_dec").cast("double").as("revenue_7d"),
+        col("orders_7d"))
+      .orderBy("day")
+  }
+
+  /** Percent-of-total contribution — each nation's revenue share within
+    * its region via a partition-total window (no self-join, no second
+    * aggregation): the (region, nation) rollup is exchanged once on the
+    * region key and the total rides the same partitioning. Sums stay
+    * DECIMAL until the ratio, which divides two exactly-converted
+    * doubles — identical IEEE operation in both engines, left
+    * unrounded. */
+  def revenueShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+    val w = Window.partitionBy("region")
+    rev
+      .withColumn("region_dec", sum(col("rev_dec")).over(w))
+      .select(col("region"), col("nation"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("region_dec").cast("double").as("region_revenue"),
+        (col("rev_dec").cast("double") / col("region_dec").cast("double"))
+          .as("share"))
+      .orderBy("region", "nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_rolling_revenue"  -> rollingRevenue,
+    "q123_revenue_share"    -> revenueShare,
     "q21_order_rank"        -> orderRank,
     "q22_running_spend"     -> runningSpend,
     "q23_price_momentum"    -> priceMomentum,
     "q24_balance_quartiles" -> balanceQuartiles)
 
   val oracleSql: Map[String, String] = Map(
+    "q122_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1)
+        |SELECT a.day, a.n_orders,
+        |  CAST(a.rev_dec AS DOUBLE) AS revenue,
+        |  CAST((SELECT SUM(b.rev_dec) FROM daily b
+        |        WHERE b.day BETWEEN a.day - 6 AND a.day) AS DOUBLE) AS revenue_7d,
+        |  (SELECT CAST(SUM(b.n_orders) AS BIGINT) FROM daily b
+        |   WHERE b.day BETWEEN a.day - 6 AND a.day) AS orders_7d
+        |FROM daily a ORDER BY a.day""".stripMargin,
+    "q123_revenue_share" ->
+      """WITH rev AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE) AS region_revenue,
+        |  CAST(rev_dec AS DOUBLE)
+        |    / CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE) AS share
+        |FROM rev ORDER BY region, nation""".stripMargin,
     "q21_order_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
