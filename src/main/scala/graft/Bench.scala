@@ -10,6 +10,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees shuffle/broadcast/checkpoint state only
+      // when a JVM GC runs; the 30min default lets garbage from earlier
+      // queries pile up across a 100+-query session and thrash later
+      // ones (measured 51s -> 153s -> 52s-after-gc on a repeated run).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/JIT + parquet footers so startup cost is not

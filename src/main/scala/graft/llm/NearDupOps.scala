@@ -1043,15 +1043,18 @@ object NearDupOps {
     * exact-verified integer set arithmetic rounded by the midpoint rule,
     * so the output is a pure function of the input.
     *
-    * Scale shape: the chunk frame is staged once (map-side explode of
-    * the scan — the checkpoint is the only place chunk text lives);
-    * banding and verify both derive from it through FUSED kernels
-    * (ShingleMinHash text→signature, ShingleArray + codegen md5 for the
-    * digests — the composed shingles()/transform(md5) form ran as an
-    * interpreted lambda per row and was ~5× slower at the soak point),
-    * so no chunk text rides any shuffle; banding shuffles (band, ids);
-    * the verify joins key on (chunk, digest) and touch CANDIDATE chunks
-    * only. */
+    * Scale shape: the chunk frame is a MAP-SIDE derivation of the scan
+    * (explode + slice; deliberately NOT checkpointed — each consumer
+    * re-derives it at scan speed, where a `localCheckpoint` would pile
+    * up storage blocks across repeated operator runs in a long-lived
+    * session and thrash execution memory: measured 9 s → 160 s on the
+    * second back-to-back run at the 110k-chunk soak point); banding
+    * and verify read it through FUSED kernels (ShingleMinHash
+    * text→signature, ShingleArray + codegen md5 for the digests — the
+    * composed shingles()/transform(md5) form ran as an interpreted
+    * lambda per row and was ~5× slower), so no chunk text rides any
+    * shuffle; banding shuffles (band, ids); the verify joins key on
+    * (chunk, digest) and touch CANDIDATE chunks only. */
   def chunkNearDup(s: SparkSession, dir: String): DataFrame = {
     val width = 40
     val stride = 30
@@ -1059,7 +1062,7 @@ object NearDupOps {
     val bands = 8
     import graft.functions.HashKernels.{shingle_array, shingle_minhash}
     val tk = toks(col("text"))
-    val chunks = graft.Materialize.stable(
+    val chunks =
       graft.Tables.tSpread(s, dir, "documents")
         .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n_tokens"))
         .withColumn("n_chunks",
@@ -1071,7 +1074,7 @@ object NearDupOps {
           concat_ws(" ",
             slice(col("tk"), (col("chunk_id") * stride + 1).cast("int"), lit(width)))
             .as("chunk_text"))
-        .filter(size(shingle_array(col("chunk_text"), 3)) > 0))
+        .filter(size(shingle_array(col("chunk_text"), 3)) > 0)
     val banded = chunks
       .select(col("doc_id"), col("chunk_id"),
         explode(bandKeys(shingle_minhash(col("chunk_text"), 3, k), k, bands))
