@@ -21,7 +21,9 @@ object SparkEntry {
     ops.ShapeQueries.queries ++
     ops.ScaleUtils.queries ++
     ops.TimeSeriesOps.queries ++
+    ops.GraphOps.queries ++
     llm.TextOps.queries ++
+    llm.RetrievalOps.queries ++
     llm.QualityOps.queries ++
     llm.VectorOps.queries ++
     llm.NearDupOps.queries ++
@@ -41,7 +43,9 @@ object SparkEntry {
     ops.ShapeQueries.oracleSql ++
     ops.ScaleUtils.oracleSql ++
     ops.TimeSeriesOps.oracleSql ++
+    ops.GraphOps.oracleSql ++
     llm.TextOps.oracleSql ++
+    llm.RetrievalOps.oracleSql ++
     llm.QualityOps.oracleSql ++
     llm.VectorOps.oracleSql ++
     llm.NearDupOps.oracleSql ++

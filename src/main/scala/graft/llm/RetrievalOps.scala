@@ -1,0 +1,198 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-side operators over the document corpus: BM25 ranking
+  * (the lexical-search baseline every data-curation stack keeps next to
+  * its embedding ANN) and the train/test split-leakage audit (near-dup
+  * pairs that straddle a holdout boundary — the contamination a dedup
+  * pipeline exists to prevent).
+  *
+  * Float posture (the q95 rule): BM25's per-term score is ONE double
+  * expression assembled from exact integer counts (tf, df, dl, N,
+  * Σdl) with an identical operation tree in Spark and the DuckDB
+  * oracle, rounded to 6dp and cast to DECIMAL(18,6) BEFORE the
+  * per-document sum — so the sum is exact integer arithmetic and
+  * order-independent, and ranking ties break on doc_id.
+  */
+object RetrievalOps {
+
+  /** BM25 parameters (Robertson & Spärck Jones; the k1/b defaults the
+    * IR literature settled on). Written as the literals 2.2 (= k1+1),
+    * 1.2 (= k1) and 0.25 / 0.75 (= 1−b / b) in BOTH engines so the
+    * IEEE expression trees match bit-for-bit. */
+  private val QueryTerms: Seq[(Long, String)] = Seq(
+    (1L, "spark"), (1L, "stream"), (1L, "join"),
+    (2L, "hash"), (2L, "merge"), (2L, "sort"),
+    (3L, "customer"), (3L, "vector"), (3L, "window"))
+
+  /** q125 — BM25 top-10 documents per query.
+    *
+    * score(q,d) = Σ_{t∈q} ln(1 + (N − df + 0.5)/(df + 0.5))
+    *                · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Plan shape at 100 TB: ONE corpus tokenize+count shuffle builds the
+    * (doc, term, tf) posting frame; document length and document
+    * frequency are narrow re-aggregations of it (no second pass over
+    * text); the query-term table is a user-provided literal joined
+    * BEFORE the df/dl joins so only matching postings ride the scoring
+    * joins (AQE broadcasts the pruned sides — the q80 posture, no
+    * unconditional broadcast of a vocabulary-sized frame); corpus
+    * scalars (N, Σdl) are a broadcast 1-row frame; top-10 per query
+    * plans as a rank-window over the per-query partition. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = graft.Materialize.stable(
+      graft.Tables.tSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val q = QueryTerms.toDF("query_id", "term")
+    // Semi-join the vocabulary-sized df frame down to the query terms
+    // BEFORE it meets the postings: the df side is then ≤|query terms|
+    // rows by construction — broadcastable at any corpus size, never
+    // the q80-class unbounded-vocabulary broadcast.
+    val dfQ = dfT.join(broadcast(q.select("term").distinct()), Seq("term"))
+    val contrib = tf
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(dfQ), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * ((col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75)
+              * (col("dl") / (col("tot").cast("double") / col("n_docs")))))),
+        6).cast("decimal(18,6)"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("doc_id"))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("s"), count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms_hit"), col("s").cast("double").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The q97 split rule as an expression over a doc-id column — salted
+    * md5 bucket, 90/5/5. Kept textually in lockstep with
+    * SamplingOps.splitAssign (same salt, same thresholds). */
+  private def splitOf(id: Column): Column = {
+    val bucket = substring(md5(concat(lit("split1:"), id.cast("string"))), 1, 8)
+    when(bucket < "e6666666", "train")
+      .when(bucket < "f3333333", "val")
+      .otherwise("test")
+  }
+
+  /** q126 — split-leakage audit: bucket every verified near-dup pair
+    * (q43's ≥ 0.8 exact-Jaccard contract) by the q97 holdout splits of
+    * its two endpoints. A near-dup pair with endpoints in different
+    * splits is test-set contamination the dedup stage must remove
+    * before the holdout score means anything (the leakage studied by
+    * Lee et al. 2022 for C4/RealNews duplicates).
+    *
+    * Cost is the q43 cascade (staged collapse + banding + verify) plus
+    * a per-pair md5 label and a tiny (≤6-row) aggregation — nothing new
+    * rides a shuffle, so the 100 TB posture is exactly q43's. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDupOps.minhashNearDup(s, dir)
+    val lab = pairs.select(
+      splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+    val agg = lab.groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = agg.agg(sum(col("n_pairs")).as("total"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+        (col("split_lo") =!= col("split_hi")).as("crosses_split"),
+        round(col("n_pairs").cast("double") / col("total"), 4).as("share"))
+      .orderBy("split_lo", "split_hi")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_bm25_search" -> bm25Search,
+    "q126_split_leakage" -> splitLeakage)
+
+  val oracleSql: Map[String, String] = Map(
+    "q125_bm25_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        |q(query_id, term) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'stream'),
+        |  (CAST(1 AS BIGINT), 'join'), (CAST(2 AS BIGINT), 'hash'),
+        |  (CAST(2 AS BIGINT), 'merge'), (CAST(2 AS BIGINT), 'sort'),
+        |  (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'vector'),
+        |  (CAST(3 AS BIGINT), 'window')),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+        |        * (dl / (CAST(tot AS DOUBLE) / n_docs))))), 6)
+        |      AS DECIMAL(18,6)) AS contrib
+        |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id) CROSS JOIN stats),
+        |agg AS (SELECT query_id, doc_id, SUM(contrib) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |  FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, s, n_terms_hit,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
+        |      AS rank
+        |  FROM agg)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit,
+        |  CAST(s AS DOUBLE) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q126_split_leakage" ->
+      """WITH docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |lab AS (
+        |  SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi
+        |  FROM (SELECT
+        |    CASE WHEN substring(md5('split1:' || CAST(doc_a AS VARCHAR)), 1, 8)
+        |        < 'e6666666' THEN 'train'
+        |      WHEN substring(md5('split1:' || CAST(doc_a AS VARCHAR)), 1, 8)
+        |        < 'f3333333' THEN 'val' ELSE 'test' END AS sa,
+        |    CASE WHEN substring(md5('split1:' || CAST(doc_b AS VARCHAR)), 1, 8)
+        |        < 'e6666666' THEN 'train'
+        |      WHEN substring(md5('split1:' || CAST(doc_b AS VARCHAR)), 1, 8)
+        |        < 'f3333333' THEN 'val' ELSE 'test' END AS sb
+        |    FROM pairs)),
+        |agg AS (SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |        FROM lab GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM agg)
+        |SELECT split_lo, split_hi, n_pairs,
+        |  split_lo <> split_hi AS crosses_split,
+        |  round(CAST(n_pairs AS DOUBLE) / total, 4) AS share
+        |FROM agg CROSS JOIN tot
+        |ORDER BY split_lo, split_hi""".stripMargin)
+}

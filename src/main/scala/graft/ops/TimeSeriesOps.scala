@@ -118,12 +118,74 @@ object TimeSeriesOps {
       .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
   }
 
+  /** q127 — exponentially time-decayed spend per customer (half-life
+    * 30 days, bucketed): the recency-weighted activity feature a
+    * training pipeline derives from transaction history (decayed counts
+    * / sums are the standard freshness features in feature stores).
+    *
+    * Determinism contract: decay weights are EXACT powers of two —
+    * bucket = ⌊days-before-anchor / 30⌋, weight = 0.5^bucket — so the
+    * weight is bit-identical in any IEEE engine; per-bucket sums run on
+    * exact DECIMAL(18,2) (the q122 rule); each bucket's weighted
+    * contribution is one double product rounded to 6dp into
+    * DECIMAL(18,6), so the final per-customer sum is order-independent
+    * integer arithmetic.
+    *
+    * Scale: one groupBy (custkey, bucket) with map-side partial agg —
+    * the shuffle carries ≤ (customers × ~40 buckets) rows regardless of
+    * order count; the anchor (max order date) is a broadcast scalar;
+    * top-100 plans as TakeOrderedAndProject. */
+  def decayedSpend(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        to_date(col("o_orderdate")).as("od"))
+    val anchor = o.agg(max(col("od")).as("anchor"))
+    val perBucket = o.crossJoin(broadcast(anchor))
+      .withColumn("bucket",
+        floor(datediff(col("anchor"), col("od")) / lit(30.0)).cast("long"))
+      .groupBy("custkey", "bucket")
+      .agg(sum(col("price")).as("bsum"), count(lit(1)).as("n"))
+    perBucket
+      .withColumn("contrib",
+        round(col("bsum").cast("double") * pow(lit(0.5), col("bucket")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("custkey")
+      .agg(sum(col("contrib")).as("dec_sum"), sum(col("n")).as("n_orders"))
+      .orderBy(col("dec_sum").desc, col("custkey"))
+      .limit(100)
+      .select(col("custkey"), col("n_orders"),
+        col("dec_sum").cast("double").as("decayed_spend"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_price_gapfill" -> priceGapfill,
     "q105_cohort_retention" -> cohortRetention,
-    "q112_ordered_funnel" -> orderedFunnel)
+    "q112_ordered_funnel" -> orderedFunnel,
+    "q127_decayed_spend" -> decayedSpend)
 
   val oracleSql: Map[String, String] = Map(
+    "q127_decayed_spend" ->
+      """WITH o AS (SELECT o_custkey AS custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(o_orderdate AS DATE) AS od
+        |  FROM orders),
+        |a AS (SELECT MAX(od) AS anchor FROM o),
+        |b AS (SELECT custkey, price,
+        |    CAST(floor(date_diff('day', od, anchor) / 30.0) AS BIGINT) AS bucket
+        |  FROM o CROSS JOIN a),
+        |pb AS (SELECT custkey, bucket, SUM(price) AS bsum,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT custkey,
+        |    CAST(round(CAST(bsum AS DOUBLE) * pow(0.5, bucket), 6)
+        |      AS DECIMAL(18,6)) AS contrib, n
+        |  FROM pb),
+        |g AS (SELECT custkey, SUM(contrib) AS dec_sum,
+        |    CAST(SUM(n) AS BIGINT) AS n_orders
+        |  FROM c GROUP BY 1)
+        |SELECT custkey, n_orders, CAST(dec_sum AS DOUBLE) AS decayed_spend
+        |FROM g ORDER BY dec_sum DESC, custkey LIMIT 100""".stripMargin,
     "q112_ordered_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

@@ -15,7 +15,10 @@ object ScaleSoak {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // See Bench: keep ContextCleaner fed across the soak's job train.
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
     val dir = java.nio.file.Files.createTempDirectory("soak").toString
@@ -101,7 +104,11 @@ object ScaleSoak {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
-    def time(name: String)(f: => Unit): Unit = {
+    // Optional third arg: comma-separated op names — time only those
+    // (fresh-JVM single-op timings, for separating an op's own cost
+    // from session state accumulated by the ops before it).
+    val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
+    def time(name: String)(f: => Unit): Unit = if (only.forall(_.contains(name))) {
       val t0 = System.nanoTime()
       f
       println(f"[soak] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs")
@@ -164,6 +171,18 @@ object ScaleSoak {
     }
     time("chunk_neardup") {
       graft.llm.NearDupOps.chunkNearDup(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // Round-4 retrieval ops: BM25's posting build is one corpus
+    // tokenize+count shuffle (must scale linearly, like q80's tf), and
+    // the split-leakage audit rides the q43 cascade plus a per-pair
+    // md5 — its slope must track minhash_neardup's.
+    time("bm25_search") {
+      graft.llm.RetrievalOps.bm25Search(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("split_leakage") {
+      graft.llm.RetrievalOps.splitLeakage(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
     // The saturation contract's soak assertion (ADVICE r2): pair-level

@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.RetrievalOps
+import graft.ops.{GraphOps, TimeSeriesOps}
+
+/** Value-level checks for the round-4 retrieval/graph/feature operators
+  * (q125–q128) on controlled fixtures; the DuckDB oracle pins them on
+  * the driver tables. */
+class RetrievalGraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("retr").toString
+    rows.map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def ordersDir(rows: Seq[(Long, Long, Double, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("ord").toString
+    rows.map { case (ok, ck, price, date) =>
+      (ok, ck, "F", price,
+        java.time.LocalDateTime.parse(s"${date}T00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    d
+  }
+
+  private def lineitemDir(orderParts: Seq[(Long, Long)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("li").toString
+    orderParts.zipWithIndex.map { case ((ok, pk), i) =>
+      (ok, pk, 1L, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+        java.time.LocalDateTime.parse("2024-01-01T00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("bm25 ranks the doc matching more query terms higher, idf discounts common terms") {
+    // doc 0 contains two query-1 terms; doc 1 contains one; every doc
+    // shares the filler so 'spark' has high df (low idf).
+    val rows = Seq(
+      (0L, "spark stream spark stream filler"),
+      (1L, "spark filler filler filler filler"),
+      (2L, "filler only text here now"))
+    val r = RetrievalOps.bm25Search(spark, docsDir(rows)).collect()
+      .filter(_.getLong(0) == 1L)
+    assert(r.nonEmpty)
+    assert(r.head.getLong(2) == 0L, "doc 0 (two matching terms) must rank first")
+    assert(r.head.getLong(3) == 2L)             // n_terms_hit
+    val hit = r.map(x => x.getLong(2) -> x.getDouble(4)).toMap
+    assert(hit(0L) > hit(1L), "score must order by term coverage")
+    // hand-computed contract: N=3, avgdl=5; 'stream' df=1 tf=2 dl=5
+    //   idf_stream = ln(1 + 2.5/1.5); tfw = 2*2.2/(2 + 1.2*(0.25+0.75*1))
+    //   'spark' df=2 tf=2: idf = ln(1 + 1.5/2.5), same tfw
+    val tfw = 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * (5.0 / 5.0)))
+    val expected = BigDecimal(math.rint(math.log(1 + 2.5 / 1.5) * tfw * 1e6) / 1e6) +
+      BigDecimal(math.rint(math.log(1 + 1.5 / 2.5) * tfw * 1e6) / 1e6)
+    assert(math.abs(hit(0L) - expected.toDouble) < 1e-9)
+  }
+
+  test("split leakage buckets near-dup pairs by their holdout splits") {
+    // Identical texts => verified near-dup pairs at jaccard 1. Splits
+    // come from the salted md5 of doc_id, recomputed here exactly.
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (hex < "e6666666") "train" else if (hex < "f3333333") "val" else "test"
+    }
+    val ids = (0L until 40L)
+    val dup = "alpha beta gamma delta epsilon zeta"
+    val rows = ids.map(i => (i, dup)) // one 40-clique of identical docs
+    val r = RetrievalOps.splitLeakage(spark, docsDir(rows)).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getBoolean(3), x.getDouble(4))).toMap
+    // brute-force the expected pair census from the same split rule
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      s = Seq(split(a), split(b)).sorted
+    } yield (s(0), s(1))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(r.keySet == expected.keySet)
+    val total = expected.values.sum.toDouble
+    expected.foreach { case (k, n) =>
+      val (nPairs, crosses, share) = r(k)
+      assert(nPairs == n, s"pair census for $k")
+      assert(crosses == (k._1 != k._2))
+      assert(share == math.rint(n / total * 1e4) / 1e4)
+    }
+  }
+
+  test("decayed spend halves per 30-day bucket and sums exactly") {
+    // anchor = 2024-03-01. cust 1: 100.00 at the anchor (bucket 0) and
+    // 50.00 45 days earlier (bucket 1) -> 100 + 25 = 125. cust 2: one
+    // order 75 days back (bucket 2) -> 80 * 0.25 = 20.
+    val d = ordersDir(Seq(
+      (1L, 1L, 100.0, "2024-03-01"),
+      (2L, 1L, 50.0, "2024-01-16"),
+      (3L, 2L, 80.0, "2023-12-17")))
+    val r = TimeSeriesOps.decayedSpend(spark, d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((2L, 125.0)))
+    assert(r(2L) == ((1L, 20.0)))
+  }
+
+  test("triangle counts find exactly the closed part triples") {
+    // order 1 carries {1,2,3} (one triangle), order 2 carries {3,4},
+    // order 3 re-states edge {1,2}, order 4 carries {2,3,4} (second
+    // triangle) => parts 2 and 3 sit in both triangles, 1 and 4 in one.
+    val d = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L),
+      (4L, 2L), (4L, 3L), (4L, 4L)))
+    val r = GraphOps.triangleCounts(spark, d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(3L) == ((3L, 2L)), "part 3: degree 3, two triangles")
+    assert(r(1L) == ((2L, 1L)))
+    assert(r(2L) == ((3L, 2L)), "part 2: degree 3, two triangles")
+    assert(r(4L) == ((2L, 1L)))
+  }
+
+  test("q125/q126/q127/q128 execute at sf0.001") {
+    Seq("q125_bm25_search", "q126_split_leakage", "q127_decayed_spend",
+      "q128_triangle_counts").foreach { n =>
+      assert(SparkEntry.queries(n)(spark, sfDir).collect() != null, n)
+    }
+  }
+}
