@@ -33,15 +33,22 @@ object GraphOps {
     * self-join (a < b < c) — orientation changes WHICH corner finds a
     * triangle, never whether it is found, so the two enumerations agree
     * row-for-row. */
-  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct undirected co-purchase edges (u < v), materialized once:
+    * within-order part pairs are bounded per order by its line count,
+    * so edge instances grow linearly with the fact table. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val it = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = graft.Materialize.stable(
+    graft.Materialize.stable(
       it.as("a").join(it.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct())
+  }
+
+  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // Orient each edge from its lower (deg, id) endpoint; carry the
@@ -72,10 +79,100 @@ object GraphOps {
       .select("part", "degree", "n_triangles")
   }
 
+  /** q129 — PageRank over the co-purchase graph, 5 synchronous
+    * iterations at damping 0.85, top-20 parts.
+    *
+    * Determinism contract (the q95/q127 rule extended to an ITERATIVE
+    * float computation): ranks are scaled-integer fixed point — BIGINT
+    * multiples of 1e-10. Each edge contribution is ONE double
+    * expression, 0.85 · r/outdeg (the 1e10 scale cancels), quantized
+    * by the cross-engine midpoint rule ⌊x + 0.5⌋ (Spark round() and
+    * DuckDB round() disagree on decimal-tie direction — an actual 1-ulp
+    * mismatch surfaced at sf0.01 row 9), so every iteration is
+    * order-independent integer arithmetic and the unrolled DuckDB CTE
+    * chain reproduces it bit-for-bit. The 1e-10 quantization per step
+    * is far below the ranking resolution.
+    *
+    * Scale shape: the classic iterative join — ranks ⋈ edges on src
+    * (one shuffle per iteration, rank frame is |V| narrow rows),
+    * aggregated on dst; each iteration's result is materialized
+    * (join-derived, the rule from §8.12) to cut the growing lineage;
+    * node count and the teleport term are broadcast scalars. Symmetric
+    * edges mean no dangling mass: every node has outdeg ≥ 1. */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    val sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = deg.select(col("src").as("n"), col("outdeg"))
+    val nStats = nodes.agg(count(lit(1)).as("n_nodes"))
+    val edgesWithDeg = graft.Materialize.stable(
+      sym.join(deg, Seq("src")))
+    var r = nodes.crossJoin(broadcast(nStats))
+      .select(col("n"),
+        floor(lit(1.0) / col("n_nodes") * lit(1.0e10) + lit(0.5))
+          .cast("long").as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = edgesWithDeg
+        .join(r.select(col("n").as("src"), col("r")), Seq("src"))
+        .select(col("dst"),
+          floor(lit(0.85) * (col("r") / col("outdeg")) + lit(0.5))
+            .cast("long").as("c"))
+      r = graft.Materialize.stable(
+        contrib.groupBy("dst").agg(sum(col("c")).as("csum"))
+          .crossJoin(broadcast(nStats))
+          .select(col("dst").as("n"),
+            (floor(lit(0.15) / col("n_nodes") * lit(1.0e10) + lit(0.5))
+              .cast("long") + col("csum")).as("r")))
+    }
+    r.join(nodes, Seq("n"))
+      .orderBy(col("r").desc, col("n"))
+      .limit(20)
+      .select(col("n").as("part"), col("outdeg").as("degree"),
+        (col("r").cast("double") / lit(1.0e10)).as("pagerank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q128_triangle_counts" -> triangleCounts)
+    "q128_triangle_counts" -> triangleCounts,
+    "q129_pagerank" -> pageRank)
+
+  /** Unrolled 5-iteration PageRank oracle over scaled-integer ranks.
+    * Double literals are CAST explicitly — DuckDB parses bare `0.85` as
+    * DECIMAL, which would change the arithmetic tree vs Spark's double
+    * literals; `1e10` scientific notation is already a double in both.
+    * Quantization is the cross-engine midpoint rule ⌊x + 0.5⌋, never
+    * round(). */
+  private val pageRankOracle: String = {
+    val iters = (1 to 5).map { k =>
+      s"""r$k AS (SELECT n, base + csum AS r FROM (
+         |  SELECT ew.dst AS n,
+         |    CAST(SUM(CAST(floor(CAST(0.85 AS DOUBLE)
+         |      * (p.r / ew.outdeg) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+         |      AS BIGINT) AS csum
+         |  FROM ew JOIN r${k - 1} p ON p.n = ew.src GROUP BY 1)
+         |CROSS JOIN basec)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
+       |sym AS (SELECT u AS src, v AS dst FROM e
+       |        UNION ALL SELECT v AS src, u AS dst FROM e),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM sym GROUP BY 1),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+       |basec AS (SELECT CAST(floor(CAST(0.15 AS DOUBLE) / n_nodes * 1e10
+       |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS base FROM ns),
+       |r0 AS (SELECT src AS n, CAST(floor(CAST(1.0 AS DOUBLE) / n_nodes * 1e10
+       |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS r FROM deg CROSS JOIN ns),
+       |ew AS (SELECT sym.src, sym.dst, deg.outdeg FROM sym JOIN deg USING (src)),
+       |$iters
+       |SELECT r5.n AS part, deg.outdeg AS degree,
+       |  CAST(r5.r AS DOUBLE) / 1e10 AS pagerank
+       |FROM r5 JOIN deg ON deg.src = r5.n
+       |ORDER BY r5.r DESC, r5.n LIMIT 20""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
+    "q129_pagerank" -> pageRankOracle,
     "q128_triangle_counts" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v

@@ -126,9 +126,27 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(r(4L) == ((2L, 1L)))
   }
 
-  test("q125/q126/q127/q128 execute at sf0.001") {
+  test("pagerank respects graph symmetry and conserves mass") {
+    // Same 4-node graph as the triangle test. Its automorphisms swap
+    // 2<->3 and 1<->4, so those pairs must have IDENTICAL fixed-point
+    // ranks; degree-3 nodes outrank degree-2 nodes; total mass stays 1
+    // up to the 1e-10-per-step quantization.
+    val d = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L),
+      (4L, 2L), (4L, 3L), (4L, 4L)))
+    val r = graft.ops.GraphOps.pageRank(spark, d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(2L) == r(3L), "automorphic nodes must tie exactly")
+    assert(r(1L) == r(4L))
+    assert(r(2L) > r(1L), "higher-degree nodes accumulate more rank")
+    assert(math.abs(r.values.sum - 1.0) < 1e-7)
+  }
+
+  test("q125/q126/q127/q128/q129 execute at sf0.001") {
     Seq("q125_bm25_search", "q126_split_leakage", "q127_decayed_spend",
-      "q128_triangle_counts").foreach { n =>
+      "q128_triangle_counts", "q129_pagerank").foreach { n =>
       assert(SparkEntry.queries(n)(spark, sfDir).collect() != null, n)
     }
   }
