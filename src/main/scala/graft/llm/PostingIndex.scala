@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline inverted (posting-list) index for lexical retrieval — the
+  * staging tables that make BM25 queries pay the corpus tokenize +
+  * count ONCE per corpus version instead of once per query. Same
+  * offline-build/online-probe split and atomic-publish discipline as
+  * [[BandIndex]] / [[IvfIndex]].
+  *
+  * Staged tables:
+  *   - `postings/` — (term, doc_id, tf), PARTITIONED by `pbucket` (the
+  *     first md5 byte of the term, 256 directories): a probe computes
+  *     its query terms' buckets driver-side and prunes to those
+  *     directories, then the term equality predicate prunes row groups
+  *     — per-query scan cost is proportional to the matched posting
+  *     lists, not the corpus.
+  *   - `doclen/` — (doc_id, dl): document lengths in tokens.
+  *   - `df/` — (term, df): document frequencies (vocabulary-sized but
+  *     narrow; probes read it term-pruned, never whole).
+  *   - `stats/` — one row (n_docs, tot): the corpus scalars.
+  *
+  * The index is keyed on the corpus version (path | bytes | mtime) and
+  * the layout version; publication is a staging write plus one atomic
+  * rename with completeness keyed on `stats/_SUCCESS` (stats is written
+  * last), so a concurrent probe can never read a half-written index. */
+object PostingIndex {
+
+  private def cacheRoot: String =
+    sys.env.getOrElse("GRAFT_INDEX_DIR",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
+
+  /** Bump on any change to staged schemas or the tokenizer contract. */
+  private val LayoutVersion = 1
+
+  /** Partition bucket of a term — first md5 byte, hex. Computable both
+    * as a Column (build side) and driver-side (probe pruning). */
+  def bucketOf(term: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
+
+  def indexDir(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val bytes = fs.getContentSummary(p).getLength
+    val id = s"$dir|$bytes|${st.getModificationTime}|postings|v=$LayoutVersion"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"$cacheRoot/postings_$key"
+  }
+
+  /** Offline build: ONE corpus tokenize+count shuffle, then narrow
+    * re-aggregations — identical staging to q125's in-query tf frame,
+    * written once per corpus version. */
+  def build(s: SparkSession, dir: String): String = {
+    val idx = indexDir(s, dir)
+    val tmp = s"$idx.tmp-${java.util.UUID.randomUUID}"
+    val tf = graft.Materialize.stable(
+      graft.Tables.tSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    tf.withColumn("pbucket", substring(md5(col("term")), 1, 2))
+      .repartition(col("pbucket"))
+      .write.partitionBy("pbucket").mode("overwrite").parquet(s"$tmp/postings")
+    tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").parquet(s"$tmp/doclen")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$tmp/df")
+    s.read.parquet(s"$tmp/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .write.mode("overwrite").parquet(s"$tmp/stats")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/stats/_SUCCESS")
+    if (fs.exists(idxPath) && !fs.exists(marker)) fs.delete(idxPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), idxPath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      if (!fs.exists(marker))
+        throw new IllegalStateException(
+          s"posting index publish failed and no complete index exists at $idx")
+    }
+    idx
+  }
+
+  /** Build-if-absent, keyed by corpus version. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val idx = indexDir(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/stats/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) build(s, dir) else idx
+  }
+}

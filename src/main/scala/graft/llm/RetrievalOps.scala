@@ -42,22 +42,13 @@ object RetrievalOps {
     * unconditional broadcast of a vocabulary-sized frame); corpus
     * scalars (N, Σdl) are a broadcast 1-row frame; top-10 per query
     * plans as a rank-window over the per-query partition. */
-  def bm25Search(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tf = graft.Materialize.stable(
-      graft.Tables.tSpread(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-    val q = QueryTerms.toDF("query_id", "term")
-    // Semi-join the vocabulary-sized df frame down to the query terms
-    // BEFORE it meets the postings: the df side is then ≤|query terms|
-    // rows by construction — broadcastable at any corpus size, never
-    // the q80-class unbounded-vocabulary broadcast.
-    val dfQ = dfT.join(broadcast(q.select("term").distinct()), Seq("term"))
+  /** The shared BM25 scoring tail: identical expression tree for the
+    * in-query (q125) and staged-index (q130) paths by construction.
+    * `tf` may be pre-pruned to the query terms; `dfQ` must be pruned
+    * (≤|query terms| rows, broadcastable at any corpus size — never the
+    * q80-class unbounded-vocabulary broadcast). */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, dfQ: DataFrame,
+      stats: DataFrame, q: DataFrame): DataFrame = {
     val contrib = tf
       .join(broadcast(q), Seq("term"))
       .join(broadcast(dfQ), Seq("term"))
@@ -78,6 +69,45 @@ object RetrievalOps {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("n_terms_hit"), col("s").cast("double").as("score"))
       .orderBy("query_id", "rank")
+  }
+
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = graft.Materialize.stable(
+      graft.Tables.tSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val q = QueryTerms.toDF("query_id", "term")
+    val dfQ = dfT.join(broadcast(q.select("term").distinct()), Seq("term"))
+    bm25Score(tf, dl, dfQ, stats, q)
+  }
+
+  /** q130 — BM25 against the STAGED posting index ([[PostingIndex]]) —
+    * the production form of q125: the corpus tokenize + count is an
+    * offline staging stage, and the per-query probe reads ONLY the
+    * query terms' posting lists — partition pruning on the terms' md5
+    * buckets (driver-computed literals) plus a pushed term-equality
+    * filter, so probe scan cost is proportional to the matched postings
+    * rather than the corpus. Output is identical to q125 (same scoring
+    * tail, same DuckDB oracle); RetrievalGraphSpec pins the
+    * equivalence row-for-row. */
+  def bm25Staged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = PostingIndex.ensure(s, dir)
+    val terms = QueryTerms.map(_._2).distinct
+    val buckets = terms.map(PostingIndex.bucketOf).distinct
+    val tf = s.read.parquet(s"$idx/postings")
+      .filter(col("pbucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("doc_id", "term", "tf")
+    val dl = s.read.parquet(s"$idx/doclen")
+    val dfQ = s.read.parquet(s"$idx/df")
+      .filter(col("term").isin(terms: _*))
+    val stats = s.read.parquet(s"$idx/stats")
+    bm25Score(tf, dl, dfQ, stats, QueryTerms.toDF("query_id", "term"))
   }
 
   /** The q97 split rule as an expression over a doc-id column — salted
@@ -118,10 +148,46 @@ object RetrievalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_bm25_search" -> bm25Search,
-    "q126_split_leakage" -> splitLeakage)
+    "q126_split_leakage" -> splitLeakage,
+    "q130_bm25_staged" -> bm25Staged)
 
   val oracleSql: Map[String, String] = Map(
     "q125_bm25_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        |q(query_id, term) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'stream'),
+        |  (CAST(1 AS BIGINT), 'join'), (CAST(2 AS BIGINT), 'hash'),
+        |  (CAST(2 AS BIGINT), 'merge'), (CAST(2 AS BIGINT), 'sort'),
+        |  (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'vector'),
+        |  (CAST(3 AS BIGINT), 'window')),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+        |        * (dl / (CAST(tot AS DOUBLE) / n_docs))))), 6)
+        |      AS DECIMAL(18,6)) AS contrib
+        |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id) CROSS JOIN stats),
+        |agg AS (SELECT query_id, doc_id, SUM(contrib) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |  FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, s, n_terms_hit,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
+        |      AS rank
+        |  FROM agg)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit,
+        |  CAST(s AS DOUBLE) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q130 computes the same result as q125 through the staged index —
+    // the oracle is the q125 SQL verbatim.
+    "q130_bm25_staged" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
         |  FROM documents),

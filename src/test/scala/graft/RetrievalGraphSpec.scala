@@ -144,6 +144,19 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-7)
   }
 
+  test("staged bm25 probe equals the self-contained query row-for-row") {
+    val rows = Seq(
+      (0L, "spark stream spark stream filler"),
+      (1L, "spark filler hash merge sort window"),
+      (2L, "customer vector window join stream"),
+      (3L, "filler only text here now"))
+    val d = docsDir(rows)
+    val self = RetrievalOps.bm25Search(spark, d).collect().toSeq
+    val staged = RetrievalOps.bm25Staged(spark, d).collect().toSeq
+    assert(self == staged)
+    assert(self.nonEmpty)
+  }
+
   test("q125/q126/q127/q128/q129 execute at sf0.001") {
     Seq("q125_bm25_search", "q126_split_leakage", "q127_decayed_spend",
       "q128_triangle_counts", "q129_pagerank").foreach { n =>
