@@ -27,6 +27,20 @@ import org.apache.spark.sql.functions._
   * last), so a concurrent probe can never read a half-written index. */
 object PostingIndex {
 
+  /** Which docs are the incoming batch (excluded from the staged
+    * corpus side). Mirrors [[BandIndex.Boundary]]; `id` is part of the
+    * index cache key, so two boundaries never share a directory. */
+  final case class Boundary(id: String,
+      isBatch: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+
+  object Boundary {
+    /** No batch: the whole corpus is staged (the q130 form). */
+    val all: Boundary = Boundary("batch=none", _ => lit(false))
+    /** The fixture ingest stand-in (doc_id ≡ 7 mod 10 is the batch),
+      * shared with BandIndex/IvfIndex maintenance queries. */
+    val ingestMod10: Boundary = Boundary("batch=mod10eq7", NearDupOps.isNewDoc)
+  }
+
   private def cacheRoot: String =
     sys.env.getOrElse("GRAFT_INDEX_DIR",
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
@@ -40,25 +54,28 @@ object PostingIndex {
     java.security.MessageDigest.getInstance("MD5")
       .digest(term.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
 
-  def indexDir(s: SparkSession, dir: String): String = {
+  def indexDir(s: SparkSession, dir: String, boundary: Boundary): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val bytes = fs.getContentSummary(p).getLength
-    val id = s"$dir|$bytes|${st.getModificationTime}|postings|v=$LayoutVersion"
+    val id = s"$dir|$bytes|${st.getModificationTime}|postings" +
+      s"|${boundary.id}|v=$LayoutVersion"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(id.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     s"$cacheRoot/postings_$key"
   }
 
-  /** Offline build: ONE corpus tokenize+count shuffle, then narrow
+  /** Offline build over the corpus side (everything that is not the
+    * boundary's batch): ONE tokenize+count shuffle, then narrow
     * re-aggregations — identical staging to q125's in-query tf frame,
     * written once per corpus version. */
-  def build(s: SparkSession, dir: String): String = {
-    val idx = indexDir(s, dir)
+  def build(s: SparkSession, dir: String, boundary: Boundary): String = {
+    val idx = indexDir(s, dir, boundary)
     val tmp = s"$idx.tmp-${java.util.UUID.randomUUID}"
     val tf = graft.Materialize.stable(
       graft.Tables.tSpread(s, dir, "documents")
+        .filter(!boundary.isBatch(col("doc_id")))
         .select(col("doc_id"),
           explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
@@ -86,11 +103,12 @@ object PostingIndex {
     idx
   }
 
-  /** Build-if-absent, keyed by corpus version. */
-  def ensure(s: SparkSession, dir: String): String = {
-    val idx = indexDir(s, dir)
+  /** Build-if-absent, keyed by (corpus version, boundary). */
+  def ensure(s: SparkSession, dir: String,
+      boundary: Boundary = Boundary.all): String = {
+    val idx = indexDir(s, dir, boundary)
     val marker = new org.apache.hadoop.fs.Path(s"$idx/stats/_SUCCESS")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) build(s, dir) else idx
+    if (!fs.exists(marker)) build(s, dir, boundary) else idx
   }
 }

@@ -110,6 +110,50 @@ object RetrievalOps {
     bm25Score(tf, dl, dfQ, stats, QueryTerms.toDF("query_id", "term"))
   }
 
+  /** q132 — posting-index maintenance: BM25 over the staged corpus
+    * index PLUS an un-indexed ingest batch merged in-plan (the q106
+    * pattern applied to the lexical index). The index stages everything
+    * that is not the batch; per query, only the BATCH is tokenized
+    * (O(batch) — doc sets are disjoint so posting/doclen rows union
+    * without per-key merging, df and the corpus scalars add), then the
+    * shared scoring tail runs over the merged frames. The integrity
+    * contract: the merged index must rank EXACTLY like a fresh
+    * full-corpus build — the oracle is the q125 full-corpus SQL, so a
+    * posting lost or double-counted by the merge is a hash mismatch.
+    * At scale the batch would then be appended as new files per bucket
+    * partition; the corpus lists are read, never rewritten. */
+  def bm25AddBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val boundary = PostingIndex.Boundary.ingestMod10
+    val idx = PostingIndex.ensure(s, dir, boundary)
+    val terms = QueryTerms.map(_._2).distinct
+    val buckets = terms.map(PostingIndex.bucketOf).distinct
+    val batchTf = graft.Materialize.stable(
+      graft.Tables.tSpread(s, dir, "documents")
+        .filter(boundary.isBatch(col("doc_id")))
+        .select(col("doc_id"),
+          explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val tf = s.read.parquet(s"$idx/postings")
+      .filter(col("pbucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("doc_id", "term", "tf")
+      .unionByName(batchTf.filter(col("term").isin(terms: _*)))
+    val dl = s.read.parquet(s"$idx/doclen")
+      .unionByName(batchTf.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+    val dfQ = s.read.parquet(s"$idx/df")
+      .filter(col("term").isin(terms: _*))
+      .unionByName(batchTf.filter(col("term").isin(terms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val batchStats = batchTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("bn"), coalesce(sum(col("dl")), lit(0L)).as("bt"))
+    val stats = s.read.parquet(s"$idx/stats")
+      .crossJoin(broadcast(batchStats))
+      .select((col("n_docs") + col("bn")).as("n_docs"),
+        (col("tot") + col("bt")).as("tot"))
+    bm25Score(tf, dl, dfQ, stats, QueryTerms.toDF("query_id", "term"))
+  }
+
   /** The q97 split rule as an expression over a doc-id column — salted
     * md5 bucket, 90/5/5. Kept textually in lockstep with
     * SamplingOps.splitAssign (same salt, same thresholds). */
@@ -149,77 +193,50 @@ object RetrievalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_bm25_search" -> bm25Search,
     "q126_split_leakage" -> splitLeakage,
-    "q130_bm25_staged" -> bm25Staged)
+    "q130_bm25_staged" -> bm25Staged,
+    "q132_bm25_add_batch" -> bm25AddBatch)
+
+  /** The full-corpus BM25 oracle — shared verbatim by q125 (in-query),
+    * q130 (staged index), and q132 (staged index + in-plan batch merge):
+    * all three must rank the full corpus identically. */
+  private val bm25FullCorpusOracle: String =
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        |q(query_id, term) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'stream'),
+        |  (CAST(1 AS BIGINT), 'join'), (CAST(2 AS BIGINT), 'hash'),
+        |  (CAST(2 AS BIGINT), 'merge'), (CAST(2 AS BIGINT), 'sort'),
+        |  (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'vector'),
+        |  (CAST(3 AS BIGINT), 'window')),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+        |        * (dl / (CAST(tot AS DOUBLE) / n_docs))))), 6)
+        |      AS DECIMAL(18,6)) AS contrib
+        |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id) CROSS JOIN stats),
+        |agg AS (SELECT query_id, doc_id, SUM(contrib) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |  FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, s, n_terms_hit,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
+        |      AS rank
+        |  FROM agg)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit,
+        |  CAST(s AS DOUBLE) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "q125_bm25_search" ->
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |       FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
-        |q(query_id, term) AS (VALUES
-        |  (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'stream'),
-        |  (CAST(1 AS BIGINT), 'join'), (CAST(2 AS BIGINT), 'hash'),
-        |  (CAST(2 AS BIGINT), 'merge'), (CAST(2 AS BIGINT), 'sort'),
-        |  (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'vector'),
-        |  (CAST(3 AS BIGINT), 'window')),
-        |sc AS (SELECT q.query_id, tf.doc_id,
-        |    CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
-        |        * (dl / (CAST(tot AS DOUBLE) / n_docs))))), 6)
-        |      AS DECIMAL(18,6)) AS contrib
-        |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
-        |  JOIN dl USING (doc_id) CROSS JOIN stats),
-        |agg AS (SELECT query_id, doc_id, SUM(contrib) AS s,
-        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-        |  FROM sc GROUP BY 1, 2),
-        |rk AS (SELECT query_id, doc_id, s, n_terms_hit,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
-        |      AS rank
-        |  FROM agg)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit,
-        |  CAST(s AS DOUBLE) AS score
-        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    // q130 computes the same result as q125 through the staged index —
-    // the oracle is the q125 SQL verbatim.
-    "q130_bm25_staged" ->
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |       FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
-        |q(query_id, term) AS (VALUES
-        |  (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'stream'),
-        |  (CAST(1 AS BIGINT), 'join'), (CAST(2 AS BIGINT), 'hash'),
-        |  (CAST(2 AS BIGINT), 'merge'), (CAST(2 AS BIGINT), 'sort'),
-        |  (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'vector'),
-        |  (CAST(3 AS BIGINT), 'window')),
-        |sc AS (SELECT q.query_id, tf.doc_id,
-        |    CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
-        |        * (dl / (CAST(tot AS DOUBLE) / n_docs))))), 6)
-        |      AS DECIMAL(18,6)) AS contrib
-        |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
-        |  JOIN dl USING (doc_id) CROSS JOIN stats),
-        |agg AS (SELECT query_id, doc_id, SUM(contrib) AS s,
-        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-        |  FROM sc GROUP BY 1, 2),
-        |rk AS (SELECT query_id, doc_id, s, n_terms_hit,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
-        |      AS rank
-        |  FROM agg)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit,
-        |  CAST(s AS DOUBLE) AS score
-        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q125_bm25_search" -> bm25FullCorpusOracle,
+    "q130_bm25_staged" -> bm25FullCorpusOracle,
+    "q132_bm25_add_batch" -> bm25FullCorpusOracle,
     "q126_split_leakage" ->
       """WITH docsh AS (
         |  SELECT doc_id,

@@ -132,7 +132,52 @@ object WindowQueries {
       .orderBy("region", "nation")
   }
 
+  /** q131 — RFM segmentation: the recency/frequency/monetary quintile
+    * code marketing marts attach to every customer (Hughes' RFM). Each
+    * dimension quintiles WITHIN the customer's nation (the q24 rule —
+    * partitioned windows keep the sort distributed; a global ntile
+    * would put the whole customer table in one task), ties broken by
+    * key. Recency is integer days before the corpus anchor (max order
+    * date); monetary sums on exact DECIMAL(18,2) and converts to
+    * double only on output.
+    *
+    * Plan: one (custkey) aggregation of orders, one broadcast-joined
+    * customer dimension, three ntile windows over the SAME nation
+    * partitioning (one Exchange, three Sorts). */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        to_date(col("o_orderdate")).as("od"))
+    val anchor = o.agg(max(col("od")).as("anchor"))
+    val per = o.groupBy("custkey")
+      .agg(max(col("od")).as("last_od"),
+        count(lit(1)).as("frequency"),
+        sum(col("price")).as("mon_dec"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor"), col("last_od")).cast("long"))
+    val withNation = per.join(
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        col("c_nationkey").as("nationkey")), Seq("custkey"))
+    val byNation = Window.partitionBy("nationkey")
+    val rW = byNation.orderBy(col("recency_days"), col("custkey"))
+    val fW = byNation.orderBy(col("frequency").desc, col("custkey"))
+    val mW = byNation.orderBy(col("mon_dec").desc, col("custkey"))
+    withNation
+      .withColumn("r_tile", ntile(5).over(rW).cast("long"))
+      .withColumn("f_tile", ntile(5).over(fW).cast("long"))
+      .withColumn("m_tile", ntile(5).over(mW).cast("long"))
+      .select(col("custkey"), col("nationkey"), col("recency_days"),
+        col("frequency"), col("mon_dec").cast("double").as("monetary"),
+        col("r_tile"), col("f_tile"), col("m_tile"),
+        concat(col("r_tile"), lit("-"), col("f_tile"), lit("-"),
+          col("m_tile")).as("segment"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_rfm_segments"     -> rfmSegments,
     "q122_rolling_revenue"  -> rollingRevenue,
     "q123_revenue_share"    -> revenueShare,
     "q21_order_rank"        -> orderRank,
@@ -141,6 +186,34 @@ object WindowQueries {
     "q24_balance_quartiles" -> balanceQuartiles)
 
   val oracleSql: Map[String, String] = Map(
+    "q131_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey AS custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(o_orderdate AS DATE) AS od
+        |  FROM orders),
+        |a AS (SELECT MAX(od) AS anchor FROM o),
+        |per AS (SELECT custkey, MAX(od) AS last_od,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency, SUM(price) AS mon_dec
+        |  FROM o GROUP BY 1),
+        |wn AS (SELECT per.custkey, c.c_nationkey AS nationkey,
+        |    CAST(date_diff('day', last_od, anchor) AS BIGINT) AS recency_days,
+        |    frequency, mon_dec
+        |  FROM per CROSS JOIN a JOIN customer c ON c.c_custkey = per.custkey)
+        |SELECT custkey, nationkey, recency_days, frequency,
+        |  CAST(mon_dec AS DOUBLE) AS monetary,
+        |  CAST(ntile(5) OVER (PARTITION BY nationkey
+        |    ORDER BY recency_days, custkey) AS BIGINT) AS r_tile,
+        |  CAST(ntile(5) OVER (PARTITION BY nationkey
+        |    ORDER BY frequency DESC, custkey) AS BIGINT) AS f_tile,
+        |  CAST(ntile(5) OVER (PARTITION BY nationkey
+        |    ORDER BY mon_dec DESC, custkey) AS BIGINT) AS m_tile,
+        |  CAST(ntile(5) OVER (PARTITION BY nationkey
+        |      ORDER BY recency_days, custkey) AS VARCHAR)
+        |    || '-' || CAST(ntile(5) OVER (PARTITION BY nationkey
+        |      ORDER BY frequency DESC, custkey) AS VARCHAR)
+        |    || '-' || CAST(ntile(5) OVER (PARTITION BY nationkey
+        |      ORDER BY mon_dec DESC, custkey) AS VARCHAR) AS segment
+        |FROM wn ORDER BY custkey""".stripMargin,
     "q122_rolling_revenue" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

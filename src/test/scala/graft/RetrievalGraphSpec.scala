@@ -157,9 +157,48 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(self.nonEmpty)
   }
 
-  test("q125/q126/q127/q128/q129 execute at sf0.001") {
+  test("add-batch bm25 equals the self-contained full-corpus ranking") {
+    // ids 7 and 17 fall in the mod-10 ingest batch; the staged index
+    // must exclude them and the in-plan merge must restore them.
+    val rows = Seq(
+      (0L, "spark stream spark stream filler"),
+      (7L, "spark filler hash merge sort window"),
+      (12L, "customer vector window join stream"),
+      (17L, "spark stream join hash merge sort"),
+      (23L, "filler only text here now"))
+    val d = docsDir(rows)
+    val self = RetrievalOps.bm25Search(spark, d).collect().toSeq
+    val merged = RetrievalOps.bm25AddBatch(spark, d).collect().toSeq
+    assert(self == merged)
+    assert(merged.exists(_.getLong(2) == 17L),
+      "a batch doc must be rankable through the merged index")
+  }
+
+  test("rfm quintiles order by recency/frequency/monetary within nation") {
+    // 5 customers, one nation, one order each on distinct days with
+    // distinct totals: r_tile follows days-ago, m_tile follows totals.
+    val d = ordersDir(Seq(
+      (1L, 1L, 500.0, "2024-03-01"),
+      (2L, 2L, 400.0, "2024-02-20"),
+      (3L, 3L, 300.0, "2024-02-10"),
+      (4L, 4L, 200.0, "2024-01-30"),
+      (5L, 5L, 100.0, "2024-01-20")))
+    val cdir = s"$d"
+    (1L to 5L).map(ck => (ck, s"c$ck", 0, 0.0, "mkt"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$cdir/customer.parquet")
+    val r = graft.ops.WindowQueries.rfmSegments(spark, cdir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(5), x.getLong(7))).toMap
+    (1L to 5L).foreach { ck =>
+      assert(r(ck) == ((ck, ck)),
+        s"customer $ck must land in r/m quintile $ck")
+    }
+  }
+
+  test("q125-q132 execute at sf0.001") {
     Seq("q125_bm25_search", "q126_split_leakage", "q127_decayed_spend",
-      "q128_triangle_counts", "q129_pagerank").foreach { n =>
+      "q128_triangle_counts", "q129_pagerank", "q130_bm25_staged",
+      "q131_rfm_segments", "q132_bm25_add_batch").foreach { n =>
       assert(SparkEntry.queries(n)(spark, sfDir).collect() != null, n)
     }
   }
