@@ -108,10 +108,20 @@ object ScaleSoak {
     // (fresh-JVM single-op timings, for separating an op's own cost
     // from session state accumulated by the ops before it).
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
+    // This VM shows phantom load (loadavg 4-8 with zero local processes)
+    // in bursts that slow whatever op they land on 3-7x — annotate every
+    // timing with the loadavg so a slow line can be attributed to the
+    // machine, not the plan (SURVEY §8.11/§8.12).
+    def loadavg: String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ").head
+      catch { case _: Throwable => "?" }
     def time(name: String)(f: => Unit): Unit = if (only.forall(_.contains(name))) {
+      val l0 = loadavg
       val t0 = System.nanoTime()
       f
-      println(f"[soak] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs")
+      println(f"[soak] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.1fs" +
+        s"  load=$l0->$loadavg")
     }
     println(s"[soak] corpus: ${nDocs * reps} docs, ${nEmb * reps} vectors")
     // The staged-corpus build is a real pipeline stage — time it
