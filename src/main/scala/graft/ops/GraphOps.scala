@@ -132,9 +132,49 @@ object GraphOps {
         (col("r").cast("double") / lit(1.0e10)).as("pagerank"))
   }
 
+  /** q133 — BFS reachability profile: hop-distance histogram within 4
+    * hops of the graph's busiest hub (max degree, min id tie-break) —
+    * the "how connected is this catalog" diagnostic, and the iterative
+    * frontier-join shape every distributed BFS/shortest-path job uses.
+    *
+    * Plan: each hop is one frontier ⋈ edges shuffle followed by a
+    * min-dist aggregation, materialized per the §8.12 rule (join-
+    * derived, lineage grows per hop). The frontier filter keeps hop k's
+    * join input to NEWLY reached nodes only, so total work is O(edges
+    * within the ball), not O(hops · edges). All integer arithmetic; the
+    * oracle is a bounded recursive CTE with UNION dedup semantics. */
+  def bfsProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    val sym = graft.Materialize.stable(
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst"))))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seed = deg
+      .orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("n"), lit(0L).as("dist"))
+    var dist = seed
+    for (k <- 1 to 4) {
+      val frontier = dist.filter(col("dist") === (k - 1))
+        .select(col("n").as("src"))
+      val reached = sym.join(frontier, Seq("src"))
+        .select(col("dst").as("n"), lit(k.toLong).as("dist"))
+      dist = graft.Materialize.stable(
+        dist.unionByName(reached)
+          .groupBy("n").agg(min(col("dist")).as("dist")))
+    }
+    val total = deg.agg(count(lit(1)).as("n_nodes"))
+    val hist = dist.groupBy("dist").agg(count(lit(1)).as("n_parts"))
+    hist.crossJoin(broadcast(total))
+      .select(col("dist"), col("n_parts"),
+        round(col("n_parts").cast("double") / col("n_nodes"), 4)
+          .as("share_of_graph"))
+      .orderBy("dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_triangle_counts" -> triangleCounts,
-    "q129_pagerank" -> pageRank)
+    "q129_pagerank" -> pageRank,
+    "q133_bfs_profile" -> bfsProfile)
 
   /** Unrolled 5-iteration PageRank oracle over scaled-integer ranks.
     * Double literals are CAST explicitly — DuckDB parses bare `0.85` as
@@ -172,6 +212,28 @@ object GraphOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q133_bfs_profile" ->
+      """WITH RECURSIVE
+        |it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u AS src, v AS dst FROM e
+        |        UNION ALL SELECT v AS src, u AS dst FROM e),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+        |seed AS (SELECT src AS n FROM deg ORDER BY deg DESC, src LIMIT 1),
+        |bfs(n, dist) AS (
+        |  SELECT n, CAST(0 AS BIGINT) AS dist FROM seed
+        |  UNION
+        |  SELECT sym.dst AS n, CAST(bfs.dist + 1 AS BIGINT) AS dist
+        |  FROM bfs JOIN sym ON sym.src = bfs.n
+        |  WHERE bfs.dist < 4),
+        |md AS (SELECT n, MIN(dist) AS dist FROM bfs GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+        |hist AS (SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |         FROM md GROUP BY 1)
+        |SELECT dist, n_parts,
+        |  round(CAST(n_parts AS DOUBLE) / n_nodes, 4) AS share_of_graph
+        |FROM hist CROSS JOIN tot ORDER BY dist""".stripMargin,
     "q129_pagerank" -> pageRankOracle,
     "q128_triangle_counts" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -195,10 +195,31 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
   }
 
-  test("q125-q132 execute at sf0.001") {
+  test("bfs profile counts hop rings from the busiest hub") {
+    // Star-with-tail: hub 1 links 2,3,4; 4 links 5; 5 links 6; 7-8 are
+    // a disconnected pair. Seed = part 1 (degree 3). Rings: d0={1},
+    // d1={2,3,4}, d2={5}, d3={6}; 7,8 unreached (absent rows).
+    val d = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 3L),
+      (3L, 1L), (3L, 4L),
+      (4L, 4L), (4L, 5L),
+      (5L, 5L), (5L, 6L),
+      (6L, 7L), (6L, 8L)))
+    val r = graft.ops.GraphOps.bfsProfile(spark, d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(0L) == ((1L, 0.125)))
+    assert(r(1L) == ((3L, 0.375)))
+    assert(r(2L) == ((1L, 0.125)))
+    assert(r(3L) == ((1L, 0.125)))
+    assert(!r.contains(4L), "nothing is exactly 4 hops out")
+  }
+
+  test("q125-q133 execute at sf0.001") {
     Seq("q125_bm25_search", "q126_split_leakage", "q127_decayed_spend",
       "q128_triangle_counts", "q129_pagerank", "q130_bm25_staged",
-      "q131_rfm_segments", "q132_bm25_add_batch").foreach { n =>
+      "q131_rfm_segments", "q132_bm25_add_batch",
+      "q133_bfs_profile").foreach { n =>
       assert(SparkEntry.queries(n)(spark, sfDir).collect() != null, n)
     }
   }
