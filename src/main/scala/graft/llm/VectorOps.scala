@@ -610,9 +610,52 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** q134 — embedding snapshot drift: per-label centroid displacement
+    * between the previous embedding snapshot (the q88 fixture rule,
+    * vec_id ≢ 4 mod 5) and the current corpus — the model/corpus-drift
+    * monitor an embedding pipeline runs after every re-embed or ingest wave
+    * (large drift on one label means that class's geometry moved and
+    * downstream ANN/kNN thresholds need revisiting).
+    *
+    * Determinism: the q91 posture — per-(label, dim) centroids are
+    * round(avg, 6); squared dim deltas are rounded to 12dp into
+    * DECIMAL(24,12) so the 64-dim sum is exact and order-independent;
+    * drift = √sum rounded 6dp; the max single-dim shift is a MAX over
+    * already-rounded values. One corpus explode feeds both snapshot
+    * aggregations (the filter is a predicate, not a second scan). */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"))
+    val expl = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("x").cast("double").as("x"))
+    val oldC = expl.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      .groupBy("label", "pos").agg(round(avg(col("x")), 6).as("c_old"))
+    val newC = expl.groupBy("label", "pos")
+      .agg(round(avg(col("x")), 6).as("c_new"))
+    val nOld = e.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      .groupBy("label").agg(count(lit(1)).as("n_old"))
+    val nNew = e.groupBy("label").agg(count(lit(1)).as("n_new"))
+    oldC.join(newC, Seq("label", "pos"))
+      .withColumn("d2",
+        round((col("c_new") - col("c_old")) * (col("c_new") - col("c_old")), 12)
+          .cast("decimal(24,12)"))
+      .withColumn("ad", round(abs(col("c_new") - col("c_old")), 6))
+      .groupBy("label")
+      .agg(sum(col("d2")).as("ssq"), max(col("ad")).as("max_dim_shift"))
+      .join(nOld, Seq("label")).join(nNew, Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(sqrt(col("ssq").cast("double")), 6).as("drift"),
+        col("max_dim_shift"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_semantic_dedup"  -> semanticDedup,
     "q91_centroid_outliers" -> centroidOutliers,
+    "q134_centroid_drift" -> centroidDrift,
     "q74_int8_quantize"   -> int8Quantize,
     "q57_ivf_topk"        -> ivfTopK,
     // probing every cell must reproduce brute force bit-for-bit — an
@@ -641,6 +684,32 @@ object VectorOps {
   // path), plus a one-sided soundness gate (AnnSoundnessSpec: every row
   // q46 returns carries the exact cosine for its ids).
   val oracleSql: Map[String, String] = Map(
+    "q134_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex0 AS (SELECT vec_id, label, v,
+        |          unnest(generate_series(1, len(v))) AS pos FROM e),
+        |ex AS (SELECT vec_id, label, pos, v[pos] AS x FROM ex0),
+        |oldc AS (SELECT label, pos, round(avg(x), 6) AS c_old
+        |         FROM ex WHERE vec_id % 5 <> 4 GROUP BY 1, 2),
+        |newc AS (SELECT label, pos, round(avg(x), 6) AS c_new
+        |         FROM ex GROUP BY 1, 2),
+        |dims AS (SELECT label, pos,
+        |    CAST(round((c_new - c_old) * (c_new - c_old), 12)
+        |      AS DECIMAL(24,12)) AS d2,
+        |    round(abs(c_new - c_old), 6) AS ad
+        |  FROM oldc JOIN newc USING (label, pos)),
+        |no AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_old
+        |       FROM e WHERE vec_id % 5 <> 4 GROUP BY 1),
+        |nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_new
+        |       FROM e GROUP BY 1)
+        |SELECT dims.label, n_old, n_new,
+        |  round(sqrt(CAST(SUM(d2) AS DOUBLE)), 6) AS drift,
+        |  MAX(ad) AS max_dim_shift
+        |FROM dims JOIN no ON no.label = dims.label
+        |JOIN nn ON nn.label = dims.label
+        |GROUP BY dims.label, n_old, n_new
+        |ORDER BY dims.label""".stripMargin,
     "q96_knn_label" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |             CAST(embedding AS DOUBLE[]) AS v

@@ -215,11 +215,36 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(!r.contains(4L), "nothing is exactly 4 hops out")
   }
 
-  test("q125-q133 execute at sf0.001") {
+  test("centroid drift is zero when the snapshots coincide per label") {
+    // Labels whose membership is untouched by the vec_id % 5 == 4
+    // holdout must report drift 0; a label whose excluded member is an
+    // outlier must report positive drift.
+    val d = java.nio.file.Files.createTempDirectory("emb").toString
+    val vecs = Seq(
+      // label 0: ids 0,1,2 (none ≡ 4 mod 5) -> snapshots identical
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(1.0f, 1.0f), 0),
+      // label 1: id 9 (≡ 4 mod 5) is an outlier dropped from the old
+      // snapshot -> the new centroid moves toward it
+      (5L, Array(1.0f, 0.0f), 1),
+      (6L, Array(1.0f, 0.0f), 1),
+      (9L, Array(-5.0f, 0.0f), 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = graft.llm.VectorOps.centroidDrift(spark, d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(0L) == ((3L, 3L, 0.0)))
+    val (nOld1, nNew1, drift1) = r(1L)
+    assert((nOld1, nNew1) == ((2L, 3L)))
+    assert(drift1 == 2.0, "centroid x moves 1.0 -> -1.0: drift 2")
+  }
+
+  test("q125-q134 execute at sf0.001") {
     Seq("q125_bm25_search", "q126_split_leakage", "q127_decayed_spend",
       "q128_triangle_counts", "q129_pagerank", "q130_bm25_staged",
       "q131_rfm_segments", "q132_bm25_add_batch",
-      "q133_bfs_profile").foreach { n =>
+      "q133_bfs_profile", "q134_centroid_drift").foreach { n =>
       assert(SparkEntry.queries(n)(spark, sfDir).collect() != null, n)
     }
   }
