@@ -252,12 +252,69 @@ object StreamOps {
     purchaseAttribution(graft.Tables.t(s, dir, "events"))
       .orderBy("purchase_id", "click_id")
 
+  /** q135 — event-time disorder profile: how far behind its key's
+    * running event-time maximum each event arrives (arrival order =
+    * event_id), bucketed into on-time / <1min / <1h / ≥1h. This is THE
+    * statistic that sizes `withWatermark` for every streaming query in
+    * this module: the delay must cover the disorder tail you intend to
+    * keep, and the share you cut is exactly the late-drop rate you
+    * accept. Per-KEY disorder (not global) because state eviction and
+    * dedup windows key the same way the aggregations do.
+    *
+    * Plan: one window over (user_id, event_id) — the partitioning the
+    * events table already uses for sessionization — then a 4-row
+    * aggregate; all microsecond integer arithmetic, no floats until the
+    * final share. */
+  def disorderProfile(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val lateness = graft.Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_max_us", max(unix_micros(col("ts"))).over(w))
+      .select(greatest(lit(0L),
+        coalesce(col("prev_max_us") - unix_micros(col("ts")), lit(0L)))
+        .as("late_us"))
+    val buckets = lateness.select(
+      when(col("late_us") === 0, "0_ontime")
+        .when(col("late_us") < 60000000L, "1_under_1m")
+        .when(col("late_us") < 3600000000L, "2_under_1h")
+        .otherwise("3_over_1h").as("bucket"),
+      col("late_us"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("max_late_us"))
+    val tot = buckets.agg(sum(col("n_events")).as("total"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_events"), col("max_late_us"),
+        round(col("n_events").cast("double") / col("total"), 4).as("share"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q61_session_window" -> sessionWindowBatch,
       "q108_sliding_counts" -> slidingCountsBatch,
-      "q118_purchase_attribution" -> purchaseAttributionBatch)
+      "q118_purchase_attribution" -> purchaseAttributionBatch,
+      "q135_disorder_profile" -> disorderProfile)
 
   val oracleSql: Map[String, String] = Map(
+    "q135_disorder_profile" ->
+      """WITH l AS (SELECT
+        |    GREATEST(CAST(0 AS BIGINT), COALESCE(
+        |      MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - epoch_us(ts), 0)) AS late_us
+        |  FROM events),
+        |b AS (SELECT CASE WHEN late_us = 0 THEN '0_ontime'
+        |    WHEN late_us < 60000000 THEN '1_under_1m'
+        |    WHEN late_us < 3600000000 THEN '2_under_1h'
+        |    ELSE '3_over_1h' END AS bucket, late_us FROM l),
+        |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MAX(late_us) AS BIGINT) AS max_late_us
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM g)
+        |SELECT bucket, n_events, max_late_us,
+        |  round(CAST(n_events AS DOUBLE) / total, 4) AS share
+        |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
     "q118_purchase_attribution" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id,
         |    epoch_us(ts) AS purchase_ts_us, value AS purchase_value

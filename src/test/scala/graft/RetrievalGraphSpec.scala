@@ -240,6 +240,29 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(drift1 == 2.0, "centroid x moves 1.0 -> -1.0: drift 2")
   }
 
+  test("disorder profile buckets per-key lateness against the running max") {
+    val d = java.nio.file.Files.createTempDirectory("dis").toString
+    def ns(sec: Long): Long = sec * 1000000000L
+    // user 1 arrival order (event_id): on-time, on-time, 10s late,
+    // 2h late, 120s late.
+    val ev = Seq(
+      (1L, ns(1000), 1L, "view"),
+      (2L, ns(2000), 1L, "view"),
+      (3L, ns(1990), 1L, "view"),
+      (4L, ns(2000 - 7200), 1L, "view"),
+      (5L, ns(2000 - 120), 1L, "view"))
+    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = graft.streaming.StreamOps.disorderProfile(spark, d).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(r("0_ontime") == ((2L, 0L, 0.4)))
+    assert(r("1_under_1m") == ((1L, 10000000L, 0.2)))
+    assert(r("2_under_1h") == ((1L, 120000000L, 0.2)))
+    assert(r("3_over_1h") == ((1L, 7200000000L, 0.2)))
+  }
+
   test("q125-q134 execute at sf0.001") {
     Seq("q125_bm25_search", "q126_split_leakage", "q127_decayed_spend",
       "q128_triangle_counts", "q129_pagerank", "q130_bm25_staged",
