@@ -21,6 +21,7 @@ object SparkEntry {
     ops.ShapeQueries.queries ++
     ops.ScaleUtils.queries ++
     ops.TimeSeriesOps.queries ++
+    ops.StatOps.queries ++
     ops.GraphOps.queries ++
     llm.TextOps.queries ++
     llm.RetrievalOps.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
     ops.ShapeQueries.oracleSql ++
     ops.ScaleUtils.oracleSql ++
     ops.TimeSeriesOps.oracleSql ++
+    ops.StatOps.oracleSql ++
     ops.GraphOps.oracleSql ++
     llm.TextOps.oracleSql ++
     llm.RetrievalOps.oracleSql ++

@@ -214,15 +214,65 @@ object CorpusAudit {
       .orderBy("doc_id", "valid_from", "valid_to")
   }
 
+  /** q139 — pairwise vocabulary overlap between sources: the Jaccard
+    * similarity of the distinct-term sets of every source pair. The
+    * "are these two crawls the same corpus wearing different names"
+    * report — a high vocabulary Jaccard between sources flags
+    * provenance mislabeling and guides mixture-weight consolidation
+    * (two near-identical sources should not get two independent
+    * weights in q82's mixture).
+    *
+    * Plan: ONE corpus-sized tokenize→distinct produces the
+    * (source, term) vocabulary table; the pair intersection is a
+    * self-equi-join on term — per-term fan-out is bounded by
+    * |sources|² (a constant ≤ dozens), NOT by term frequency, because
+    * the vocabulary table holds each (source, term) once. Pair counts
+    * and the union come from inclusion–exclusion on the per-source
+    * sizes, so no second corpus pass. */
+  def sourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.Tables.tSpread(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("v").as("v_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("v").as("v_b"))), Seq("src_b"))
+      .withColumn("jaccard", round(col("n_common").cast("double")
+        / (col("v_a") + col("v_b") - col("n_common")), 6))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("v_a"), col("v_b"), col("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_upsert_merge" -> upsertMerge,
     "q121_scd2_history" -> scd2History,
     "q111_pmi_collocations" -> ((s, dir) => pmiCollocations(s, dir)),
     "q113_source_term_affinity" -> ((s, dir) => sourceTermAffinity(s, dir)),
     "q114_schema_union" -> schemaUnion,
-    "q115_dedup_curve" -> ((s, dir) => dedupCurve(s, dir)))
+    "q115_dedup_curve" -> ((s, dir) => dedupCurve(s, dir)),
+    "q139_source_vocab_overlap" -> sourceVocabOverlap)
 
   val oracleSql: Map[String, String] = Map(
+    "q139_source_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, term FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |    FROM documents)),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st GROUP BY 1),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_common
+        |      FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common, va.v AS v_a, vb.v AS v_b,
+        |  round(CAST(n_common AS DOUBLE) / (va.v + vb.v - n_common), 6) AS jaccard
+        |FROM i JOIN sz va ON i.src_a = va.source
+        |       JOIN sz vb ON i.src_b = vb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "q120_upsert_merge" ->
       """WITH old AS (SELECT doc_id, md5(substr(text, 1, 120)) AS old_digest
         |             FROM documents WHERE doc_id % 5 <> 4),

@@ -95,6 +95,21 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(byDoc(9L).toSeq == Seq((9L, 2L, 2L, true)), "new doc opens at v2")
   }
 
+  test("vocab overlap computes pairwise Jaccard and drops disjoint pairs") {
+    // a = {w1 w2 w3}, b = {w2 w3 w4} → |∩| = 2, |∪| = 4, J = 0.5;
+    // c shares nothing → the (a,c)/(b,c) pairs must be ABSENT (the
+    // intersection join is inner in both engines), not present with 0.
+    val d = docsDir(Seq(
+      (0L, "w1 w2", "a"), (1L, "w2 w3", "a"),
+      (2L, "w2 w3 w4", "b"),
+      (3L, "zz", "c")))
+    val r = CorpusAudit.sourceVocabOverlap(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    assert(r.keySet == Set(("a", "b")), "disjoint pairs carry no row")
+    assert(r(("a", "b")) == ((2L, 3L, 3L, 0.5)))
+  }
+
   test("dedup curve rises exactly when re-crawled content arrives") {
     // bucket 0 (ids 0-49): all unique; bucket 1 (ids 50-99): all copies
     // of doc 0

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.StatOps
+
+/** Value-level checks for the statistical-profiling operators
+  * (q136–q138): OLS recovers an exactly-linear series, the transition
+  * matrix respects the (ts, event_id) ordering contract, and the
+  * correlation aggregate matches a driver-side two-pass Pearson on the
+  * real table. The DuckDB oracle pins all three on the driver tables. */
+class StatOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def linearDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("stat").toString
+    // brand B1: price = 100 + 2*day, one observation per day — the OLS
+    // fit must be exact. brand B2: constant price → slope 0, and the
+    // ANSI convention for zero y-variance with varying x is r2 = 1
+    // (verified identical in Spark and DuckDB).
+    val rows = (0 until 10).map { day =>
+      (day.toLong, 1L, 1L, day + 1, 1.0, 100.0 + 2.0 * day, 0.0, 0.0, "N", "O",
+        java.time.LocalDateTime.parse("1992-01-01T00:00:00").plusDays(day.toLong))
+    } ++ (0 until 5).map { day =>
+      (100L + day, 2L, 1L, day + 1, 1.0, 50.0, 0.0, 0.0, "N", "O",
+        java.time.LocalDateTime.parse("1992-01-01T00:00:00").plusDays(day.toLong))
+    }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    Seq((1L, "part one", "B1", "t", 1, 1.0), (2L, "part two", "B2", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/part.parquet")
+    d
+  }
+
+  test("price trend recovers an exact linear series (slope 2, r2 1)") {
+    val r = StatOps.priceTrend(spark, linearDir()).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val b1 = r("B1")
+    assert(b1.getLong(1) == 10L)
+    assert(b1.getDouble(2) == 2.0, "slope of y=100+2x must be exactly 2")
+    assert(b1.getDouble(3) == 100.0)
+    assert(b1.getDouble(4) == 1.0, "a perfect fit has r2 = 1")
+    val b2 = r("B2")
+    assert(b2.getDouble(2) == 0.0, "constant series has slope 0")
+    assert(b2.getDouble(4) == 1.0, "ANSI: zero y-variance with varying x gives r2 = 1")
+  }
+
+  test("event transitions count per-user steps and break ts ties by event_id") {
+    val d = java.nio.file.Files.createTempDirectory("trans").toString
+    def ns(day: Int): Long = (19723L + day) * 86400L * 1000000000L
+    // user 1: a→b→a; user 2: a→b; user 3: x,y at the SAME ts — the
+    // event-id tiebreak must yield x→y, never y→x.
+    val ev = Seq(
+      (1L, ns(0), 1L, "a"), (2L, ns(1), 1L, "b"), (3L, ns(2), 1L, "a"),
+      (4L, ns(0), 2L, "a"), (5L, ns(1), 2L, "b"),
+      (10L, ns(0), 3L, "x"), (11L, ns(0), 3L, "y"))
+    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = StatOps.eventTransitions(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(r(("a", "b")) == ((2L, 1.0)))
+    assert(r(("b", "a")) == ((1L, 1.0)))
+    assert(r(("x", "y")) == ((1L, 1.0)))
+    assert(!r.contains(("y", "x")), "tie must resolve by event_id, deterministically")
+    // row-normalization: probabilities per from_type sum to 1
+    r.groupBy(_._1._1).foreach { case (from, xs) =>
+      assert(math.abs(xs.values.map(_._2).sum - 1.0) < 1e-9, s"rows of $from")
+    }
+  }
+
+  test("corr aggregate matches a driver-side two-pass Pearson on lineitem") {
+    val rows = graft.Tables.t(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (flag, xs) =>
+      val n = xs.length.toDouble
+      val mx = xs.map(_._2).sum / n
+      val my = xs.map(_._3).sum / n
+      val cov = xs.map(t => (t._2 - mx) * (t._3 - my)).sum / n
+      val sx = math.sqrt(xs.map(t => (t._2 - mx) * (t._2 - mx)).sum / n)
+      val sy = math.sqrt(xs.map(t => (t._3 - my) * (t._3 - my)).sum / n)
+      flag -> cov / (sx * sy)
+    }
+    val got = StatOps.measureCorr(spark, sfDir).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (flag, e) =>
+      assert(math.abs(got(flag) - e) < 1e-4, s"corr($flag): got ${got(flag)}, want $e")
+    }
+  }
+}
