@@ -248,7 +248,73 @@ object CorpusAudit {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q142 — language purity of near-dup clusters: for every q62 cluster,
+    * its size, distinct-language count, majority language (count-desc,
+    * lang-asc tie-break) and majority share. Mixed-language clusters are
+    * the cross-lingual contamination signal — boilerplate or machine
+    * translation binding "different-language" docs into one dup cluster
+    * — and the screen a per-language mixture (q82/q143) needs before
+    * trusting its strata.
+    *
+    * Plan: rides the staged q62 label frame (cluster ids are already
+    * materialized through the BandIndex path); the purity report itself
+    * is one (cluster, lang) aggregate plus a rank window over a frame
+    * bounded by cluster count, never corpus size. */
+  def clusterLangPurity(s: SparkSession, dir: String): DataFrame = {
+    val labels = NearDupOps.dupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val byLang = labels
+      .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("n").desc, col("lang"))
+    val sizes = byLang.groupBy("cluster_id")
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_langs"))
+    byLang.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("lang").as("top_lang"), col("n").as("top_n"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_docs"), col("n_langs"), col("top_lang"),
+        round(col("top_n").cast("double") / col("n_docs"), 6).as("top_share"),
+        (col("n_langs") > 1).as("mixed"))
+      .orderBy("cluster_id")
+  }
+
+  /** q147 — effective token count after near-dup collapse: per source,
+    * the raw token supply vs the supply counted ONCE per q62 cluster
+    * (cluster canonical = the min-id member; docs outside any cluster
+    * are their own canonical), and the dedup discount 1 − eff/raw. THE
+    * budget-planning number: q143 allocates against raw supply, this
+    * reports how much of that supply is unique content — a source with
+    * a 40% discount delivers 40% fewer unique tokens than its size
+    * claims, and its mixture weight is overstated by the same factor.
+    *
+    * Plan: rides the staged q62 label frame (cluster count ≪ corpus);
+    * one left join of the per-doc token counts (narrow: id, source,
+    * count — text never leaves the scan) against the labels, one
+    * |sources|-row aggregate. */
+  def effectiveTokens(s: SparkSession, dir: String): DataFrame = {
+    val labels = NearDupOps.dupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .withColumn("canonical",
+        col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("raw_tokens"),
+        sum(when(col("canonical"), col("toks")).otherwise(lit(0L)))
+          .as("effective_tokens"))
+      .withColumn("discount", round(lit(1.0)
+        - col("effective_tokens").cast("double") / col("raw_tokens"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_cluster_lang_purity" -> clusterLangPurity,
+    "q147_effective_tokens" -> effectiveTokens,
     "q120_upsert_merge" -> upsertMerge,
     "q121_scd2_history" -> scd2History,
     "q111_pmi_collocations" -> ((s, dir) => pmiCollocations(s, dir)),
@@ -258,6 +324,90 @@ object CorpusAudit {
     "q139_source_vocab_overlap" -> sourceVocabOverlap)
 
   val oracleSql: Map[String, String] = Map(
+    "q147_effective_tokens" ->
+      """WITH RECURSIVE
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |tk AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents)
+        |SELECT tk.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+        |  CAST(SUM(CASE WHEN l.cluster_id IS NULL OR l.cluster_id = tk.doc_id
+        |    THEN toks ELSE 0 END) AS BIGINT) AS effective_tokens,
+        |  round(CAST(1 AS DOUBLE)
+        |    - CAST(SUM(CASE WHEN l.cluster_id IS NULL OR l.cluster_id = tk.doc_id
+        |        THEN toks ELSE 0 END) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6)
+        |    AS discount
+        |FROM tk LEFT JOIN labels l ON l.doc_id = tk.doc_id
+        |GROUP BY tk.source ORDER BY tk.source""".stripMargin,
+    "q142_cluster_lang_purity" ->
+      """WITH RECURSIVE
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |bylang AS (
+        |  SELECT l.cluster_id, d.lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM labels l JOIN documents d USING (doc_id)
+        |  GROUP BY 1, 2),
+        |csz AS (SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_langs FROM bylang GROUP BY 1),
+        |top AS (
+        |  SELECT cluster_id, lang AS top_lang, n AS top_n,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, lang) AS rk
+        |  FROM bylang QUALIFY rk = 1)
+        |SELECT t.cluster_id, c.n_docs, c.n_langs, t.top_lang,
+        |  round(CAST(t.top_n AS DOUBLE) / c.n_docs, 6) AS top_share,
+        |  c.n_langs > 1 AS mixed
+        |FROM top t JOIN csz c USING (cluster_id)
+        |ORDER BY cluster_id""".stripMargin,
     "q139_source_vocab_overlap" ->
       """WITH st AS (SELECT DISTINCT source, term FROM (
         |    SELECT source,

@@ -190,11 +190,94 @@ object RetrievalOps {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** q140 — hybrid query-by-example retrieval via Reciprocal Rank
+    * Fusion (Cormack, Clarke & Buettcher, SIGIR 2009): for each probe
+    * document (doc_id < 3; the embeddings table shares the id space),
+    * fuse the SEMANTIC ranking (brute cosine over embeddings — the q40
+    * kernel; at corpus scale the ANN/IVF paths q46/q57 generate the
+    * candidate list instead, and the fusion tail is unchanged) with the
+    * LEXICAL ranking (3-token-shingle Jaccard against the probe text —
+    * the q44 kernel; the posting index q130 is its staged form) through
+    * RRF(d) = Σ_lists 1/(60 + rank_list(d)) at list depth 50.
+    *
+    * Determinism: both rankings order by their score ROUNDED to 4dp
+    * with doc-id tie-break (the q40 contract), so every rank — and
+    * hence the fused score, a sum of two exact rationals — is an
+    * integer-derived value both engines compute identically. A doc
+    * missing from one list contributes 0 for that list (the standard
+    * RRF convention).
+    *
+    * Plan at scale: both rankers are probe-bounded — the probe rows
+    * broadcast into one linear corpus scan each (no corpus self-join);
+    * the fusion full-outer-joins two ≤|probes|·depth row frames, and
+    * top-10 plans as a rank window over the per-query partition. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    import graft.Tables.t
+    val depth = 50
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val qv = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val wSem = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    val sem = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(dot_product(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)
+          .as("sim"))
+      .withColumn("r_sem", row_number().over(wSem).cast("long"))
+      .filter(col("r_sem") <= depth)
+
+    // Fused ShingleArray kernel, NOT the composed transform() form —
+    // the composed higher-order lambda runs interpreted per row, and
+    // this shingling pass covers the whole corpus (the q107 lesson:
+    // 14x at soak scale).
+    val docSh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.HashKernels.shingle_array(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val probeEx = ex.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("shingle"))
+    val probeSizes = sizes.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("n_sh").as("n_q"))
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("jac").desc, col("doc_id"))
+    val lex = ex.join(broadcast(probeEx), Seq("shingle"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes, Seq("doc_id"))
+      .join(broadcast(probeSizes), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("n_inter").cast("double")
+          / (col("n_q") + col("n_sh") - col("n_inter")), 4).as("jac"))
+      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      .filter(col("r_lex") <= depth)
+
+    val fused = sem.select(col("query_id"), col("doc_id"), col("r_sem"))
+      .join(lex.select(col("query_id"), col("doc_id"), col("r_lex")),
+        Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("r_sem"), lit(-1L)).as("r_sem"),
+        coalesce(col("r_lex"), lit(-1L)).as("r_lex"),
+        round(coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)), 6).as("rrf"))
+    val wF = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(wF).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_bm25_search" -> bm25Search,
     "q126_split_leakage" -> splitLeakage,
     "q130_bm25_staged" -> bm25Staged,
-    "q132_bm25_add_batch" -> bm25AddBatch)
+    "q132_bm25_add_batch" -> bm25AddBatch,
+    "q140_hybrid_rrf" -> hybridRrf)
 
   /** The full-corpus BM25 oracle — shared verbatim by q125 (in-query),
     * q130 (staged index), and q132 (staged index + in-plan batch merge):
@@ -237,6 +320,52 @@ object RetrievalOps {
     "q125_bm25_search" -> bm25FullCorpusOracle,
     "q130_bm25_staged" -> bm25FullCorpusOracle,
     "q132_bm25_add_batch" -> bm25FullCorpusOracle,
+    "q140_hybrid_rrf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |sem0 AS (
+        |  SELECT query_id, e.vec_id AS doc_id,
+        |    ROUND(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |sem AS (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS BIGINT) AS r_sem
+        |  FROM sem0 QUALIFY r_sem <= 50),
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |lex0 AS (
+        |  SELECT p.doc_id AS query_id, c.doc_id AS doc_id,
+        |    ROUND(CAST(COUNT(*) AS DOUBLE)
+        |      / (sq.n_sh + sc.n_sh - COUNT(*)), 4) AS jac
+        |  FROM ex p JOIN ex c ON p.shingle = c.shingle
+        |    AND p.doc_id < 3 AND c.doc_id <> p.doc_id
+        |  JOIN sizes sq ON sq.doc_id = p.doc_id
+        |  JOIN sizes sc ON sc.doc_id = c.doc_id
+        |  GROUP BY 1, 2, sq.n_sh, sc.n_sh),
+        |lex AS (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY jac DESC, doc_id) AS BIGINT) AS r_lex
+        |  FROM lex0 QUALIFY r_lex <= 50),
+        |f AS (
+        |  SELECT query_id, doc_id,
+        |    COALESCE(r_sem, CAST(-1 AS BIGINT)) AS r_sem,
+        |    COALESCE(r_lex, CAST(-1 AS BIGINT)) AS r_lex,
+        |    round(COALESCE(CAST(1 AS DOUBLE) / (60 + r_sem), 0)
+        |        + COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0), 6) AS rrf
+        |  FROM sem FULL OUTER JOIN lex USING (query_id, doc_id))
+        |SELECT query_id, doc_id, r_sem, r_lex, rrf,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn
+        |FROM f QUALIFY rn <= 10 ORDER BY query_id, rn""".stripMargin,
     "q126_split_leakage" ->
       """WITH docsh AS (
         |  SELECT doc_id,

@@ -151,15 +151,70 @@ object SamplingOps {
         col("hash_bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** q143 — token-budget allocator: turn a temperature-weighted mixture
+    * (the q82 shape, computed over TOKENS rather than doc counts) into
+    * the numbers a sampling run actually executes: per source, the
+    * available token supply, the target token allocation for a total
+    * budget B, the keep-rate (capped at 1 — this allocator never
+    * up-samples), and the epoch factor (>1 flags a source the mixture
+    * wants MORE of than exists — the practical signal to either repeat
+    * the source or renormalize).
+    *
+    * Determinism: supply counts are exact integers; weight and target
+    * are each ONE double expression (sqrt / ordered-sum z / floor) both
+    * engines evaluate identically (the q82 contract), so `floor(B·w)`
+    * is an exact bigint in both.
+    *
+    * Plan: one tokenize+count aggregation over the corpus (map-side
+    * partials — the per-row token count never leaves the scan stage);
+    * everything downstream is |sources|-row broadcast arithmetic. */
+  def tokenBudget(s: SparkSession, dir: String, budget: Long = 500000L): DataFrame = {
+    val avail = t(s, dir, "documents")
+      .select(col("source"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("avail_tokens"))
+    val z = avail
+      .agg(sort_array(collect_list(sqrt(col("avail_tokens").cast("double")))).as("zs"))
+      .select(aggregate(col("zs"), lit(0.0), _ + _).as("z"))
+    avail.crossJoin(broadcast(z))
+      .select(col("source"), col("avail_tokens"),
+        round(sqrt(col("avail_tokens").cast("double")) / col("z"), 6).as("weight"),
+        floor(lit(budget.toDouble) * (sqrt(col("avail_tokens").cast("double")) / col("z")))
+          .cast("long").as("target_tokens"))
+      .withColumn("keep_rate", round(least(lit(1.0),
+        col("target_tokens").cast("double") / col("avail_tokens")), 6))
+      .withColumn("epochs", round(
+        col("target_tokens").cast("double") / col("avail_tokens"), 4))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_hash_sample" -> hashSample,
     "q64_shard_pack"  -> ((s, dir) => shardPack(s, dir)),
     "q65_curation_pipeline" -> curationPipeline,
     "q66_stratified_topn" -> ((s, dir) => stratifiedTopN(s, dir)),
     "q94_weighted_sample" -> weightedSample,
-    "q97_split_assign" -> splitAssign)
+    "q97_split_assign" -> splitAssign,
+    "q143_token_budget" -> ((s, dir) => tokenBudget(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "q143_token_budget" ->
+      """WITH a AS (SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |      AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT list_sum(list(sqrt(CAST(avail_tokens AS DOUBLE))
+        |    ORDER BY sqrt(CAST(avail_tokens AS DOUBLE)))) AS z FROM a)
+        |SELECT source, avail_tokens,
+        |  round(sqrt(CAST(avail_tokens AS DOUBLE)) / z, 6) AS weight,
+        |  CAST(floor(500000.0 * (sqrt(CAST(avail_tokens AS DOUBLE)) / z))
+        |    AS BIGINT) AS target_tokens,
+        |  round(least(CAST(1 AS DOUBLE),
+        |    CAST(CAST(floor(500000.0 * (sqrt(CAST(avail_tokens AS DOUBLE)) / z))
+        |      AS BIGINT) AS DOUBLE) / avail_tokens), 6) AS keep_rate,
+        |  round(CAST(CAST(floor(500000.0 * (sqrt(CAST(avail_tokens AS DOUBLE)) / z))
+        |      AS BIGINT) AS DOUBLE) / avail_tokens, 4) AS epochs
+        |FROM a CROSS JOIN tot ORDER BY source""".stripMargin,
     "q94_weighted_sample" ->
       """WITH b AS (
         |  SELECT doc_id, source, n_chars,

@@ -99,12 +99,167 @@ object StatOps {
         round(stddev_pop(col("l_extendedprice")), 4).as("sd_price"))
       .orderBy(col("l_returnflag"))
 
+  /** q141 — lag-1 / lag-7 autocorrelation of the daily revenue series
+    * per order priority: "is tomorrow like today, and is next week like
+    * this week" — the seasonality probe an analyst runs before fitting
+    * any forecast. The lag is over OBSERVED days (row lag within the
+    * date-ordered series), the convention both engines implement
+    * identically; `corr` drops rows whose lag is NULL (series head) in
+    * both engines, so no explicit null filter is needed.
+    *
+    * Plan: one exchange builds the (priority, day) daily frame (partial
+    * sums map-side); the lag window and the corr aggregate both run on
+    * that calendar-bounded frame — |priorities|·|days| rows regardless
+    * of fact-table scale. */
+  def revenueAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("y"))
+    val w = Window.partitionBy("priority").orderBy("d")
+    daily
+      .withColumn("y1", lag(col("y"), 1).over(w))
+      .withColumn("y7", lag(col("y"), 7).over(w))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_days"),
+        round(corr(col("y"), col("y1")), 6).as("acf1"),
+        round(corr(col("y"), col("y7")), 6).as("acf7"))
+      .orderBy("priority")
+  }
+
+  /** q144 — Benford first-digit profile of the extended price: observed
+    * share of each leading significant digit vs the Benford expectation
+    * log10(1 + 1/d). A classic data-quality screen for fabricated or
+    * truncated numeric columns. The digit is extracted through EXACT
+    * integer arithmetic on cents (round→bigint→string head), never
+    * through floor(log10(x)) whose last-ulp wobble near powers of ten
+    * would let the two engines bucket a boundary price differently.
+    *
+    * Plan: per-row digit, one 9-row aggregate; counts partial map-side. */
+  def benfordPrices(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+      .select(substring(round(col("l_extendedprice") * 100)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6).as("expected"),
+        round(col("n").cast("double") / col("total")
+          - log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6).as("delta"))
+      .orderBy("digit")
+  }
+
+  /** q145 — inter-arrival gap profile per event type: for consecutive
+    * events of the same type inside one user's timeline, the count,
+    * mean, deviation and maximum of the gap. The report that separates
+    * heartbeat-shaped types (tight, regular gaps) from organic ones,
+    * and the empirical input to any session-timeout choice (q47/q61).
+    * Gaps are exact microsecond integers end-to-end (the q135 rule:
+    * per-event epoch-us truncation, identical in both engines); floats
+    * appear only in the final rounded moments.
+    *
+    * Plan: one exchange on (user_id, event_type) for the lag window —
+    * then a |types|-row aggregate with map-side partials. */
+  def eventGapProfile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_us")) / 1000000.0, 4).as("avg_gap_s"),
+        round(stddev_pop(col("gap_us")) / 1000000.0, 4).as("sd_gap_s"),
+        round(max(col("gap_us")) / 1000000.0, 4).as("max_gap_s"))
+      .orderBy("event_type")
+  }
+
+  /** q148 — top 3-step event paths: the most frequent consecutive
+    * (type → type → type) sequences inside user timelines, top-20. The
+    * q137 transition matrix generalized one step further — the report
+    * behind "what journey do users actually take". Ordering and
+    * tie-breaks follow the q137/q145 contract: (epoch-us, event_id)
+    * within user, count-desc then path-asc on the ranking.
+    *
+    * Plan: ONE exchange on user_id feeds both lead() columns (same
+    * window frame), the path aggregate is map-side partial, and top-20
+    * plans as TakeOrderedAndProject — nothing downstream of the window
+    * scales with the corpus. */
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_price_trend"      -> priceTrend,
     "q137_event_transitions" -> eventTransitions,
-    "q138_measure_corr"     -> measureCorr)
+    "q138_measure_corr"     -> measureCorr,
+    "q141_revenue_acf"      -> revenueAcf,
+    "q144_benford_prices"   -> benfordPrices,
+    "q145_event_gap_profile" -> eventGapProfile,
+    "q148_top_paths"        -> topPaths)
 
   val oracleSql: Map[String, String] = Map(
+    "q148_top_paths" ->
+      """WITH s AS (SELECT event_type AS t1,
+        |    LEAD(event_type, 1) OVER w AS t2,
+        |    LEAD(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q141_revenue_acf" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |    CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |lagged AS (SELECT priority, y,
+        |    LAG(y, 1) OVER (PARTITION BY priority ORDER BY d) AS y1,
+        |    LAG(y, 7) OVER (PARTITION BY priority ORDER BY d) AS y7
+        |  FROM daily)
+        |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  round(corr(y, y1), 6) AS acf1,
+        |  round(corr(y, y7), 6) AS acf7
+        |FROM lagged GROUP BY priority ORDER BY priority""".stripMargin,
+    "q144_benford_prices" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS expected,
+        |  round(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 6) AS delta
+        |FROM c, t ORDER BY digit""".stripMargin,
+    "q145_event_gap_profile" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  round(AVG(gap_us) / 1000000.0, 4) AS avg_gap_s,
+        |  round(stddev_pop(gap_us) / 1000000.0, 4) AS sd_gap_s,
+        |  round(MAX(gap_us) / 1000000.0, 4) AS max_gap_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q136_price_trend" ->
       """WITH daily AS (SELECT p_brand,
         |    CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS DOUBLE) AS x,

@@ -187,6 +187,13 @@ object ScaleSoak {
     // tokenize+count shuffle (must scale linearly, like q80's tf), and
     // the split-leakage audit rides the q43 cascade plus a per-pair
     // md5 — its slope must track minhash_neardup's.
+    // q139's vocabulary self-join: the (source, term) distinct table is
+    // corpus-proportional, but per-term fan-out is bounded by |sources|²
+    // — the soak slope must stay ~linear per decade like q80's tf build.
+    time("source_vocab_overlap") {
+      graft.llm.CorpusAudit.sourceVocabOverlap(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("bm25_search") {
       graft.llm.RetrievalOps.bm25Search(spark, dir)
         .write.format("noop").mode("overwrite").save()

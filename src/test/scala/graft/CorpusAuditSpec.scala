@@ -95,6 +95,42 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(byDoc(9L).toSeq == Seq((9L, 2L, 2L, true)), "new doc opens at v2")
   }
 
+  test("cluster lang purity: mixed cluster flagged, tie breaks to lowest lang") {
+    val d = java.nio.file.Files.createTempDirectory("purity").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    // cluster {0,1}: identical text, en vs de → mixed, tie → top "de";
+    // cluster {2,3}: identical text, both fr → pure; doc 4: singleton,
+    // must not appear (q62 labels only docs with at least one pair).
+    Seq((0L, t1, "en"), (1L, t1, "de"), (2L, t2, "fr"), (3L, t2, "fr"),
+        (4L, "lonely words entirely unshared by anyone", "en"))
+      .map { case (id, tx, lg) => (id, tx, lg, "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = CorpusAudit.clusterLangPurity(spark, d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3), x.getDouble(4),
+          x.getBoolean(5)))).toMap
+    assert(r.keySet == Set(0L, 2L), "singletons carry no cluster row")
+    assert(r(0L) == ((2L, 2L, "de", 0.5, true)), "tie-break on lang asc")
+    assert(r(2L) == ((2L, 1L, "fr", 1.0, false)))
+  }
+
+  test("effective tokens count each dup cluster once, singletons as themselves") {
+    val ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val five = "uno dos tres cuatro cinco"
+    val four = "eins zwei drei vier"
+    // s1: dup pair {0,1} (10 tokens each, one canonical) + unique doc 2
+    // → raw 25, effective 15, discount 0.4; s2: untouched singleton.
+    val d = docsDir(Seq(
+      (0L, ten, "s1"), (1L, ten, "s1"), (2L, five, "s1"), (3L, four, "s2")))
+    val r = CorpusAudit.effectiveTokens(spark, d).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r("s1") == ((3L, 25L, 15L, 0.4)))
+    assert(r("s2") == ((1L, 4L, 4L, 0.0)))
+  }
+
   test("vocab overlap computes pairwise Jaccard and drops disjoint pairs") {
     // a = {w1 w2 w3}, b = {w2 w3 w4} → |∩| = 2, |∪| = 4, J = 0.5;
     // c shares nothing → the (a,c)/(b,c) pairs must be ABSENT (the

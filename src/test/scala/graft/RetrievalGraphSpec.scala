@@ -263,6 +263,58 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(r("3_over_1h") == ((1L, 7200000000L, 0.2)))
   }
 
+  test("association rules: exact support/confidence/lift, min-support prunes") {
+    // orders: {A,B}, {A,B}, {A,C}, {B} → N=4, supp A=3 B=3 C=1;
+    // pair (A,B) supp 2 survives; (A,C) supp 1 is pruned.
+    val d = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L), (4L, 2L)))
+    val r = GraphOps.associationRules(spark, d).collect()
+    assert(r.length == 1, "only the supp>=2 pair survives")
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1)) == ((1L, 2L)))
+    assert(row.getLong(2) == 2L && row.getLong(3) == 3L && row.getLong(4) == 3L)
+    assert(math.abs(row.getDouble(5) - 2.0 / 3) < 1e-6)
+    assert(math.abs(row.getDouble(6) - 2.0 / 3) < 1e-6)
+    assert(math.abs(row.getDouble(7) - 8.0 / 9) < 1e-6, "lift = N·ab/(a·b)")
+  }
+
+  test("hybrid rrf: agreement on both lists wins, formula recomputes from ranks") {
+    val d = java.nio.file.Files.createTempDirectory("rrf").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // doc 5: exact text copy of probe 0 AND identical embedding → rank 1
+    // on both lists → rrf 2/61, the unbeatable top.
+    // doc 6: same embedding direction but alien text → semantic-only.
+    // doc 7: same text but orthogonal embedding → lexical-only.
+    val texts = Seq(
+      (0L, base), (1L, "one two three four five"), (2L, "ein zwei drei vier"),
+      (5L, base), (6L, "completely different words here now"), (7L, base))
+    texts.map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val e0 = Seq(1f, 0f, 0f, 0f)
+    val eOrth = Seq(0f, 1f, 0f, 0f)
+    Seq((0L, e0, 0), (1L, eOrth, 0), (2L, Seq(0f, 0f, 1f, 0f), 0),
+        (5L, e0, 0), (6L, Seq(1f, 0.01f, 0f, 0f), 0), (7L, eOrth, 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = RetrievalOps.hybridRrf(spark, d).collect()
+      .filter(_.getLong(0) == 0L)
+    val top = rows.find(_.getLong(5) == 1L).get
+    assert(top.getLong(1) == 5L, "both-lists agreement must fuse to the top")
+    assert(top.getLong(2) == 1L && top.getLong(3) == 1L)
+    rows.foreach { r =>
+      val (rs, rl, rrf) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      val want = (if (rs > 0) 1.0 / (60 + rs) else 0.0) +
+        (if (rl > 0) 1.0 / (60 + rl) else 0.0)
+      assert(math.abs(rrf - want) < 1e-6, s"rrf formula at doc ${r.getLong(1)}")
+      assert(rs != -1L || rl != -1L, "a fused row must come from some list")
+    }
+    // doc 6 semantic-only: present with r_lex = -1; doc 7 lexical-only
+    val byDoc = rows.map(r => r.getLong(1) -> r).toMap
+    assert(byDoc(6L).getLong(3) == -1L && byDoc(6L).getLong(2) > 0)
+    assert(byDoc(7L).getLong(2) > 0 || byDoc(7L).getLong(3) > 0)
+  }
+
   test("q125-q134 execute at sf0.001") {
     Seq("q125_bm25_search", "q126_split_leakage", "q127_decayed_spend",
       "q128_triangle_counts", "q129_pagerank", "q130_bm25_staged",

@@ -90,6 +90,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(slice == full.filter(_ < 100))
   }
 
+  test("token budget: targets respect the cap, track sqrt supply, never up-sample") {
+    val rows = SamplingOps.tokenBudget(spark, sfDir).collect()
+    val budget = 500000L
+    assert(rows.nonEmpty)
+    // Σ floor(B·wᵢ) ≤ B because Σwᵢ = 1 exactly before rounding
+    assert(rows.map(_.getLong(3)).sum <= budget)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3,
+      "weights sum to 1 (up to per-row rounding)")
+    rows.foreach { r =>
+      val (avail, target) = (r.getLong(1), r.getLong(3))
+      assert(r.getDouble(4) <= 1.0, "keep rate is capped")
+      assert(math.abs(r.getDouble(5) - target.toDouble / avail) < 1e-3,
+        "epochs = target/avail")
+    }
+    // temperature shape: weights order like sqrt(avail) — any two rows
+    val s = rows.sortBy(_.getLong(1))
+    s.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getDouble(2) <= hi.getDouble(2) + 1e-9,
+          "weight is monotone in token supply")
+      case _ =>
+    }
+  }
+
   test("split assign: exhaustive, disjoint, 90/5/5 within tolerance, stable") {
     val total = Tables.t(spark, sfDir, "documents").count()
     val rows = SamplingOps.splitAssign(spark, sfDir).collect()

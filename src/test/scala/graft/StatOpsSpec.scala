@@ -73,6 +73,87 @@ class StatOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("revenue acf: alternating series gives acf1 = -1, linear ramp gives +1") {
+    val d = java.nio.file.Files.createTempDirectory("acf").toString
+    def day(i: Int) =
+      java.time.LocalDateTime.parse("1995-01-01T00:00:00").plusDays(i.toLong)
+    // priority A: one order per day, revenue alternating 100/200 → the
+    // lag-1 series is perfectly anticorrelated; lag 7 (odd) likewise.
+    // priority B: revenue = 100 + 10·day → both lags perfectly correlated.
+    val rows = (0 until 10).map { i =>
+      (i.toLong, 1L, "O", if (i % 2 == 0) 100.0 else 200.0, day(i), "A")
+    } ++ (0 until 10).map { i =>
+      (100L + i, 1L, "O", 100.0 + 10.0 * i, day(i), "B")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = StatOps.revenueAcf(spark, d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("A").getLong(1) == 10L)
+    assert(r("A").getDouble(2) == -1.0, "alternating daily revenue → acf1 -1")
+    assert(r("A").getDouble(3) == -1.0, "odd lag of a period-2 series stays -1")
+    assert(r("B").getDouble(2) == 1.0, "linear ramp → acf1 +1")
+    assert(r("B").getDouble(3) == 1.0, "linear ramp → acf7 +1")
+  }
+
+  test("benford digits come from exact cents arithmetic, shares sum to 1") {
+    val d = java.nio.file.Files.createTempDirectory("benford").toString
+    def day(i: Int) =
+      java.time.LocalDateTime.parse("1995-01-01T00:00:00").plusDays(i.toLong)
+    // prices chosen to hit tricky digit extractions: 0.50 → leading
+    // significant digit 5; 999.99 → 9; 10.00 → 1; 1000.00 → 1.
+    val prices = Seq(10.00, 1000.00, 0.50, 999.99, 25.50, 19.99)
+    prices.zipWithIndex.map { case (p, i) =>
+      (i.toLong, 1L, 1L, 1, 1.0, p, 0.0, 0.0, "N", "O", day(i))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = StatOps.benfordPrices(spark, d).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r == Map(1 -> 3L, 2 -> 1L, 5 -> 1L, 9 -> 1L))
+    val shares = StatOps.benfordPrices(spark, d).collect().map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 1e-5,
+      "per-digit 6dp rounding can shift the sum by a few 1e-6")
+  }
+
+  test("event gaps: exact per-type inter-arrival moments within a user") {
+    val d = java.nio.file.Files.createTempDirectory("gaps").toString
+    def ns(sec: Long): Long = 1700000000L * 1000000000L + sec * 1000000000L
+    // user 1 type a at 0s/10s/30s → gaps 10,20 (avg 15, sd 5, max 20);
+    // interleaved type b events must not contaminate the a-gaps.
+    val ev = Seq(
+      (1L, ns(0), 1L, "a"), (2L, ns(10), 1L, "a"), (3L, ns(30), 1L, "a"),
+      (4L, ns(5), 1L, "b"), (5L, ns(6), 1L, "b"),
+      (6L, ns(100), 2L, "a")) // single event → no gap
+    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = StatOps.eventGapProfile(spark, d).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r("a") == ((2L, 15.0, 5.0, 20.0)))
+    assert(r("b") == ((1L, 1.0, 0.0, 1.0)))
+  }
+
+  test("top paths slide a 3-step window per user and rank by count then path") {
+    val d = java.nio.file.Files.createTempDirectory("paths").toString
+    def ns(sec: Long): Long = 1700000000L * 1000000000L + sec * 1000000000L
+    // user 1: a,b,c,d → paths a>b>c and b>c>d; user 2: a,b,c → a>b>c
+    val ev = Seq(
+      (1L, ns(0), 1L, "a"), (2L, ns(1), 1L, "b"),
+      (3L, ns(2), 1L, "c"), (4L, ns(3), 1L, "d"),
+      (5L, ns(0), 2L, "a"), (6L, ns(1), 2L, "b"), (7L, ns(2), 2L, "c"))
+    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = StatOps.topPaths(spark, d).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("a>b>c", 2L), ("b>c>d", 1L)),
+      "count-desc then path-asc; windows never cross users")
+  }
+
   test("corr aggregate matches a driver-side two-pass Pearson on lineitem") {
     val rows = graft.Tables.t(spark, sfDir, "lineitem")
       .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
