@@ -173,6 +173,34 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** q149 — duplication calibrated against document length: exact-dup
+    * rate per 50-char length band. THE "which strata need dedup"
+    * cross-tab: boilerplate-heavy corpora duplicate short docs far more
+    * than long ones, and a mixture that re-weights by length (or a
+    * filter that drops short docs) changes the effective dup rate this
+    * table predicts. Bands are integer division (floor(n_chars/50)·50)
+    * — cross-engine exact with NO global sort: an ntile-style decile
+    * would put the whole corpus in one window task (the q24 rule), a
+    * fixed integer banding is per-row.
+    *
+    * Plan: the q83 digest-window shape (one exchange of (doc_id,
+    * n_chars, digest); text never leaves the scan) + a |bands|-row
+    * rollup. */
+  def lengthDupCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        md5(lower(trim(col("text")))).as("digest"))
+    val w = Window.partitionBy("digest")
+    d.withColumn("rep", min(col("doc_id")).over(w))
+      .withColumn("band", floor(col("n_chars") / lit(50.0)).cast("long") * 50)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("rep"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast("double") / col("n_docs"), 6))
+      .orderBy("band")
+  }
+
   /** Snapshot diff between two corpus versions — the audit step of an
     * incremental ingest ("what changed since the last crawl?"): added /
     * removed / changed / unchanged status per doc_id by content digest.
@@ -430,6 +458,7 @@ object CorpusOps {
     "q81_char_entropy" -> charEntropy,
     "q82_mixture_weights" -> mixtureWeights,
     "q83_dup_rate_by_source" -> dupRateBySource,
+    "q149_length_dup_calibration" -> lengthDupCalibration,
     "q88_snapshot_diff" -> snapshotDiff,
     "q89_token_pair_merges" -> tokenPairMerges,
     "q95_lm_perplexity" -> lmPerplexity,
@@ -438,6 +467,18 @@ object CorpusOps {
     "q100_length_quantiles" -> lengthQuantiles)
 
   val oracleSql: Map[String, String] = Map(
+    "q149_length_dup_calibration" ->
+      """WITH d AS (SELECT doc_id, n_chars, md5(lower(trim(text))) AS digest
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |    MIN(doc_id) OVER (PARTITION BY digest) AS rep
+        |  FROM d)
+        |SELECT CAST(floor(n_chars / 50.0) AS BIGINT) * 50 AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  round(CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_rate
+        |FROM r GROUP BY 1 ORDER BY band""".stripMargin,
     "q110_vocab_growth" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -224,11 +225,45 @@ object GraphOps {
       .limit(20)
   }
 
+  /** q151 — degree profile of the co-purchase graph: node counts per
+    * 25-degree band with share and cumulative share. The skew report
+    * that justifies the q128 orientation bound and sizes any
+    * hub-salting decision (q60's rule applied to graph keys): a fat
+    * tail here is the early warning that wedge work concentrates.
+    *
+    * Determinism: integer-division banding (the q149 rule), counts
+    * exact, cumulative over the band-ordered window CAST to BIGINT
+    * before the share division.
+    *
+    * Plan: degree aggregation rides the edge frame; everything after is
+    * a |bands|-row frame. */
+  def degreeProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val bands = deg
+      .withColumn("band", floor(col("deg") / lit(25.0)).cast("long") * 25)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+    val tot = bands.agg(sum(col("n_parts")).as("n_nodes"))
+    val wc = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands.crossJoin(broadcast(tot))
+      .withColumn("share",
+        round(col("n_parts").cast("double") / col("n_nodes"), 6))
+      .withColumn("cum_share",
+        round(sum(col("n_parts")).over(wc).cast("double") / col("n_nodes"), 6))
+      .select("band", "n_parts", "min_deg", "max_deg", "share", "cum_share")
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_triangle_counts" -> triangleCounts,
     "q129_pagerank" -> pageRank,
     "q133_bfs_profile" -> bfsProfile,
-    "q146_association_rules" -> associationRules)
+    "q146_association_rules" -> associationRules,
+    "q151_degree_profile" -> degreeProfile)
 
   /** Unrolled 5-iteration PageRank oracle over scaled-integer ranks.
     * Double literals are CAST explicitly — DuckDB parses bare `0.85` as
@@ -266,6 +301,23 @@ object GraphOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q151_degree_profile" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |bands AS (SELECT CAST(floor(deg / 25.0) AS BIGINT) * 25 AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |    MIN(deg) AS min_deg, MAX(deg) AS max_deg
+        |  FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS n_nodes FROM bands)
+        |SELECT band, n_parts, min_deg, max_deg,
+        |  round(CAST(n_parts AS DOUBLE) / n_nodes, 6) AS share,
+        |  round(CAST(CAST(SUM(n_parts) OVER (ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS DOUBLE) / n_nodes, 6) AS cum_share
+        |FROM bands CROSS JOIN tot ORDER BY band""".stripMargin,
     "q146_association_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |ps AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS supp_ab

@@ -204,6 +204,48 @@ object StatOps {
       .limit(20)
   }
 
+  /** q150 — winsorized daily-revenue statistics per order priority:
+    * clamp the daily series at its empirical p5/p95 and report the
+    * robust mean next to the raw one (plus the clip count). The outlier
+    * -robust location estimate an anomaly monitor baselines against —
+    * one promotion day no longer drags the "typical day" number.
+    *
+    * Determinism: daily sums ride DECIMAL(18,2) (order-independent);
+    * the percentile boundary is percent_rank = (rank−1)/(n−1), an exact
+    * small-integer ratio both engines compare identically (never an
+    * interpolating percentile function, whose interpolation rules
+    * differ); means go through exact DECIMAL sums cast to double (the
+    * q01 money rule).
+    *
+    * Plan: the fact-sized work is one (priority, day) partial-agg
+    * exchange; the rank window and clip run on the calendar-bounded
+    * daily frame (the q141 posture), so nothing downstream scales with
+    * the fact table. */
+  def winsorizedDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+    val wp = Window.partitionBy("priority").orderBy("rev")
+    val pr = daily.withColumn("pr", percent_rank().over(wp))
+    val bounds = pr.groupBy("priority")
+      .agg(max(when(col("pr") <= 0.05, col("rev"))).as("lo"),
+        min(when(col("pr") >= 0.95, col("rev"))).as("hi"))
+    pr.join(bounds, Seq("priority"))
+      .withColumn("clipped", least(greatest(col("rev"), col("lo")), col("hi")))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_days"),
+        max(col("lo")).cast("double").as("p05"),
+        max(col("hi")).cast("double").as("p95"),
+        sum(when(col("rev") < col("lo") || col("rev") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clipped"),
+        round(sum(col("rev")).cast("double") / count(lit(1)), 4).as("raw_mean"),
+        round(sum(col("clipped")).cast("double") / count(lit(1)), 4)
+          .as("winsorized_mean"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_price_trend"      -> priceTrend,
     "q137_event_transitions" -> eventTransitions,
@@ -211,9 +253,33 @@ object StatOps {
     "q141_revenue_acf"      -> revenueAcf,
     "q144_benford_prices"   -> benfordPrices,
     "q145_event_gap_profile" -> eventGapProfile,
-    "q148_top_paths"        -> topPaths)
+    "q148_top_paths"        -> topPaths,
+    "q150_winsorized_daily" -> winsorizedDaily)
 
   val oracleSql: Map[String, String] = Map(
+    "q150_winsorized_daily" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |pr AS (SELECT priority, rev,
+        |    percent_rank() OVER (PARTITION BY priority ORDER BY rev) AS pr
+        |  FROM daily),
+        |b AS (SELECT priority,
+        |    MAX(CASE WHEN pr <= 0.05 THEN rev END) AS lo,
+        |    MIN(CASE WHEN pr >= 0.95 THEN rev END) AS hi
+        |  FROM pr GROUP BY 1),
+        |c AS (SELECT pr.priority, rev, lo, hi,
+        |    least(greatest(rev, lo), hi) AS clipped
+        |  FROM pr JOIN b ON b.priority = pr.priority)
+        |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(lo) AS DOUBLE) AS p05,
+        |  CAST(MAX(hi) AS DOUBLE) AS p95,
+        |  CAST(SUM(CASE WHEN rev < lo OR rev > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 4) AS raw_mean,
+        |  round(CAST(SUM(clipped) AS DOUBLE) / COUNT(*), 4) AS winsorized_mean
+        |FROM c GROUP BY priority ORDER BY priority""".stripMargin,
     "q148_top_paths" ->
       """WITH s AS (SELECT event_type AS t1,
         |    LEAD(event_type, 1) OVER w AS t2,

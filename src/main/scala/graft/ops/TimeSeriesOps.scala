@@ -90,6 +90,51 @@ object TimeSeriesOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q152 — customer-lifetime-value cohort grid: customers cohorted by
+    * first-order month; for each (cohort, months-since-first) cell, the
+    * active-customer count, the cell revenue, the RUNNING cumulative
+    * revenue, and cumulative LTV per cohort member. The q105 retention
+    * grid with money on it — the table a growth analyst reads
+    * column-wise ("how much is a cohort worth by age k").
+    *
+    * Determinism: month indexes are exact integer arithmetic
+    * (year·12+month — never months_between, whose fractional semantics
+    * differ across engines); revenue sums ride DECIMAL(18,2) end to
+    * end, so the running cumulative is order-independent, and the only
+    * division is the final per-member LTV, quantized by the cross-
+    * engine midpoint rule ⌊x·10⁴+0.5⌋/10⁴ (round() disagrees between
+    * engines at decimal halves — this op's cohort sums land on them).
+    *
+    * Plan: one customer-keyed exchange (min-month window + the cell
+    * rollup share it); the cumulative window runs on the months²-sized
+    * cell frame. */
+  def ltvCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ym = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+      .cast("long").as("ym")
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("cust"), ym,
+        col("o_totalprice").cast("decimal(18,2)").as("rev"))
+    val wCust = Window.partitionBy("cust")
+    val cells = o
+      .withColumn("cohort_ym", min(col("ym")).over(wCust))
+      .withColumn("age", col("ym") - col("cohort_ym"))
+      .groupBy("cohort_ym", "age")
+      .agg(countDistinct(col("cust")).as("n_active"),
+        sum(col("rev")).cast("decimal(18,2)").as("cell_rev"))
+    val sizes = cells.filter(col("age") === 0)
+      .select(col("cohort_ym"), col("n_active").as("cohort_size"))
+    val wCum = Window.partitionBy("cohort_ym").orderBy("age")
+    cells.join(sizes, Seq("cohort_ym"))
+      .withColumn("cum_rev",
+        sum(col("cell_rev")).over(wCum).cast("decimal(18,2)"))
+      .select(col("cohort_ym"), col("age"), col("n_active"), col("cohort_size"),
+        col("cell_rev").cast("double").as("cell_rev"),
+        col("cum_rev").cast("double").as("cum_rev"),
+        (floor(col("cum_rev").cast("double") / col("cohort_size")
+          * 10000 + lit(0.5)) / 10000.0).as("cum_ltv_per_member"))
+      .orderBy("cohort_ym", "age")
+  }
+
   /** Strictly-ordered funnel — users who progressed view → click →
     * purchase in TIME ORDER (q10's funnel counts per-step populations
     * with no ordering constraint; this is the sequenced version every
@@ -162,9 +207,36 @@ object TimeSeriesOps {
     "q104_price_gapfill" -> priceGapfill,
     "q105_cohort_retention" -> cohortRetention,
     "q112_ordered_funnel" -> orderedFunnel,
-    "q127_decayed_spend" -> decayedSpend)
+    "q127_decayed_spend" -> decayedSpend,
+    "q152_ltv_cohorts" -> ltvCohorts)
 
   val oracleSql: Map[String, String] = Map(
+    "q152_ltv_cohorts" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+        |    year(CAST(o_orderdate AS DATE)) * 12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS ym,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+        |  FROM orders),
+        |w AS (SELECT cust, ym, rev,
+        |    MIN(ym) OVER (PARTITION BY cust) AS cohort_ym
+        |  FROM o),
+        |cells AS (SELECT cohort_ym, ym - cohort_ym AS age,
+        |    CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_active,
+        |    CAST(SUM(rev) AS DECIMAL(18,2)) AS cell_rev
+        |  FROM w GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_ym, n_active AS cohort_size
+        |          FROM cells WHERE age = 0),
+        |cum AS (SELECT c.cohort_ym, c.age, c.n_active, s.cohort_size,
+        |    c.cell_rev,
+        |    CAST(SUM(c.cell_rev) OVER (PARTITION BY c.cohort_ym ORDER BY c.age)
+        |      AS DECIMAL(18,2)) AS cum_rev
+        |  FROM cells c JOIN sizes s USING (cohort_ym))
+        |SELECT cohort_ym, age, n_active, cohort_size,
+        |  CAST(cell_rev AS DOUBLE) AS cell_rev,
+        |  CAST(cum_rev AS DOUBLE) AS cum_rev,
+        |  floor(CAST(cum_rev AS DOUBLE) / cohort_size * 10000
+        |    + CAST(0.5 AS DOUBLE)) / 10000.0 AS cum_ltv_per_member
+        |FROM cum ORDER BY cohort_ym, age""".stripMargin,
     "q127_decayed_spend" ->
       """WITH o AS (SELECT o_custkey AS custkey,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,

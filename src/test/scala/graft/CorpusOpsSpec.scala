@@ -108,6 +108,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r("clean").getLong(3) == 0 && r("clean").getDouble(4) == 0.0)
   }
 
+  test("length-band dup calibration: dups land in their band, bands are exact") {
+    // band 0 (len < 50): 3 docs, one an exact copy → rate 1/3;
+    // band 50: 2 distinct docs → rate 0. Bands from floor(n_chars/50).
+    val short1 = "tiny text"                              // 9 chars
+    val longText = "x" * 60
+    val d = docsDir(Seq(
+      (0L, short1, "s"), (1L, short1, "s"), (2L, "other small", "s"),
+      (3L, longText, "s"), (4L, longText + "y", "s")))
+    val r = CorpusOps.lengthDupCalibration(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(0L) == ((3L, 1L, 0.333333)))
+    assert(r(50L) == ((2L, 0L, 0.0)))
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged by digest") {
     import spark.implicits._
     val oldSnap = Seq((0L, "same text"), (1L, "old body"), (2L, "gone"))

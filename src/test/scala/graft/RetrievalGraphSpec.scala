@@ -278,6 +278,20 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(7) - 8.0 / 9) < 1e-6, "lift = N·ab/(a·b)")
   }
 
+  test("degree profile bands by 25 with exact cumulative shares") {
+    // one 26-part order → each of those parts has degree 25 (band 25);
+    // an isolated 2-part order → two degree-1 parts (band 0).
+    val d = lineitemDir(
+      (1L to 26L).map(p => (1L, p)) ++ Seq((100L, 50L), (100L, 51L)))
+    val r = GraphOps.degreeProfile(spark, d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4),
+          x.getDouble(5)))).toMap
+    assert(r.keySet == Set(0L, 25L))
+    assert(r(0L) == ((2L, 1L, 1L, 0.071429, 0.071429)))
+    assert(r(25L) == ((26L, 25L, 25L, 0.928571, 1.0)))
+  }
+
   test("hybrid rrf: agreement on both lists wins, formula recomputes from ranks") {
     val d = java.nio.file.Files.createTempDirectory("rrf").toString
     val base = "alpha beta gamma delta epsilon zeta eta theta"

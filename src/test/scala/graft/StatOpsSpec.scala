@@ -154,6 +154,33 @@ class StatOpsSpec extends AnyFunSuite {
       "count-desc then path-asc; windows never cross users")
   }
 
+  test("winsorized mean clips exactly one tail day on a spiked series") {
+    val d = java.nio.file.Files.createTempDirectory("wins").toString
+    def day(i: Int) =
+      java.time.LocalDateTime.parse("1995-01-01T00:00:00").plusDays(i.toLong)
+    // 20 strictly increasing days (100, 110, …, 290) plus a 10000
+    // spike. percent_rank = (rank−1)/20, so p5 clamps day 1 up to 110
+    // and p95 clamps the spike down to 290: exactly two days clip, and
+    // the winsorized mean is exactly 200 while the raw mean carries the
+    // spike.
+    val rows = (0 until 21).map { i =>
+      (i.toLong, 1L, "O", if (i == 20) 10000.0 else 100.0 + 10.0 * i, day(i), "A")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = StatOps.winsorizedDaily(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 21L)
+    assert(row.getDouble(2) == 110.0 && row.getDouble(3) == 290.0,
+      "p5/p95 boundaries from percent_rank")
+    assert(row.getLong(4) == 2L, "one low day and the spike clip")
+    assert(row.getDouble(6) == 200.0, "winsorized mean is exact")
+    assert(math.abs(row.getDouble(5) - 13900.0 / 21) < 1e-2,
+      "raw mean carries the spike")
+  }
+
   test("corr aggregate matches a driver-side two-pass Pearson on lineitem") {
     val rows = graft.Tables.t(spark, sfDir, "lineitem")
       .select("l_returnflag", "l_quantity", "l_extendedprice").collect()

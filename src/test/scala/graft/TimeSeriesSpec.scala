@@ -57,6 +57,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
   }
 
+  test("ltv cohorts accumulate exact revenue per cohort age") {
+    val d = java.nio.file.Files.createTempDirectory("ltv").toString
+    def day(ym: Int) = java.time.LocalDateTime
+      .parse("1995-01-01T00:00:00").plusMonths(ym.toLong)
+    // cohort M0: cust 1 spends 100 in m0 and 50 in m2; cust 2 spends
+    // 200 in m0. cohort M1: cust 3 spends 10 in m1.
+    val rows = Seq(
+      (1L, 1L, 100.0, day(0)), (2L, 2L, 200.0, day(0)),
+      (3L, 1L, 50.0, day(2)), (4L, 3L, 10.0, day(1)))
+    rows.map { case (ok, ck, p, dt) => (ok, ck, "F", p, dt, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = TimeSeriesOps.ltvCohorts(spark, d).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5),
+          x.getDouble(6)))).toMap
+    val m0 = 1995 * 12 + 0
+    assert(r((m0, 0L)) == ((2L, 2L, 300.0, 300.0, 150.0)))
+    assert(r((m0, 2L)) == ((1L, 2L, 50.0, 350.0, 175.0)),
+      "cumulative revenue spans the gap month; LTV divides by cohort size")
+    assert(r((m0 + 1, 0L)) == ((1L, 1L, 10.0, 10.0, 10.0)))
+    assert(!r.contains((m0, 1L)), "no cell for a month with no orders")
+  }
+
   test("cohort retention on a hand-built event stream") {
     val d = java.nio.file.Files.createTempDirectory("cohort").toString
     def ns(week: Int, day: Int = 0): Long =
