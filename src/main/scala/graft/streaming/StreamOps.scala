@@ -215,6 +215,106 @@ object StreamOps {
       }
   }
 
+  // ---- custom state: cross-batch transition extractor --------------------
+
+  case class Step(user_id: Long, from_type: String, to_type: String)
+  /** Buffered (us, event_id, type) triples per user across batches. */
+  case class TransBuffer(events: List[(Long, Long, String)])
+
+  /** Microsecond event time from a Timestamp without losing the
+    * sub-millisecond digits (`getTime` alone truncates to ms). */
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Consecutive (from → to) steps of a (us, event_id)-sorted list —
+    * the q137 ordering contract. */
+  private def stepsOf(userId: Long, sorted: Seq[(Long, Long, String)]): Seq[Step] =
+    sorted.sliding(2).collect {
+      case Seq(a, b) => Step(userId, a._3, b._3)
+    }.toSeq
+
+  /** Batch per-user step extractor (each group arrives complete in one
+    * call — the sessionize pattern). */
+  def transitionSteps(events: Dataset[Event]): Dataset[Step] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransBuffer, Step](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], _: GroupState[TransBuffer]) =>
+          stepsOf(userId,
+            it.map(e => (usOf(e.ts), e.event_id, e.event_type)).toSeq
+              .sortBy(x => (x._1, x._2))).iterator
+      }
+  }
+
+  /** Streaming step extractor with genuine cross-batch state: events
+    * buffer per user; a step (a → b) is emitted once b's event time is
+    * below the watermark — at that point no admissible late event can
+    * land between a and b (any such event's time would be < b < the
+    * watermark), so the step is FINAL. Only the unfinalized tail stays
+    * in state (the sessionizeStreaming bounding argument: the in-update
+    * emission keeps an always-active user's buffer from growing without
+    * bound; the event-time timeout flushes users who go quiet). */
+  def transitionsStreaming(events: Dataset[Event]): Dataset[Step] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransBuffer, Step](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[TransBuffer]) =>
+          if (state.hasTimedOut) {
+            val buffered = state.get.events.sortBy(x => (x._1, x._2))
+            state.remove()
+            stepsOf(userId, buffered).iterator
+          } else {
+            val merged = (state.getOption.map(_.events).getOrElse(Nil) ++
+              it.map(e => (usOf(e.ts), e.event_id, e.event_type)).toList)
+              .sortBy(x => (x._1, x._2))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // count of leading steps whose SECOND endpoint is final
+            val nFinal = merged.sliding(2).takeWhile {
+              case Seq(_, b) => b._1 < wmUs
+              case _ => false
+            }.size
+            val emit = stepsOf(userId, merged).take(nFinal)
+            // merged(nFinal) is the last final endpoint — it seeds the
+            // next step, so the retained tail starts there
+            val retained = merged.drop(nFinal)
+            if (retained.isEmpty) state.remove()
+            else {
+              state.update(TransBuffer(retained))
+              state.setTimeoutTimestamp(math.max(
+                retained.iterator.map(_._1).max / 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            emit.iterator
+          }
+      }
+  }
+
+  /** q153 — the q137 transition matrix computed through the STATEFUL
+    * step extractor (flatMapGroupsWithState in batch mode) instead of a
+    * lead() window: same ordering contract, same output, same DuckDB
+    * oracle — which is exactly what puts the custom-state streaming
+    * surface under the driver's correctness gate. The streaming form
+    * ([[transitionsStreaming]]) shares `stepsOf`, and StreamingSpec pins
+    * stream ≡ batch across micro-batches including a late arrival. */
+  def statefulTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    transitionSteps(ev).toDF()
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Streaming exact dedup on event_id with bounded state: duplicates
     * arriving within the watermark window are dropped, state for ids
     * older than the watermark is evicted — the at-least-once →
@@ -294,9 +394,13 @@ object StreamOps {
     Map("q61_session_window" -> sessionWindowBatch,
       "q108_sliding_counts" -> slidingCountsBatch,
       "q118_purchase_attribution" -> purchaseAttributionBatch,
-      "q135_disorder_profile" -> disorderProfile)
+      "q135_disorder_profile" -> disorderProfile,
+      "q153_stateful_transitions" -> statefulTransitions)
 
   val oracleSql: Map[String, String] = Map(
+    // q153 must equal q137 exactly — shared oracle by construction.
+    "q153_stateful_transitions" ->
+      graft.ops.StatOps.oracleSql("q137_event_transitions"),
     "q135_disorder_profile" ->
       """WITH l AS (SELECT
         |    GREATEST(CAST(0 AS BIGINT), COALESCE(

@@ -108,6 +108,60 @@ class StreamingSpec extends AnyFunSuite {
       col("click_ts_us") < col("purchase_ts_us") - 30L * 60 * 1000000).count() == 0)
   }
 
+  test("streaming transitions equal batch steps across micro-batches with late data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val d = java.nio.file.Files.createTempDirectory("events-trans")
+    val all = spark.read.schema(StreamOps.eventsRawSchema).parquet(streamDir)
+    val midTs = all.agg(org.apache.spark.sql.functions
+      .percentile_approx(c("ts"), org.apache.spark.sql.functions.lit(0.5),
+        org.apache.spark.sql.functions.lit(1000))).head.getLong(0)
+    def arrive(tag: String, pred: org.apache.spark.sql.Column): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory(s"trans-$tag")
+      all.filter(pred).coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, d.resolve(s"$tag.parquet"))
+    }
+    // the "late" half arrives a whole micro-batch later — steps that
+    // straddle the boundary must come out identical to the batch run
+    arrive("early", c("ts") < midTs)
+    val streamed = StreamOps.transitionsStreaming(
+      StreamOps.readEvents(spark, d.toString)
+        .withWatermark("ts", "10 minutes")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamOps.Event])
+    val q = streamed.toDF().writeStream.format("memory")
+      .queryName("trans_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      arrive("late", c("ts") >= midTs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("trans_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val batchSteps = StreamOps.transitionSteps(
+      StreamOps.withEventTime(all)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamOps.Event]).collect()
+      .map(s => (s.user_id, s.from_type, s.to_type))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(emitted.nonEmpty, "watermark-final steps must be emitted")
+    // every emitted step multiset entry must be a subset of the batch
+    // truth (the stream can only withhold not-yet-final tail steps,
+    // never invent or double-emit)
+    emitted.foreach { case (k, n) =>
+      assert(batchSteps.getOrElse(k, 0) >= n,
+        s"stream emitted $n of $k but batch has ${batchSteps.getOrElse(k, 0)}")
+    }
+    val emittedTotal = emitted.values.sum
+    val batchTotal = batchSteps.values.sum
+    assert(emittedTotal >= batchTotal / 2,
+      s"stream finalized too little: $emittedTotal of $batchTotal")
+  }
+
   test("streaming sessionizer stitches sessions across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => c}
