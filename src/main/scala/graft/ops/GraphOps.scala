@@ -258,12 +258,62 @@ object GraphOps {
       .orderBy("band")
   }
 
+
+  /** q154 — HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    * order↔part incidence graph, 3 power iterations: an order is a good
+    * HUB if it contains authoritative parts; a part is a good AUTHORITY
+    * if authoritative-looking baskets contain it. The recommender-side
+    * complement of q129's PageRank (which ranks parts by co-purchase
+    * connectivity; HITS ranks them by membership in "expert" baskets).
+    *
+    * Determinism (the q129 rule, different normalizer): scores are
+    * BIGINT fixed point scaled 1e6; each half-iteration is an exact
+    * integer SUM over the incidence edges followed by MAX-normalization
+    * via integer division (x·10⁶ div max) — max-normalization replaces
+    * the conventional L2 norm precisely because it needs NO float
+    * accumulation (an L2 norm is a corpus-order-sensitive float sum;
+    * max is order-independent), and it converges to the same ranking.
+    * Every value every iteration is an exact BIGINT in both engines.
+    *
+    * Plan: each half-iteration is one shuffle of the (order, part)
+    * incidence joined with the |V|-row score frame (the q129 iterative
+    * shape, materialized per the §8.12 rule); the normalizing max is a
+    * broadcast 1-row frame. */
+  def hitsRanking(s: SparkSession, dir: String): DataFrame = {
+    val it = graft.Materialize.stable(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
+    var auth = it.select(col("p")).distinct()
+      .select(col("p"), lit(1000000L).as("a"))
+    var hub: DataFrame = null
+    for (_ <- 1 to 3) {
+      val hRaw = it.join(auth, Seq("p")).groupBy("o").agg(sum(col("a")).as("h"))
+      val hMax = hRaw.agg(max(col("h")).as("hmax"))
+      hub = graft.Materialize.stable(
+        hRaw.crossJoin(broadcast(hMax))
+          .select(col("o"), expr("(h * 1000000) div hmax").as("h")))
+      val aRaw = it.join(hub, Seq("o")).groupBy("p").agg(sum(col("h")).as("a"))
+      val aMax = aRaw.agg(max(col("a")).as("amax"))
+      auth = graft.Materialize.stable(
+        aRaw.crossJoin(broadcast(aMax))
+          .select(col("p"), expr("(a * 1000000) div amax").as("a")))
+    }
+    val deg = it.groupBy("p").agg(count(lit(1)).as("n_orders"))
+    auth.join(deg, Seq("p"))
+      .orderBy(col("a").desc, col("p"))
+      .limit(20)
+      .select(col("p").as("part"), col("n_orders"),
+        (col("a").cast("double") / 1000000.0).as("authority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_triangle_counts" -> triangleCounts,
     "q129_pagerank" -> pageRank,
     "q133_bfs_profile" -> bfsProfile,
     "q146_association_rules" -> associationRules,
-    "q151_degree_profile" -> degreeProfile)
+    "q151_degree_profile" -> degreeProfile,
+    "q154_hits_ranking" -> hitsRanking)
 
   /** Unrolled 5-iteration PageRank oracle over scaled-integer ranks.
     * Double literals are CAST explicitly — DuckDB parses bare `0.85` as
@@ -301,6 +351,38 @@ object GraphOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q154_hits_ranking" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |a0 AS (SELECT DISTINCT p, CAST(1000000 AS BIGINT) AS a FROM it),
+        |h1r AS (SELECT o, CAST(SUM(a) AS BIGINT) AS h
+        |         FROM it JOIN a0 USING (p) GROUP BY o),
+        |h1m AS (SELECT MAX(h) AS hmax FROM h1r),
+        |h1 AS (SELECT o, (h * 1000000) // hmax AS h FROM h1r CROSS JOIN h1m),
+        |a1r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
+        |         FROM it JOIN h1 USING (o) GROUP BY p),
+        |a1m AS (SELECT MAX(a) AS amax FROM a1r),
+        |a1 AS (SELECT p, (a * 1000000) // amax AS a FROM a1r CROSS JOIN a1m),
+        |h2r AS (SELECT o, CAST(SUM(a) AS BIGINT) AS h
+        |         FROM it JOIN a1 USING (p) GROUP BY o),
+        |h2m AS (SELECT MAX(h) AS hmax FROM h2r),
+        |h2 AS (SELECT o, (h * 1000000) // hmax AS h FROM h2r CROSS JOIN h2m),
+        |a2r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
+        |         FROM it JOIN h2 USING (o) GROUP BY p),
+        |a2m AS (SELECT MAX(a) AS amax FROM a2r),
+        |a2 AS (SELECT p, (a * 1000000) // amax AS a FROM a2r CROSS JOIN a2m),
+        |h3r AS (SELECT o, CAST(SUM(a) AS BIGINT) AS h
+        |         FROM it JOIN a2 USING (p) GROUP BY o),
+        |h3m AS (SELECT MAX(h) AS hmax FROM h3r),
+        |h3 AS (SELECT o, (h * 1000000) // hmax AS h FROM h3r CROSS JOIN h3m),
+        |a3r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
+        |         FROM it JOIN h3 USING (o) GROUP BY p),
+        |a3m AS (SELECT MAX(a) AS amax FROM a3r),
+        |a3 AS (SELECT p, (a * 1000000) // amax AS a FROM a3r CROSS JOIN a3m),
+        |deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_orders FROM it GROUP BY p)
+        |SELECT a3.p AS part, deg.n_orders,
+        |  CAST(a3.a AS DOUBLE) / 1000000.0 AS authority
+        |FROM a3 JOIN deg USING (p)
+        |ORDER BY a3.a DESC, a3.p LIMIT 20""".stripMargin,
     "q151_degree_profile" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v

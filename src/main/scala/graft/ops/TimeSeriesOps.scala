@@ -203,14 +203,112 @@ object TimeSeriesOps {
         col("dec_sum").cast("double").as("decayed_spend"))
   }
 
+
+  /** q155 — conversion-window funnel: the q112 ordered funnel with the
+    * product-analytics constraint every real funnel carries — each step
+    * must land within 7 DAYS of the previous step's anchor, not just
+    * after it. A view-to-purchase journey spread over months is
+    * browsing, not conversion; the window is what makes the metric
+    * actionable. Anchors are first-touch (min event time), windows are
+    * exact microsecond integer arithmetic (the q135/q145 rule).
+    *
+    * Plan: one narrow user-keyed aggregation per step (AQE co-locates
+    * the exchanges), scalar counts cross-joined into the one-row
+    * report — the q112 shape with a tighter filter. */
+  def windowedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val WindowUs = 7L * 86400L * 1000000L
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("v_us") && col("us") <= col("v_us") + WindowUs)
+      .groupBy("user_id").agg(min(col("us")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") > col("c_us") && col("us") <= col("c_us") + WindowUs)
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click_7d")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel_7d")))
+  }
+
+  /** q156 — day-of-week seasonal index of daily revenue per priority:
+    * mean revenue on each weekday divided by the priority's overall
+    * daily mean. Index 1.1 on Mondays means Mondays run 10% hot — the
+    * profile that separates real drift from weekly rhythm in any
+    * monitoring baseline. Weekday = days-since-a-known-Monday mod 7
+    * (1992-01-06; integer arithmetic — both engines' dayofweek()
+    * builtins disagree on week start and are avoided). Sums ride
+    * DECIMAL(18,2); each mean and the index are fixed double
+    * expression trees of exact components.
+    *
+    * Plan: one (priority, day) partial-agg exchange; everything after
+    * is a 7·|priorities|-row frame. */
+  def seasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .withColumn("dow",
+        pmod(datediff(col("d"), lit("1992-01-06").cast("date")), lit(7)))
+    val byDow = daily.groupBy("priority", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rev")).cast("decimal(18,2)").as("s"))
+    val overall = daily.groupBy("priority")
+      .agg(count(lit(1)).as("n_all"),
+        sum(col("rev")).cast("decimal(18,2)").as("s_all"))
+    byDow.join(overall, Seq("priority"))
+      .select(col("priority"), col("dow"), col("n_days"),
+        round(col("s").cast("double") / col("n_days"), 4).as("mean_rev"),
+        round((col("s").cast("double") / col("n_days"))
+          / (col("s_all").cast("double") / col("n_all")), 6).as("seasonal_index"))
+      .orderBy("priority", "dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_price_gapfill" -> priceGapfill,
     "q105_cohort_retention" -> cohortRetention,
     "q112_ordered_funnel" -> orderedFunnel,
     "q127_decayed_spend" -> decayedSpend,
-    "q152_ltv_cohorts" -> ltvCohorts)
+    "q152_ltv_cohorts" -> ltvCohorts,
+    "q155_windowed_funnel" -> windowedFunnel,
+    "q156_seasonal_index" -> seasonalIndex)
 
   val oracleSql: Map[String, String] = Map(
+    "q155_windowed_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT ev.user_id, MIN(us) AS c_us FROM ev JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > v_us
+        |        AND us <= v_us + 604800000000 GROUP BY 1),
+        |p AS (SELECT ev.user_id, MIN(us) AS p_us FROM ev JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > c_us
+        |        AND us <= c_us + 604800000000 GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click_7d,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_full_funnel_7d""".stripMargin,
+    "q156_seasonal_index" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |dw AS (SELECT priority, rev,
+        |    ((CAST(d AS DATE) - DATE '1992-01-06') % 7 + 7) % 7 AS dow
+        |  FROM daily),
+        |bydow AS (SELECT priority, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(rev) AS DECIMAL(18,2)) AS s FROM dw GROUP BY 1, 2),
+        |overall AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(rev) AS DECIMAL(18,2)) AS s_all FROM dw GROUP BY 1)
+        |SELECT priority, CAST(dow AS INT) AS dow, n_days,
+        |  round(CAST(s AS DOUBLE) / n_days, 4) AS mean_rev,
+        |  round((CAST(s AS DOUBLE) / n_days)
+        |    / (CAST(s_all AS DOUBLE) / n_all), 6) AS seasonal_index
+        |FROM bydow JOIN overall USING (priority)
+        |ORDER BY priority, dow""".stripMargin,
     "q152_ltv_cohorts" ->
       """WITH o AS (SELECT o_custkey AS cust,
         |    year(CAST(o_orderdate AS DATE)) * 12

@@ -278,6 +278,18 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(7) - 8.0 / 9) < 1e-6, "lift = N·ab/(a·b)")
   }
 
+  test("hits authority ranks the part in every basket first, at exactly 1.0") {
+    // part 1 in all 3 orders, part 2 in two, part 3 in one → authority
+    // strictly ordered 1 > 2 > 3; max-normalization pins the top at 1.0.
+    val d = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L)))
+    val r = GraphOps.hitsRanking(spark, d).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r.head.getDouble(2) == 1.0, "max-normalized top authority is exact")
+    assert(r(1).getDouble(2) > r(2).getDouble(2))
+    assert(r.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L), "n_orders per part")
+  }
+
   test("degree profile bands by 25 with exact cumulative shares") {
     // one 26-part order → each of those parts has degree 25 (band 25);
     // an isolated 2-part order → two degree-1 parts (band 0).

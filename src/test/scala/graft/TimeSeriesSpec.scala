@@ -82,6 +82,42 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(!r.contains((m0, 1L)), "no cell for a month with no orders")
   }
 
+  test("windowed funnel drops steps that land outside 7 days") {
+    val d = java.nio.file.Files.createTempDirectory("wfun").toString
+    def ns(day: Int): Long = (19723L + day) * 86400L * 1000000000L
+    // user 1 converts fully inside the windows; user 2's click is a
+    // month late; user 3's purchase is 19 days after the click.
+    val ev = Seq(
+      (1L, ns(0), 1L, "view"), (2L, ns(1), 1L, "click"), (3L, ns(2), 1L, "purchase"),
+      (4L, ns(0), 2L, "view"), (5L, ns(30), 2L, "click"),
+      (6L, ns(0), 3L, "view"), (7L, ns(1), 3L, "click"), (8L, ns(20), 3L, "purchase"))
+    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = TimeSeriesOps.windowedFunnel(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
+  test("seasonal index is exact on a two-week weekday-spiked series") {
+    val d = java.nio.file.Files.createTempDirectory("seas").toString
+    def day(i: Int) = java.time.LocalDateTime
+      .parse("1992-01-06T00:00:00").plusDays(i.toLong) // a Monday
+    // 14 consecutive days, Mondays at 200, everything else 100.
+    val rows = (0 until 14).map { i =>
+      (i.toLong, 1L, "O", if (i % 7 == 0) 200.0 else 100.0, day(i), "A")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = TimeSeriesOps.seasonalIndex(spark, d).collect()
+      .map(x => x.getInt(1) -> ((x.getLong(2), x.getDouble(3), x.getDouble(4))))
+      .toMap
+    val overall = 1600.0 / 14
+    assert(r(0) == ((2L, 200.0, math.rint(200.0 / overall * 1e6) / 1e6)))
+    assert(r(1) == ((2L, 100.0, math.rint(100.0 / overall * 1e6) / 1e6)))
+    assert(r.keySet == (0 to 6).toSet)
+  }
+
   test("cohort retention on a hand-built event stream") {
     val d = java.nio.file.Files.createTempDirectory("cohort").toString
     def ns(week: Int, day: Int = 0): Long =
