@@ -246,6 +246,76 @@ object StatOps {
       .orderBy("priority")
   }
 
+
+  /** q157 — CUSUM change-point estimate per order priority: the running
+    * cumulative sum of (daily revenue − overall mean) peaks in absolute
+    * value at the most likely mean-shift point (Page 1954; the classic
+    * offline CUSUM estimator). The monitoring primitive that turns
+    * "revenue looks different lately" into a specific date.
+    *
+    * Determinism: the mean is quantized to DECIMAL(18,2) by the
+    * midpoint rule BEFORE differencing, so every deviation and the
+    * running sum are exact DECIMAL arithmetic — order-independent and
+    * hash-stable; the argmax tie-breaks on the earlier day.
+    *
+    * Plan: one (priority, day) partial-agg exchange; mean is a
+    * broadcast |priorities|-row frame; the running window and argmax
+    * rank run on the calendar-bounded daily frame. */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+    val means = daily.groupBy("priority")
+      .agg((floor(sum(col("rev")).cast("double") / count(lit(1)) * 100
+        + lit(0.5)) / 100.0).cast("decimal(18,2)").as("mu"),
+        count(lit(1)).as("n_days"))
+    val wRun = Window.partitionBy("priority").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.join(means, Seq("priority"))
+      .withColumn("cusum",
+        sum((col("rev") - col("mu")).cast("decimal(18,2)")).over(wRun)
+          .cast("decimal(18,2)"))
+    val wRank = Window.partitionBy("priority")
+      .orderBy(abs(col("cusum")).desc, col("d"))
+    cusum.withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === 1)
+      .select(col("priority"), col("n_days"),
+        col("d").as("changepoint_day"),
+        col("cusum").cast("double").as("peak_cusum"),
+        col("mu").cast("double").as("mean_daily_rev"))
+      .orderBy("priority")
+  }
+
+  /** q158 — daily event-type entropy: Shannon entropy (nats) of the
+    * event-type distribution per day, with the day's volume. A mixture
+    * drift monitor: a traffic mix that suddenly collapses toward one
+    * type (bot burst, instrumentation break) shows up as an entropy
+    * drop before any single count alarms.
+    *
+    * Determinism: the ≤|types| probability terms are exact integer
+    * ratios; the entropy sum accumulates over a SORTED list (the q82
+    * ordered-sum rule) so both engines add the same IEEE terms in the
+    * same order; rounded to 6dp.
+    *
+    * Plan: one (day, type) partial-agg exchange, then a per-day
+    * aggregate over ≤|types| rows. */
+  def dailyTypeEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = counts.groupBy("d")
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sort_array(collect_list(col("n"))).as("ns"))
+    byDay.select(col("d"), col("n_events"), col("n_types"),
+        round(aggregate(col("ns"), lit(0.0), (acc, n) =>
+          acc - (n.cast("double") / col("n_events"))
+            * log(n.cast("double") / col("n_events"))), 6).as("entropy_nats"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_price_trend"      -> priceTrend,
     "q137_event_transitions" -> eventTransitions,
@@ -254,9 +324,46 @@ object StatOps {
     "q144_benford_prices"   -> benfordPrices,
     "q145_event_gap_profile" -> eventGapProfile,
     "q148_top_paths"        -> topPaths,
-    "q150_winsorized_daily" -> winsorizedDaily)
+    "q150_winsorized_daily" -> winsorizedDaily,
+    "q157_cusum_changepoint" -> cusumChangepoint,
+    "q158_daily_type_entropy" -> dailyTypeEntropy)
 
   val oracleSql: Map[String, String] = Map(
+    "q157_cusum_changepoint" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT priority,
+        |    CAST(floor(CAST(SUM(rev) AS DOUBLE) / COUNT(*) * 100
+        |      + CAST(0.5 AS DOUBLE)) / 100.0 AS DECIMAL(18,2)) AS mu,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |c AS (SELECT daily.priority, d, n_days, mu,
+        |    CAST(SUM(CAST(rev - mu AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY daily.priority ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(18,2)) AS cusum
+        |  FROM daily JOIN m ON m.priority = daily.priority),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY priority
+        |        ORDER BY abs(cusum) DESC, d) AS rk FROM c)
+        |SELECT priority, n_days, d AS changepoint_day,
+        |  CAST(cusum AS DOUBLE) AS peak_cusum,
+        |  CAST(mu AS DOUBLE) AS mean_daily_rev
+        |FROM r WHERE rk = 1 ORDER BY priority""".stripMargin,
+    "q158_daily_type_entropy" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS d, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |byday AS (SELECT d, CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    list(n ORDER BY n) AS ns
+        |  FROM c GROUP BY 1)
+        |SELECT d, n_events, n_types,
+        |  round(list_sum(list_transform(ns, n ->
+        |    -(CAST(n AS DOUBLE) / n_events) * ln(CAST(n AS DOUBLE) / n_events))),
+        |    6) AS entropy_nats
+        |FROM byday ORDER BY d""".stripMargin,
     "q150_winsorized_daily" ->
       """WITH daily AS (SELECT o_orderpriority AS priority,
         |    CAST(o_orderdate AS DATE) AS d,

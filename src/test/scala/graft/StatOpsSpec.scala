@@ -181,6 +181,45 @@ class StatOpsSpec extends AnyFunSuite {
       "raw mean carries the spike")
   }
 
+  test("cusum peaks exactly at the regime boundary of a step series") {
+    val d = java.nio.file.Files.createTempDirectory("cusum").toString
+    def day(i: Int) =
+      java.time.LocalDateTime.parse("1995-01-01T00:00:00").plusDays(i.toLong)
+    // 10 days at 100, then 10 at 200: mean 150, deviations ∓50 — the
+    // running sum bottoms at -500 on day 9, the last old-regime day.
+    val rows = (0 until 20).map { i =>
+      (i.toLong, 1L, "O", if (i < 10) 100.0 else 200.0, day(i), "A")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = StatOps.cusumChangepoint(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getDate(2).toLocalDate ==
+      java.time.LocalDate.parse("1995-01-10"), "peak on the last old-regime day")
+    assert(row.getDouble(3) == -500.0)
+    assert(row.getDouble(4) == 150.0)
+  }
+
+  test("daily type entropy: uniform two-type day gives ln 2, pure day gives 0") {
+    val d = java.nio.file.Files.createTempDirectory("entropy").toString
+    def ns(day: Int, k: Int): Long =
+      (19723L + day) * 86400L * 1000000000L + k * 1000000000L
+    val ev = Seq(
+      (1L, ns(0, 0), 1L, "a"), (2L, ns(0, 1), 1L, "b"),
+      (3L, ns(0, 2), 2L, "a"), (4L, ns(0, 3), 2L, "b"),
+      (5L, ns(1, 0), 1L, "a"), (6L, ns(1, 1), 2L, "a"))
+    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = StatOps.dailyTypeEntropy(spark, d).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.length == 2)
+    assert(r(0) == ((4L, 2L, math.rint(math.log(2) * 1e6) / 1e6)))
+    assert(r(1) == ((2L, 1L, 0.0)), "a single-type day has zero entropy")
+  }
+
   test("corr aggregate matches a driver-side two-pass Pearson on lineitem") {
     val rows = graft.Tables.t(spark, sfDir, "lineitem")
       .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
