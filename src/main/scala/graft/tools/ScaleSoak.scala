@@ -11,8 +11,16 @@ import org.apache.spark.sql.functions._
 object ScaleSoak {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(10)
+    // Shuffle partitions must SCALE with the corpus (the sizing rule
+    // this soak exists to validate): at reps=1000 the BM25 posting
+    // aggregation is ~300M rows — 8 partitions put ~37M hash-agg groups
+    // in one task and the 8g soak JVM dies with AGGREGATE_OUT_OF_MEMORY
+    // (observed at the 5M-doc point); 64 partitions keep every task's
+    // group state spillable. On a real cluster this is
+    // spark.sql.shuffle.partitions ∝ input bytes — the same knob.
+    val shufflePartitions = math.max(8, math.min(64, reps / 8))
     val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
