@@ -272,12 +272,47 @@ object RetrievalOps {
       .orderBy("query_id", "rn")
   }
 
+
+  /** q159 — hard-negative mining for retrieval training (the DPR
+    * recipe, Karpukhin et al. 2020): for each query, the top BM25 hit
+    * is the POSITIVE; the remaining top-10 candidates are candidate
+    * negatives — minus any that are near-duplicates (same q62 cluster)
+    * of the positive, which would be FALSE negatives that teach the
+    * model to push away correct answers. The output is the
+    * (query, positive, negative, rank, score) training tuples.
+    *
+    * Plan: rides the q125 scoring tail and the staged q62 label frame;
+    * the exclusion is one left-anti join on (cluster of positive ==
+    * cluster of candidate) over a ≤|queries|·10-row frame — everything
+    * corpus-sized is already staged. Oracle = q125's CTE + the q62
+    * recursive-CTE labels + the same anti-join, exact. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val ranked = bm25Search(s, dir)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    val labels = NearDupOps.dupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val pos = ranked.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id").as("pos_doc"))
+      .join(labels.select(col("doc_id").as("pos_doc"),
+        col("cluster_id").as("pos_cluster")), Seq("pos_doc"), "left_outer")
+    val neg = ranked.filter(col("rank") > 1)
+      .join(labels.select(col("doc_id"), col("cluster_id").as("neg_cluster")),
+        Seq("doc_id"), "left_outer")
+    neg.join(broadcast(pos), Seq("query_id"))
+      .filter(col("neg_cluster").isNull || col("pos_cluster").isNull ||
+        col("neg_cluster") =!= col("pos_cluster"))
+      .select(col("query_id"), col("pos_doc"), col("doc_id").as("neg_doc"),
+        col("rank"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_bm25_search" -> bm25Search,
     "q126_split_leakage" -> splitLeakage,
     "q130_bm25_staged" -> bm25Staged,
     "q132_bm25_add_batch" -> bm25AddBatch,
-    "q140_hybrid_rrf" -> hybridRrf)
+    "q140_hybrid_rrf" -> hybridRrf,
+    "q159_hard_negatives" -> hardNegatives)
 
   /** The full-corpus BM25 oracle — shared verbatim by q125 (in-query),
     * q130 (staged index), and q132 (staged index + in-plan batch merge):
@@ -317,6 +352,75 @@ object RetrievalOps {
         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q159_hard_negatives" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        |q(query_id, term) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'stream'),
+        |  (CAST(1 AS BIGINT), 'join'), (CAST(2 AS BIGINT), 'hash'),
+        |  (CAST(2 AS BIGINT), 'merge'), (CAST(2 AS BIGINT), 'sort'),
+        |  (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'vector'),
+        |  (CAST(3 AS BIGINT), 'window')),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+        |        * (dl / (CAST(tot AS DOUBLE) / n_docs))))), 6)
+        |      AS DECIMAL(18,6)) AS contrib
+        |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id) CROSS JOIN stats),
+        |agg AS (SELECT query_id, doc_id, SUM(contrib) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |  FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, s,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
+        |      AS rank
+        |  FROM agg),
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |ranked AS (SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |    CAST(s AS DOUBLE) AS score FROM rk WHERE rank <= 10),
+        |pos AS (SELECT query_id, r.doc_id AS pos_doc, l.cluster_id AS pos_cluster
+        |  FROM ranked r LEFT JOIN labels l ON l.doc_id = r.doc_id
+        |  WHERE rank = 1),
+        |neg AS (SELECT query_id, rank, r.doc_id, score, l.cluster_id AS neg_cluster
+        |  FROM ranked r LEFT JOIN labels l ON l.doc_id = r.doc_id
+        |  WHERE rank > 1)
+        |SELECT n.query_id, p.pos_doc, n.doc_id AS neg_doc, n.rank, n.score
+        |FROM neg n JOIN pos p ON p.query_id = n.query_id
+        |WHERE n.neg_cluster IS NULL OR p.pos_cluster IS NULL
+        |   OR n.neg_cluster <> p.pos_cluster
+        |ORDER BY n.query_id, n.rank""".stripMargin,
     "q125_bm25_search" -> bm25FullCorpusOracle,
     "q130_bm25_staged" -> bm25FullCorpusOracle,
     "q132_bm25_add_batch" -> bm25FullCorpusOracle,

@@ -278,6 +278,25 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(7) - 8.0 / 9) < 1e-6, "lift = N·ab/(a·b)")
   }
 
+  test("hard negatives drop near-dups of the positive, keep true negatives") {
+    val base = "spark stream join alpha beta gamma delta epsilon"
+    // doc 2 is an exact copy of the positive — BM25 ranks it high, but
+    // it is a FALSE negative and must be excluded; doc 3 is a genuine
+    // weaker match and must survive.
+    val d = docsDir(Seq(
+      (1L, base), (2L, base),
+      (3L, "spark unrelated words entirely different here now"),
+      (4L, "nothing relevant at all in this one"),
+      (5L, "also nothing relevant here either")))
+    val r = RetrievalOps.hardNegatives(spark, d).collect()
+      .filter(_.getLong(0) == 1L)
+    assert(r.nonEmpty)
+    assert(r.forall(_.getLong(1) == 1L), "positive is the tie-broken top doc")
+    val negs = r.map(_.getLong(2)).toSet
+    assert(!negs.contains(2L), "the positive's dup is a false negative")
+    assert(negs.contains(3L), "a genuine weaker match survives as a negative")
+  }
+
   test("hits authority ranks the part in every basket first, at exactly 1.0") {
     // part 1 in all 3 orders, part 2 in two, part 3 in one → authority
     // strictly ordered 1 > 2 > 3; max-normalization pins the top at 1.0.
