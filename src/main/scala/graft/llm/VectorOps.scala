@@ -652,7 +652,60 @@ object VectorOps {
       .orderBy("label")
   }
 
+
+  /** q160 — embedding calibration against lexical ground truth: the
+    * cosine distribution over VERIFIED near-dup text pairs (the q43
+    * output) next to a deterministic random-pair baseline. If the two
+    * distributions overlap, the embedding space cannot support
+    * semantic dedup (q90) or ANN retrieval at any threshold — this is
+    * the eval a pipeline runs BEFORE trusting an embedding column.
+    *
+    * Determinism: random pairs come from the pure partner rule
+    * (doc·7+13 mod n — id arithmetic, no RNG), minus self-pairs and
+    * anything lexically near-dup; each cosine is rounded to 4dp and
+    * accumulated as DECIMAL(10,4) so the group sums are exact and the
+    * means are single double divisions.
+    *
+    * Plan: the near-dup side rides the staged q43 cascade; the
+    * baseline side is one id-arithmetic self-join on the embeddings
+    * table; both classes aggregate to a 2-row report. */
+  def pairCosineCalibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    def cosOf(pairs: DataFrame): DataFrame = pairs
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("norm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("norm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .cast("decimal(10,4)").as("cos"))
+    val dupPairs = NearDupOps.minhashNearDup(s, dir)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val randPairs = t(s, dir, "documents")
+      .select(col("doc_id")).crossJoin(broadcast(n))
+      .select(
+        least(col("doc_id"), (col("doc_id") * 7 + 13) % col("n_docs")).as("id_a"),
+        greatest(col("doc_id"), (col("doc_id") * 7 + 13) % col("n_docs")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+      .join(dupPairs, Seq("id_a", "id_b"), "left_anti")
+    cosOf(dupPairs).select(lit("near_dup").as("pair_class"), col("cos"))
+      .unionByName(cosOf(randPairs)
+        .select(lit("random").as("pair_class"), col("cos")))
+      .groupBy("pair_class")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("cos")).cast("double") / count(lit(1)), 6).as("mean_cos"),
+        min(col("cos")).cast("double").as("min_cos"),
+        max(col("cos")).cast("double").as("max_cos"))
+      .orderBy("pair_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_pair_cosine_calibration" -> pairCosineCalibration,
     "q90_semantic_dedup"  -> semanticDedup,
     "q91_centroid_outliers" -> centroidOutliers,
     "q134_centroid_drift" -> centroidDrift,
@@ -684,6 +737,53 @@ object VectorOps {
   // path), plus a one-sided soundness gate (AnnSoundnessSpec: every row
   // q46 returns carries the exact cosine for its ids).
   val oracleSql: Map[String, String] = Map(
+    "q160_pair_cosine_calibration" ->
+      """WITH docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |rnd AS (
+        |  SELECT DISTINCT least(doc_id, (doc_id * 7 + 13) % n_docs) AS id_a,
+        |    greatest(doc_id, (doc_id * 7 + 13) % n_docs) AS id_b
+        |  FROM documents CROSS JOIN nd
+        |  WHERE least(doc_id, (doc_id * 7 + 13) % n_docs)
+        |    <> greatest(doc_id, (doc_id * 7 + 13) % n_docs)),
+        |rnd2 AS (SELECT id_a, id_b FROM rnd
+        |  WHERE NOT EXISTS (SELECT 1 FROM dup
+        |    WHERE dup.id_a = rnd.id_a AND dup.id_b = rnd.id_b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |allp AS (
+        |  SELECT 'near_dup' AS pair_class, id_a, id_b FROM dup
+        |  UNION ALL SELECT 'random', id_a, id_b FROM rnd2),
+        |cosed AS (
+        |  SELECT pair_class,
+        |    CAST(ROUND(list_dot_product(ea.v, eb.v)
+        |      / (sqrt(list_dot_product(ea.v, ea.v))
+        |         * sqrt(list_dot_product(eb.v, eb.v))), 4) AS DECIMAL(10,4)) AS cos
+        |  FROM allp JOIN e ea ON ea.vec_id = allp.id_a
+        |            JOIN e eb ON eb.vec_id = allp.id_b)
+        |SELECT pair_class, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6) AS mean_cos,
+        |  CAST(MIN(cos) AS DOUBLE) AS min_cos,
+        |  CAST(MAX(cos) AS DOUBLE) AS max_cos
+        |FROM cosed GROUP BY pair_class ORDER BY pair_class""".stripMargin,
+
     "q134_centroid_drift" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

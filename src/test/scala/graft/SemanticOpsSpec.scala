@@ -14,6 +14,32 @@ class SemanticOpsSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("pair-cosine calibration separates near-dup pairs from the baseline") {
+    val d = java.nio.file.Files.createTempDirectory("calib").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // docs 0,1 are a lexical near-dup pair with IDENTICAL embeddings;
+    // docs 2-5 are distinct texts with mutually orthogonal embeddings.
+    val texts = Seq((0L, base), (1L, base),
+      (2L, "one two three four five six"), (3L, "sieben acht neun zehn elf"),
+      (4L, "uno dos tres cuatro cinco"), (5L, "un deux trois quatre cinq"))
+    texts.map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def unit(i: Int): Seq[Float] = (0 until 8).map(j => if (j == i) 1f else 0f)
+    Seq((0L, unit(0), 0), (1L, unit(0), 0), (2L, unit(2), 0),
+        (3L, unit(3), 0), (4L, unit(4), 0), (5L, unit(5), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = VectorOps.pairCosineCalibration(spark, d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r("near_dup") == ((1L, 1.0)), "identical pair at cosine exactly 1")
+    // partner rule on 6 docs yields 6 normalized pairs; (0,1) is
+    // anti-joined away as a true near-dup → 5 baseline pairs, all
+    // orthogonal except (0,1)-adjacent ones touching doc 0/1's axis
+    assert(r("random")._1 == 5L)
+    assert(r("random")._2 < 0.5, "baseline mean stays far below the dup mean")
+  }
+
   private def embDir(rows: Seq[(Long, Seq[Float], Int)]): String = {
     val d = java.nio.file.Files.createTempDirectory("semops").toString
     rows.toDF("vec_id", "embedding", "label")
