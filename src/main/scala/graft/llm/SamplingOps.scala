@@ -188,7 +188,41 @@ object SamplingOps {
       .orderBy("source")
   }
 
+
+  /** q161 — the q143 allocator computed on DEDUPED supply: identical
+    * temperature formula, but the per-source token pool counts each
+    * q62 near-dup cluster ONCE (the q147 canonical rule). The pair
+    * (q143, q161) is the before/after of dedup-aware budgeting — a
+    * source whose weight drops between the two is padding its size
+    * with duplicates, and q161's numbers are the ones a curation run
+    * should execute.
+    *
+    * Plan: q147's narrow label join + one aggregate, then |sources|-row
+    * broadcast arithmetic (the q143 tail verbatim). */
+  def effectiveBudget(s: SparkSession, dir: String, budget: Long = 500000L): DataFrame = {
+    val labels = NearDupOps.dupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val avail = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("toks"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .groupBy("source").agg(sum(col("toks")).as("eff_tokens"))
+    val z = avail
+      .agg(sort_array(collect_list(sqrt(col("eff_tokens").cast("double")))).as("zs"))
+      .select(aggregate(col("zs"), lit(0.0), _ + _).as("z"))
+    avail.crossJoin(broadcast(z))
+      .select(col("source"), col("eff_tokens"),
+        round(sqrt(col("eff_tokens").cast("double")) / col("z"), 6).as("weight"),
+        floor(lit(budget.toDouble) * (sqrt(col("eff_tokens").cast("double")) / col("z")))
+          .cast("long").as("target_tokens"))
+      .withColumn("keep_rate", round(least(lit(1.0),
+        col("target_tokens").cast("double") / col("eff_tokens")), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_effective_budget" -> ((s, dir) => effectiveBudget(s, dir)),
     "q63_hash_sample" -> hashSample,
     "q64_shard_pack"  -> ((s, dir) => shardPack(s, dir)),
     "q65_curation_pipeline" -> curationPipeline,
@@ -198,6 +232,51 @@ object SamplingOps {
     "q143_token_budget" -> ((s, dir) => tokenBudget(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "q161_effective_budget" ->
+      """WITH RECURSIVE
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |a AS (SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |      AS BIGINT) AS eff_tokens
+        |  FROM documents d LEFT JOIN labels l USING (doc_id)
+        |  WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+        |  GROUP BY 1),
+        |tot AS (SELECT list_sum(list(sqrt(CAST(eff_tokens AS DOUBLE))
+        |    ORDER BY sqrt(CAST(eff_tokens AS DOUBLE)))) AS z FROM a)
+        |SELECT source, eff_tokens,
+        |  round(sqrt(CAST(eff_tokens AS DOUBLE)) / z, 6) AS weight,
+        |  CAST(floor(500000.0 * (sqrt(CAST(eff_tokens AS DOUBLE)) / z))
+        |    AS BIGINT) AS target_tokens,
+        |  round(least(CAST(1 AS DOUBLE),
+        |    CAST(CAST(floor(500000.0 * (sqrt(CAST(eff_tokens AS DOUBLE)) / z))
+        |      AS BIGINT) AS DOUBLE) / eff_tokens), 6) AS keep_rate
+        |FROM a CROSS JOIN tot ORDER BY source""".stripMargin,
+
     "q143_token_budget" ->
       """WITH a AS (SELECT source,
         |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))

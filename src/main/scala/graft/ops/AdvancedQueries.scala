@@ -93,6 +93,56 @@ object AdvancedQueries {
       .orderBy("user_id", "session_id")
   }
 
+
+  /** q162 — within-session event-type affinity: for every pair of
+    * event types, how many sessions contain BOTH, with the lift
+    * against independent session membership — q146's market-basket
+    * arithmetic transplanted from order baskets to behavioral
+    * sessions (the q47 islands assignment). "Do people who search in
+    * a session also purchase in it" as one number per pair.
+    *
+    * Determinism: session ids from the q47 contract, supports exact
+    * integers, lift one double expression rounded 6dp.
+    *
+    * Plan: the session assignment is the q47 single user-keyed
+    * exchange; distinct (session, type) bounds everything after by
+    * |sessions|·|types|, and the pair join fans out ≤ |types|² per
+    * session. */
+  def sessionTypeAffinity(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+    val n = st.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeSupp = st.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
+    val pairSupp = st.as("a").join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.session_id") === col("b.session_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairSupp
+      .join(broadcast(typeSupp.select(col("event_type").as("type_a"),
+        col("supp").as("n_a"))), Seq("type_a"))
+      .join(broadcast(typeSupp.select(col("event_type").as("type_b"),
+        col("supp").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        round((col("n_sessions") * col("n_both")).cast("double")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Range (theta) join: classify events into non-uniform value bands.
     * The band table is tiny and broadcast, so the non-equi predicate
     * costs one broadcast-nested-loop pass over the fact — the correct
@@ -247,9 +297,39 @@ object AdvancedQueries {
     "q25_asof_join"        -> asofJoin,
     "q26_distinct_profile" -> distinctProfile,
     "q27_approx_profile"   -> approxProfile,
-    "q47_sessionize"       -> sessionize)
+    "q47_sessionize"       -> sessionize,
+    "q162_session_type_affinity" -> sessionTypeAffinity)
 
   val oracleSql: Map[String, String] = Map(
+    "q162_session_type_affinity" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |st AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+        |    event_type
+        |  FROM flagged),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |      FROM (SELECT DISTINCT user_id, session_id FROM st)),
+        |ts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS supp
+        |       FROM st GROUP BY 1),
+        |ps AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.session_id = b.session_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, ta.supp AS n_a, tb.supp AS n_b,
+        |  round(CAST(n_sessions * n_both AS DOUBLE) / (ta.supp * tb.supp), 6) AS lift
+        |FROM ps JOIN ts ta ON ta.event_type = ps.type_a
+        |        JOIN ts tb ON tb.event_type = ps.type_b
+        |        CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin,
     "q124_dq_report" ->
       """WITH checks AS (
         |  SELECT 'orphan_lineitems' AS check_name,

@@ -29,6 +29,28 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got.count() == expected.count())
   }
 
+  test("session type affinity counts co-membership per session with exact lift") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("affinity").toString
+    def ns(sec: Long): Long = 1700000000L * 1000000000L + sec * 1000000000L
+    // user 1: view+click in one session, then a >30min gap and a
+    // view-only session; user 2: click-only session → 3 sessions,
+    // view supp 2, click supp 2, co-membership 1 → lift 3/4.
+    val ev = Seq(
+      (1L, ns(0), 1L, "view"), (2L, ns(60), 1L, "click"),
+      (3L, ns(10000), 1L, "view"),
+      (4L, ns(0), 2L, "click"))
+    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = AdvancedQueries.sessionTypeAffinity(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getString(0), row.getString(1)) == (("click", "view")))
+    assert(row.getLong(2) == 1L && row.getLong(3) == 2L && row.getLong(4) == 2L)
+    assert(row.getDouble(5) == 0.75, "lift = N·both/(a·b) = 3/4")
+  }
+
   test("islands sessionization agrees with the stateful sessionizer") {
     import spark.implicits._
     import graft.streaming.StreamOps

@@ -114,6 +114,26 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("effective budget counts dup clusters once and reweights accordingly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("effbud").toString
+    val ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val five = "uno dos tres cuatro cinco"
+    val four = "eins zwei drei vier"
+    // s1: dup pair (10 tokens, counted once) + 5-token unique → eff 15;
+    // s2: a 4-token singleton → eff 4. Raw supply would be 25 vs 4.
+    Seq((0L, ten, "s1"), (1L, ten, "s1"), (2L, five, "s1"), (3L, four, "s2"))
+      .map { case (id, tx, src) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = SamplingOps.effectiveBudget(spark, d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r("s1")._1 == 15L && r("s2")._1 == 4L)
+    val z = math.sqrt(15) + math.sqrt(4)
+    assert(math.abs(r("s1")._2 - math.sqrt(15) / z) < 1e-5,
+      "weight follows the deduped sqrt supply")
+  }
+
   test("split assign: exhaustive, disjoint, 90/5/5 within tolerance, stable") {
     val total = Tables.t(spark, sfDir, "documents").count()
     val rows = SamplingOps.splitAssign(spark, sfDir).collect()
