@@ -201,6 +201,47 @@ object CorpusOps {
       .orderBy("band")
   }
 
+
+  /** q163 — the per-source datasheet: one row per source with the
+    * numbers every curation decision reads — volume, exact-dup rate
+    * (q83's md5-collapse rule), token supply raw and after exact-dup
+    * collapse, mean length, language spread, and the q82 temperature
+    * weight. The "datasheets for datasets" card (Gebru et al. 2021)
+    * reduced to the machine-checkable columns, and the single artifact
+    * a mixture review meeting looks at.
+    *
+    * Plan: ONE corpus scan feeds a digest window (the q83 exchange)
+    * and a per-source rollup; the weight normalizer is the q82
+    * ordered-sum broadcast. Nothing here exceeds two narrow shuffles.
+    */
+  def sourceDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        md5(lower(trim(col("text")))).as("digest"))
+    val w = Window.partitionBy("digest")
+    val base = d.withColumn("rep", min(col("doc_id")).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("rep"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("toks")).as("raw_tokens"),
+        sum(when(col("doc_id") === col("rep"), col("toks")).otherwise(lit(0L)))
+          .as("dedup_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+    val z = base
+      .agg(sort_array(collect_list(sqrt(col("n_docs").cast("double")))).as("zs"))
+      .select(aggregate(col("zs"), lit(0.0), _ + _).as("z"))
+    base.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6).as("dup_frac"),
+        col("raw_tokens"), col("dedup_tokens"),
+        round(col("total_chars").cast("double") / col("n_docs"), 4).as("mean_chars"),
+        col("n_langs"),
+        round(sqrt(col("n_docs").cast("double")) / col("z"), 6).as("weight"))
+      .orderBy("source")
+  }
+
   /** Snapshot diff between two corpus versions — the audit step of an
     * incremental ingest ("what changed since the last crawl?"): added /
     * removed / changed / unchanged status per doc_id by content digest.
@@ -459,6 +500,7 @@ object CorpusOps {
     "q82_mixture_weights" -> mixtureWeights,
     "q83_dup_rate_by_source" -> dupRateBySource,
     "q149_length_dup_calibration" -> lengthDupCalibration,
+    "q163_source_datasheet" -> sourceDatasheet,
     "q88_snapshot_diff" -> snapshotDiff,
     "q89_token_pair_merges" -> tokenPairMerges,
     "q95_lm_perplexity" -> lmPerplexity,
@@ -467,6 +509,32 @@ object CorpusOps {
     "q100_length_quantiles" -> lengthQuantiles)
 
   val oracleSql: Map[String, String] = Map(
+    "q163_source_datasheet" ->
+      """WITH d AS (SELECT doc_id, source, lang, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS toks,
+        |    md5(lower(trim(text))) AS digest
+        |  FROM documents),
+        |r AS (SELECT *, MIN(doc_id) OVER (PARTITION BY digest) AS rep FROM d),
+        |base AS (SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+        |    CAST(SUM(CASE WHEN doc_id = rep THEN toks ELSE 0 END) AS BIGINT)
+        |      AS dedup_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM r GROUP BY 1),
+        |tot AS (SELECT list_sum(list(sqrt(CAST(n_docs AS DOUBLE))
+        |    ORDER BY sqrt(CAST(n_docs AS DOUBLE)))) AS z FROM base)
+        |SELECT source, n_docs, n_dup_docs,
+        |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_frac,
+        |  raw_tokens, dedup_tokens,
+        |  round(CAST(total_chars AS DOUBLE) / n_docs, 4) AS mean_chars,
+        |  n_langs,
+        |  round(sqrt(CAST(n_docs AS DOUBLE)) / z, 6) AS weight
+        |FROM base CROSS JOIN tot ORDER BY source""".stripMargin,
     "q149_length_dup_calibration" ->
       """WITH d AS (SELECT doc_id, n_chars, md5(lower(trim(text))) AS digest
         |           FROM documents),

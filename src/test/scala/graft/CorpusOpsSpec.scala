@@ -123,6 +123,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(50L) == ((2L, 0L, 0.0)))
   }
 
+  test("source datasheet: dup rate, token supplies and weights line up") {
+    val ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // s1: exact dup pair (10 tokens each) + 4-token unique → raw 24,
+    // dedup 14, dup_frac 1/3; s2: one 5-token doc → clean.
+    val d = docsDir(Seq(
+      (0L, ten, "s1"), (1L, ten, "s1"), (2L, "eins zwei drei vier", "s1"),
+      (3L, "uno dos tres cuatro cinco", "s2")))
+    val r = CorpusOps.sourceDatasheet(spark, d).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4),
+          x.getLong(5), x.getLong(7)))).toMap
+    assert(r("s1") == ((3L, 1L, 0.333333, 24L, 14L, 1L)))
+    assert(r("s2") == ((1L, 0L, 0.0, 5L, 5L, 1L)))
+    // weights follow sqrt(doc counts): sqrt(3)/(sqrt(3)+1) vs 1/(sqrt(3)+1)
+    val ws = CorpusOps.sourceDatasheet(spark, d).collect()
+      .map(x => x.getString(0) -> x.getDouble(8)).toMap
+    val z = math.sqrt(3) + 1
+    assert(math.abs(ws("s1") - math.sqrt(3) / z) < 1e-5)
+    assert(math.abs(ws("s2") - 1 / z) < 1e-5)
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged by digest") {
     import spark.implicits._
     val oldSnap = Seq((0L, "same text"), (1L, "old body"), (2L, "gone"))
