@@ -312,8 +312,55 @@ object CorpusAudit {
       .orderBy("source")
   }
 
+
+  /** q164 — datasheet drift between snapshots: the q163 per-source card
+    * computed for the legacy snapshot (doc_id % 5 ≠ 4, the q120
+    * convention) and the current one (doc_id % 7 ≠ 3), full-outer
+    * joined with deltas. The "what changed in my corpus this crawl"
+    * monitor — a source whose dup rate jumps or whose token supply
+    * halves gets caught HERE, before the mixture re-weights on bad
+    * numbers. A source absent from one side reports its row with a
+    * −1 sentinel on the missing side's counts (keeps dtypes integral).
+    *
+    * Plan: one scan feeds both snapshot aggregates (the filter is a
+    * per-row predicate, not a second read); the join and deltas run on
+    * |sources| rows. */
+  def datasheetDrift(s: SparkSession, dir: String): DataFrame = {
+    def card(pred: org.apache.spark.sql.Column): DataFrame =
+      t(s, dir, "documents").filter(pred)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("toks"),
+          md5(lower(trim(col("text")))).as("digest"))
+        .withColumn("rep",
+          min(col("doc_id")).over(Window.partitionBy("digest")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("rep"), 1L).otherwise(0L)).as("n_dups"),
+          sum(col("toks")).as("tokens"))
+    val legacy = card(col("doc_id") % 5 =!= 4)
+      .select(col("source"), col("n_docs").as("n_docs_old"),
+        col("n_dups").as("n_dups_old"), col("tokens").as("tokens_old"))
+    val current = card(col("doc_id") % 7 =!= 3)
+      .select(col("source"), col("n_docs").as("n_docs_new"),
+        col("n_dups").as("n_dups_new"), col("tokens").as("tokens_new"))
+    legacy.join(current, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs_old"), lit(-1L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(-1L)).as("n_docs_new"),
+        (coalesce(col("n_docs_new"), lit(0L))
+          - coalesce(col("n_docs_old"), lit(0L))).as("d_docs"),
+        coalesce(col("tokens_old"), lit(-1L)).as("tokens_old"),
+        coalesce(col("tokens_new"), lit(-1L)).as("tokens_new"),
+        (coalesce(col("tokens_new"), lit(0L))
+          - coalesce(col("tokens_old"), lit(0L))).as("d_tokens"),
+        coalesce(col("n_dups_old"), lit(-1L)).as("n_dups_old"),
+        coalesce(col("n_dups_new"), lit(-1L)).as("n_dups_new"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_cluster_lang_purity" -> clusterLangPurity,
+    "q164_datasheet_drift" -> datasheetDrift,
     "q147_effective_tokens" -> effectiveTokens,
     "q120_upsert_merge" -> upsertMerge,
     "q121_scd2_history" -> scd2History,
@@ -324,6 +371,39 @@ object CorpusAudit {
     "q139_source_vocab_overlap" -> sourceVocabOverlap)
 
   val oracleSql: Map[String, String] = Map(
+    "q164_datasheet_drift" ->
+      """WITH base AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS toks,
+        |    md5(lower(trim(text))) AS digest
+        |  FROM documents),
+        |old1 AS (SELECT *, MIN(doc_id) OVER (PARTITION BY digest) AS rep
+        |  FROM base WHERE doc_id % 5 <> 4),
+        |oldc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_old,
+        |    CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dups_old,
+        |    CAST(SUM(toks) AS BIGINT) AS tokens_old
+        |  FROM old1 GROUP BY 1),
+        |new1 AS (SELECT *, MIN(doc_id) OVER (PARTITION BY digest) AS rep
+        |  FROM base WHERE doc_id % 7 <> 3),
+        |newc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_new,
+        |    CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dups_new,
+        |    CAST(SUM(toks) AS BIGINT) AS tokens_new
+        |  FROM new1 GROUP BY 1)
+        |SELECT source,
+        |  COALESCE(n_docs_old, CAST(-1 AS BIGINT)) AS n_docs_old,
+        |  COALESCE(n_docs_new, CAST(-1 AS BIGINT)) AS n_docs_new,
+        |  COALESCE(n_docs_new, CAST(0 AS BIGINT))
+        |    - COALESCE(n_docs_old, CAST(0 AS BIGINT)) AS d_docs,
+        |  COALESCE(tokens_old, CAST(-1 AS BIGINT)) AS tokens_old,
+        |  COALESCE(tokens_new, CAST(-1 AS BIGINT)) AS tokens_new,
+        |  COALESCE(tokens_new, CAST(0 AS BIGINT))
+        |    - COALESCE(tokens_old, CAST(0 AS BIGINT)) AS d_tokens,
+        |  COALESCE(n_dups_old, CAST(-1 AS BIGINT)) AS n_dups_old,
+        |  COALESCE(n_dups_new, CAST(-1 AS BIGINT)) AS n_dups_new
+        |FROM oldc FULL OUTER JOIN newc USING (source)
+        |ORDER BY source""".stripMargin,
     "q147_effective_tokens" ->
       """WITH RECURSIVE
         |docsh AS (

@@ -116,6 +116,23 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(r(2L) == ((2L, 1L, "fr", 1.0, false)))
   }
 
+  test("datasheet drift: per-source deltas and sentinels for one-sided sources") {
+    // ids 0-4 in source s: legacy = {0,1,2,3} (4%5=4 out), current =
+    // {0,1,2,4} (3%7=3 out). id 3 alone carries source t: present in
+    // legacy only → sentinel row.
+    val d = docsDir(Seq(
+      (0L, "a b", "s"), (1L, "c d", "s"), (2L, "e f", "s"),
+      (4L, "g h i", "s"), (3L, "x y z w", "t")))
+    val r = CorpusAudit.datasheetDrift(spark, d).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5), x.getLong(6)))).toMap
+    assert(r("s") == ((3L, 4L, 1L, 6L, 9L, 3L)),
+      "source s gains doc 4 (3 tokens) in the current snapshot")
+    assert(r("t") == ((1L, -1L, -1L, 4L, -1L, -4L)),
+      "legacy-only source carries -1 sentinels and negative deltas")
+  }
+
   test("effective tokens count each dup cluster once, singletons as themselves") {
     val ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val five = "uno dos tres cuatro cinco"
