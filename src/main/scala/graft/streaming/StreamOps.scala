@@ -32,6 +32,23 @@ object StreamOps {
   def withEventTime(df: DataFrame): DataFrame =
     graft.Tables.nanosTsToMicros(df)
 
+
+  /** q165 — batch twin of [[hourlyTypeCounts]] (the q61/q108 pattern
+    * applied to the module's first streaming aggregation): identical
+    * tumbling-window assignment over the static table, which puts the
+    * hourly-rollup streaming surface under the driver's DuckDB oracle —
+    * the oracle derives the window start by integer epoch-hour
+    * division, exactly how `window(ts, '1 hour')` aligns. Stream ≡
+    * batch is already pinned in StreamingSpec. */
+  def hourlyCountsBatch(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("ws_us", "event_type")
+
   /** Streaming file source over a directory of events parquet files.
     * New files appearing under `dir` become micro-batches. */
   def readEvents(s: SparkSession, dir: String): DataFrame =
@@ -395,9 +412,15 @@ object StreamOps {
       "q108_sliding_counts" -> slidingCountsBatch,
       "q118_purchase_attribution" -> purchaseAttributionBatch,
       "q135_disorder_profile" -> disorderProfile,
-      "q153_stateful_transitions" -> statefulTransitions)
+      "q153_stateful_transitions" -> statefulTransitions,
+      "q165_hourly_type_counts" -> hourlyCountsBatch)
 
   val oracleSql: Map[String, String] = Map(
+    "q165_hourly_type_counts" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin,
     // q153 must equal q137 exactly — shared oracle by construction.
     "q153_stateful_transitions" ->
       graft.ops.StatOps.oracleSql("q137_event_transitions"),
