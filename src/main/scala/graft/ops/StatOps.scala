@@ -316,7 +316,69 @@ object StatOps {
       .orderBy("d")
   }
 
+
+  /** q166 — Gini coefficient of customer spend per nation: the
+    * inequality index G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the
+    * rank-ordered per-customer totals. The market-concentration
+    * screen — a nation whose revenue Gini approaches 1 is a
+    * one-whale market and every per-nation average is misleading.
+    *
+    * Determinism: spend totals ride DECIMAL(18,2); ranks are
+    * row_number over (spend, custkey) — total order, no tie ambiguity;
+    * Σ i·xᵢ accumulates in DECIMAL (exact rank-weighted cents); the
+    * final G is one double expression of exact sums, rounded 6dp.
+    *
+    * Plan: one (nation, customer) partial-agg exchange; the rank
+    * window partitions per nation (the q24 rule — never a global
+    * sort); the Gini arithmetic runs on |nations| rows. */
+  def spendGini(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("spend"))
+    val w = Window.partitionBy("nation").orderBy(col("spend"), col("c_custkey"))
+    spend.withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("decimal(18,2)").as("total_spend"),
+        sum(col("spend") * col("rk")).cast("decimal(28,2)").as("rank_weighted"))
+      .select(col("nation"), col("n_customers"),
+        col("total_spend").cast("double").as("total_spend"),
+        round(lit(2.0) * col("rank_weighted").cast("double")
+          / (col("n_customers") * col("total_spend").cast("double"))
+          - (col("n_customers") + 1).cast("double") / col("n_customers"), 6)
+          .as("gini"))
+      .orderBy("nation")
+  }
+
+  /** q167 — effective source count per language (inverse Simpson
+    * index 1/Σ shareᵢ²): how many sources a language's corpus
+    * EFFECTIVELY draws from once concentration is priced in — 20
+    * sources at 5% each scores 20, one dominant source scores ≈1. The
+    * diversity number a mixture review reads next to q82's weights.
+    *
+    * Determinism: Σ share² accumulates over a SORTED list (the q82
+    * rule); everything upstream is exact integer counts.
+    *
+    * Plan: one (lang, source) aggregate, then |langs|-row arithmetic. */
+  def sourceDiversity(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    c.groupBy("lang")
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sort_array(collect_list(col("n"))).as("ns"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        round(lit(1.0) / aggregate(col("ns"), lit(0.0), (acc, x) =>
+          acc + (x.cast("double") / col("n_docs"))
+            * (x.cast("double") / col("n_docs"))), 4).as("effective_sources"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_spend_gini" -> spendGini,
+    "q167_source_diversity" -> sourceDiversity,
     "q136_price_trend"      -> priceTrend,
     "q137_event_transitions" -> eventTransitions,
     "q138_measure_corr"     -> measureCorr,
@@ -329,6 +391,38 @@ object StatOps {
     "q158_daily_type_entropy" -> dailyTypeEntropy)
 
   val oracleSql: Map[String, String] = Map(
+    "q166_spend_gini" ->
+      """WITH spend AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT nation, spend,
+        |    CAST(row_number() OVER (PARTITION BY nation
+        |      ORDER BY spend, c_custkey) AS BIGINT) AS rk
+        |  FROM spend),
+        |agg AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(spend) AS DECIMAL(18,2)) AS total_spend,
+        |    CAST(SUM(spend * rk) AS DECIMAL(28,2)) AS rank_weighted
+        |  FROM rk GROUP BY 1)
+        |SELECT nation, n_customers,
+        |  CAST(total_spend AS DOUBLE) AS total_spend,
+        |  round(2.0 * CAST(rank_weighted AS DOUBLE)
+        |    / (n_customers * CAST(total_spend AS DOUBLE))
+        |    - CAST(n_customers + 1 AS DOUBLE) / n_customers, 6) AS gini
+        |FROM agg ORDER BY nation""".stripMargin,
+    "q167_source_diversity" ->
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |    list(n ORDER BY n) AS ns
+        |  FROM c GROUP BY 1)
+        |SELECT lang, n_docs, n_sources,
+        |  round(CAST(1 AS DOUBLE) / list_sum(list_transform(ns, x ->
+        |    (CAST(x AS DOUBLE) / n_docs) * (CAST(x AS DOUBLE) / n_docs))), 4)
+        |    AS effective_sources
+        |FROM g ORDER BY lang""".stripMargin,
+
     "q157_cusum_changepoint" ->
       """WITH daily AS (SELECT o_orderpriority AS priority,
         |    CAST(o_orderdate AS DATE) AS d,

@@ -220,6 +220,43 @@ class StatOpsSpec extends AnyFunSuite {
     assert(r(1) == ((2L, 1L, 0.0)), "a single-type day has zero entropy")
   }
 
+  test("gini: equal spenders score 0, a whale market scores its exact index") {
+    val d = java.nio.file.Files.createTempDirectory("gini").toString
+    def day(i: Int) =
+      java.time.LocalDateTime.parse("1995-01-01T00:00:00").plusDays(i.toLong)
+    // nation 0: two equal customers → G = 0; nation 1: 10 vs 990 →
+    // G = 2(1·10+2·990)/(2·1000) − 3/2 = 0.49 exactly.
+    val orders = Seq(
+      (1L, 1L, 100.0), (2L, 2L, 100.0), (3L, 3L, 10.0), (4L, 4L, 990.0))
+    orders.zipWithIndex.map { case ((ok, ck, p), i) =>
+      (ok, ck, "O", p, day(i), "A")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, "c1", 0, 0.0, "B"), (2L, "c2", 0, 0.0, "B"),
+        (3L, "c3", 1, 0.0, "B"), (4L, "c4", 1, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val r = StatOps.spendGini(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(3)))).toMap
+    assert(r(0L) == ((2L, 0.0)))
+    assert(r(1L) == ((2L, 0.49)))
+  }
+
+  test("source diversity: balanced sources count fully, monoculture scores 1") {
+    val d = java.nio.file.Files.createTempDirectory("divers").toString
+    Seq((0L, "a b", "en", "s1"), (1L, "c d", "en", "s2"),
+        (2L, "e f", "fr", "s1"), (3L, "g h", "fr", "s1"))
+      .map { case (id, tx, lg, src) => (id, tx, lg, src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = StatOps.sourceDiversity(spark, d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r("en") == ((2L, 2L, 2.0)), "two balanced sources = 2 effective")
+    assert(r("fr") == ((2L, 1L, 1.0)), "monoculture = 1 effective source")
+  }
+
   test("corr aggregate matches a driver-side two-pass Pearson on lineitem") {
     val rows = graft.Tables.t(spark, sfDir, "lineitem")
       .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
