@@ -376,7 +376,51 @@ object StatOps {
       .orderBy("lang")
   }
 
+
+  /** q168 — fulfillment lead-time profile per priority: days between
+    * order date and each line's ship date — count, mean, deviation,
+    * max. The operations metric behind every SLA conversation; exact
+    * integer day arithmetic until the final rounded moments (the q145
+    * posture on the warehouse side).
+    *
+    * Plan: the fact⋈orders join shuffles on the order key both tables
+    * already share (S7 bucketing makes it co-located at scale); the
+    * rollup is |priorities| rows with map-side partials. */
+  def leadTimeProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lead_days"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(avg(col("lead_days")), 4).as("avg_days"),
+        round(stddev_pop(col("lead_days")), 4).as("sd_days"),
+        max(col("lead_days")).as("max_days"))
+      .orderBy("priority")
+
+  /** q169 — tokenizer fertility per language: characters per
+    * whitespace token, Σchars/Σtokens as ONE exact-integer ratio. THE
+    * multilingual-fairness number — a language whose text yields
+    * systematically fewer characters per token gets more tokens per
+    * unit content, pays more compute per document, and is
+    * under-weighted by any token-denominated budget (q143) unless
+    * corrected. Per-row, one |langs|-row aggregate. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("toks")).as("total_tokens"))
+      .withColumn("chars_per_token",
+        round(col("total_chars").cast("double") / col("total_tokens"), 4))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_lead_time_profile" -> leadTimeProfile,
+    "q169_tokenizer_fertility" -> tokenizerFertility,
     "q166_spend_gini" -> spendGini,
     "q167_source_diversity" -> sourceDiversity,
     "q136_price_trend"      -> priceTrend,
@@ -391,6 +435,26 @@ object StatOps {
     "q158_daily_type_entropy" -> dailyTypeEntropy)
 
   val oracleSql: Map[String, String] = Map(
+    "q168_lead_time_profile" ->
+      """WITH lt AS (SELECT o_orderpriority AS priority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lead_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  round(AVG(lead_days), 4) AS avg_days,
+        |  round(stddev_pop(lead_days), 4) AS sd_days,
+        |  MAX(lead_days) AS max_days
+        |FROM lt GROUP BY priority ORDER BY priority""".stripMargin,
+    "q169_tokenizer_fertility" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |    AS BIGINT) AS total_tokens,
+        |  round(CAST(SUM(n_chars) AS DOUBLE)
+        |    / CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |        AS BIGINT), 4) AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q166_spend_gini" ->
       """WITH spend AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend

@@ -257,6 +257,43 @@ class StatOpsSpec extends AnyFunSuite {
     assert(r("fr") == ((2L, 1L, 1.0)), "monoculture = 1 effective source")
   }
 
+  test("lead time: exact day moments from a controlled order/ship spread") {
+    val d = java.nio.file.Files.createTempDirectory("lead").toString
+    def day(i: Int) =
+      java.time.LocalDateTime.parse("1995-01-01T00:00:00").plusDays(i.toLong)
+    // one order placed day 0; lines ship at +2, +4, +6 → mean 4, sd
+    // sqrt(8/3), max 6
+    Seq((1L, 1L, "O", 100.0, day(0), "A"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(2, 4, 6).zipWithIndex.map { case (sd, i) =>
+      (1L, 1L, 1L, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", day(sd))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = StatOps.leadTimeProfile(spark, d).collect().head
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 4.0)
+    assert(math.abs(r.getDouble(3) - math.sqrt(8.0 / 3)) < 1e-3)
+    assert(r.getLong(4) == 6L)
+  }
+
+  test("tokenizer fertility is the exact chars-over-tokens ratio per language") {
+    val d = java.nio.file.Files.createTempDirectory("fert").toString
+    // en: "ab cd" (5 chars, 2 tokens) ×2 → 10/4 = 2.5;
+    // zh: "abcdefgh x" (10 chars, 2 tokens) → 5.0
+    Seq((0L, "ab cd", "en"), (1L, "ab cd", "en"), (2L, "abcdefgh x", "zh"))
+      .map { case (id, tx, lg) => (id, tx, lg, "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = StatOps.tokenizerFertility(spark, d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    assert(r("en") == ((10L, 4L, 2.5)))
+    assert(r("zh") == ((10L, 2L, 5.0)))
+  }
+
   test("corr aggregate matches a driver-side two-pass Pearson on lineitem") {
     val rows = graft.Tables.t(spark, sfDir, "lineitem")
       .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
