@@ -36,16 +36,34 @@ object Bench {
     // noop sink materializes EVERY column — count() would let Catalyst
     // prune projection-only work (e.g. a fingerprint column that nothing
     // aggregates), timing just the scan.
+    var failures = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failures ::= name
+        System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failures":${failures.size},"failures":$fails}"""
+    // The driver greps a 2000-char stdout tail where sbt/log4j noise can
+    // interleave with (or truncate) the metric line, so ALSO persist it
+    // to a file and make the line itself the final stdout output.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
+    System.out.flush()
+    println(json)
+    System.out.flush()
+    // A query that cannot run must fail the bench loudly, not hide
+    // inside a plausible-looking total.
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

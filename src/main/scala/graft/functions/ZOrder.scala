@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -19,13 +20,19 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 object ZOrderKernel {
   /** Interleave the low 16 bits of a and b: bit i of `a` lands at 2i,
-    * bit i of `b` at 2i+1. Total 32 result bits — non-negative long. */
+    * bit i of `b` at 2i+1. Total 32 result bits — non-negative long.
+    * Inputs are masked to 16 bits EXPLICITLY: values ≥ 2^16 alias onto
+    * their low half, so callers must quantile/bucket-scale wider
+    * domains into [0, 65535] first (the standard z-order prep — the
+    * clustering only needs rank order, not raw values). */
   def interleave16(a: Long, b: Long): Long = {
+    val am = a & 0xFFFFL
+    val bm = b & 0xFFFFL
     var z = 0L
     var i = 0
     while (i < 16) {
-      z |= ((a >> i) & 1L) << (2 * i)
-      z |= ((b >> i) & 1L) << (2 * i + 1)
+      z |= ((am >> i) & 1L) << (2 * i)
+      z |= ((bm >> i) & 1L) << (2 * i + 1)
       i += 1
     }
     z
@@ -33,9 +40,18 @@ object ZOrderKernel {
 }
 
 /** Catalyst expression: (long, long) → 32-bit Morton interleave of the
-  * two low-16-bit halves. */
+  * two low-16-bit halves. Declares bigint inputs so a mistyped SQL call
+  * (`z_order16(int_col, …)`) fails cleanly at analysis time instead of
+  * ClassCastException-ing in interpreted eval. */
 case class ZOrderCode(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"z_order16 requires (bigint, bigint) arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
 
   override def dataType: DataType = LongType
 

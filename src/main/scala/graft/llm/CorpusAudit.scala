@@ -134,7 +134,10 @@ object CorpusAudit {
     * a RISING dup_frac slope tells the builder which ingest decade
     * started re-crawling old content. Same no-buffer trick: a digest is
     * new at exactly its min doc_id, so the curve is one digest-keyed
-    * window + window sums over the tiny bucket table. */
+    * window + a distributed two-level prefix sum
+    * ([[graft.ops.Prefix.cumSums]]) over the bucket table — |docs|/50
+    * rows grows with the corpus, so the running total must not be a
+    * single-task unpartitioned window. */
   def dedupCurve(s: SparkSession, dir: String, bucket: Long = 50L): DataFrame = {
     val wD = Window.partitionBy("digest")
     val perDoc = t(s, dir, "documents")
@@ -146,11 +149,10 @@ object CorpusAudit {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("dups"))
-    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    perBucket
+    graft.ops.Prefix.cumSums(perBucket, "bucket", Seq("n", "dups"))
       .select(col("bucket"),
-        sum(col("n")).over(w).as("n_docs_cum"),
-        sum(col("dups")).over(w).as("n_dups_cum"))
+        col("n_cum").as("n_docs_cum"),
+        col("dups_cum").as("n_dups_cum"))
       .withColumn("dup_frac",
         col("n_dups_cum").cast("double") / col("n_docs_cum"))
       .orderBy("bucket")

@@ -467,10 +467,14 @@ object CorpusOps {
     * would buffer the vocabulary per row): a type is NEW at exactly one
     * doc — its min doc_id — so per-bucket new-type counts are a plain
     * aggregation of the term table's min, and the cumulative curve is a
-    * window sum over the tiny bucket table. Two corpus-sized shuffles
-    * (doc key, term key), then arithmetic on |buckets| rows. The TTR is
-    * a single exact division of integer counts — unrounded, both
-    * engines produce the identical double. */
+    * distributed two-level prefix sum over the bucket table
+    * ([[graft.ops.Prefix.cumSums]] — the bucket table is |docs|/50 rows,
+    * which at corpus scale is itself 10⁸+, so an unpartitioned running
+    * window here would funnel the whole curve through one task). Two
+    * corpus-sized shuffles (doc key, term key), then block-parallel
+    * arithmetic on |buckets| rows. The TTR is a single exact division
+    * of integer counts — unrounded, both engines produce the identical
+    * double. */
   def vocabGrowth(s: SparkSession, dir: String, bucket: Long = 50L): DataFrame = {
     val tok = graft.Tables.tSpread(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -482,11 +486,10 @@ object CorpusOps {
       .groupBy("bucket")
       .agg(sum(col("n_tok")).as("toks"),
         sum(coalesce(col("n_new"), lit(0L))).as("news"))
-    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    perBucket
+    graft.ops.Prefix.cumSums(perBucket, "bucket", Seq("toks", "news"))
       .select(col("bucket"),
-        sum(col("toks")).over(w).as("n_tokens_cum"),
-        sum(col("news")).over(w).as("n_distinct_cum"))
+        col("toks_cum").as("n_tokens_cum"),
+        col("news_cum").as("n_distinct_cum"))
       .withColumn("ttr",
         col("n_distinct_cum").cast("double") / col("n_tokens_cum"))
       .orderBy("bucket")

@@ -6,15 +6,20 @@ import graft.Tables.t
 
 /** Multimodal-column plumbing (SURVEY.md §0 scope addendum): images /
   * audio / video as opaque `binary` columns with typed metadata, plus the
-  * decode / feature-extract / resize / frame-sample stages of a training
-  * pipeline.
+  * decode-free header-extract / feature / resize / frame-sample stages of
+  * a training pipeline.
   *
-  * No media codec ships in this environment, so the DECODE KERNEL IS A
-  * DETERMINISTIC STUB (clearly marked below); everything around it — the
-  * schema, the partition-preserving batched `mapPartitions` shape, frame
-  * explosion, and metadata math — is real Spark plumbing and is tested.
-  * Payload bytes here are the document text encoded UTF-8; in production
-  * they'd be image/audio/video bytes with identical plan shapes.
+  * Payloads are REAL container bytes: each document's UTF-8 text rides
+  * as the body of a spec-conformant PNG / JPEG(JFIF) / RIFF-WAVE /
+  * ISO-BMFF(MP4) container whose header fields (dimensions, sample rate,
+  * timescale…) are doc_id-derived — so the extraction kernel
+  * ([[MediaHeaders]]) does real byte-level format parsing (magic sniff,
+  * JPEG segment walk, MP4 box walk, both endiannesses), and because
+  * header synthesis is deterministic arithmetic, the extraction output
+  * is DuckDB-oracle-checkable end-to-end (q51): a parser bug breaks the
+  * hash compare. No codec ships in this environment, so pixel/PCM
+  * DECODING specifically stays out of scope — headers carry the
+  * metadata a curation pipeline actually filters on.
   *
   * Scale notes: payloads never enter a shuffle key; the only wide ops key
   * on doc_id/format. Feature extraction is a narrow mapPartitions that
@@ -25,19 +30,83 @@ object MultimodalOps {
 
   private val formats = array(lit("jpeg"), lit("png"), lit("wav"), lit("mp4"))
 
-  /** Synthesize the media table: binary payload + typed metadata. Format
-    * assignment is doc_id-keyed (parity-expressible for the oracle). */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
+  // ---- binary header synthesis (codegen'd native fns only) ---------------
+  private def hx(s: String): Column = unhex(lit(s))
+  private def u8(c: Column): Column =
+    unhex(lpad(hex(c.bitwiseAND(lit(255L))), 2, "0"))
+  private def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def le16(c: Column): Column = concat(u8(c), u8(shiftright(c, 8)))
+  private def le32(c: Column): Column =
+    concat(u8(c), u8(shiftright(c, 8)), u8(shiftright(c, 16)), u8(shiftright(c, 24)))
+
+  /** PNG: signature + IHDR(width, height, bitdepth 8, truecolor). The
+    * IHDR CRC rides as zeros — header sniffers don't checksum. 33-byte
+    * header. */
+  private def pngHeader(w: Column, h: Column): Column =
+    concat(hx("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      be32(w), be32(h), hx("080200000000000000"))
+
+  /** JPEG/JFIF: SOI + APP0(JFIF 1.1) + SOF0(precision 8, h, w, 3
+    * components) — the segment a dimension probe must WALK to, exactly
+    * as in a camera file. 39-byte header. */
+  private def jpegHeader(w: Column, h: Column): Column =
+    concat(hx("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+        "0001" + "0001" + "0000" + "FFC0" + "0011" + "08"),
+      be16(h), be16(w), hx("03" + "012200" + "021101" + "031101"))
+
+  /** RIFF/WAVE: canonical 44-byte header (PCM fmt chunk + data chunk
+    * sized to the body) — little-endian throughout, per RIFF. */
+  private def wavHeader(ch: Column, rate: Column, body: Column): Column =
+    concat(hx("52494646"), le32(body + 36), hx("57415645" + "666D7420" +
+        "10000000" + "0100"),
+      le16(ch), le32(rate), le32(rate * ch * 2), le16(ch * 2), le16(lit(16)),
+      hx("64617461"), le32(body))
+
+  /** ISO-BMFF: ftyp(isom) + moov[mvhd v0 (timescale, duration, unity
+    * matrix)] + an mdat box sized to carry the body — the body MUST ride
+    * inside a box or a conformant box walker rejects the file. 144 bytes
+    * of header before the mdat payload. */
+  private def mp4Header(timescale: Column, duration: Column, body: Column): Column =
+    concat(hx("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"),
+      hx("00000074" + "6D6F6F76" + "0000006C" + "6D766864" + "00000000" +
+        "00000000" + "00000000"),
+      be32(timescale), be32(duration),
+      hx("00010000" + "0100" + "00000000000000000000" +
+        "000100000000000000000000000000000001000000000000000000000000000040000000" +
+        "000000000000000000000000000000000000000000000000" + "00000002"),
+      be32(body + 8), hx("6D646174"))
+
+  /** Synthesize the media table: binary payload with a REAL container
+    * header + typed metadata. Every header field is doc_id arithmetic
+    * (oracle-expressible); the document text is the container body. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id") * 37, lit(1024)) + 256).cast("int")
+    val h = (pmod(col("doc_id") * 53, lit(768)) + 144).cast("int")
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    val rate = (lit(8000) * (col("doc_id") % 5 + 1)).cast("int")
+    val dur = (lit(1500) * (col("doc_id") % 5 + 2)).cast("int")
     t(s, dir, "documents")
       .select(
         col("doc_id"),
         element_at(formats, (col("doc_id") % 4 + 1).cast("int")).as("format"),
-        encode(col("text"), "UTF-8").as("payload"),
+        encode(col("text"), "UTF-8").as("body"),
+        w.as("w"), h.as("h"), ch.as("ch"), rate.as("rate"), dur.as("dur"))
+      .withColumn("payload", concat(
+        when(col("format") === "png", pngHeader(col("w"), col("h")))
+          .when(col("format") === "jpeg", jpegHeader(col("w"), col("h")))
+          .when(col("format") === "wav",
+            wavHeader(col("ch"), col("rate"), length(col("body"))))
+          .otherwise(
+            mp4Header(lit(600), col("dur"), length(col("body")))),
+        col("body")))
+      .select(col("doc_id"), col("format"), col("payload"),
         struct(
-          length(encode(col("text"), "UTF-8")).as("n_bytes"),
-          (pmod(col("doc_id") * 37, lit(1024)) + 256).cast("int").as("width"),
-          (pmod(col("doc_id") * 53, lit(768)) + 144).cast("int").as("height"))
+          length(col("payload")).as("n_bytes"),
+          col("w").as("width"),
+          col("h").as("height"))
           .as("meta"))
+  }
 
   /** Media catalog: per-format byte volumes — the profiling pass before a
     * decode job. */

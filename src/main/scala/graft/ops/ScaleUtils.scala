@@ -83,26 +83,40 @@ object ScaleUtils {
     * Scale shape: the per-key count aggregation is the only fact-sized
     * shuffle (partial aggs collapse each partition's keys map-side);
     * everything after runs on the |keys| profile table, orders of
-    * magnitude smaller than the fact. The global rank window on that
-    * profile is the standard price of an exact p99 — swap in
-    * approx_percentile when |keys| itself is huge. */
+    * magnitude smaller than the fact — and nothing funnels that profile
+    * through one task: the exact p99 is the order statistic at rank
+    * ⌈99·nk/100⌉ under (cnt, key) ordering, whose VALUE depends only on
+    * cnt, so cumulative frequencies over the distinct-cnt histogram
+    * (≤ √(2·|fact|) rows, in practice far fewer) give it exactly; the
+    * cumulative itself rides the two-level [[graft.ops.Prefix]] scan,
+    * and the top-5 is TakeOrderedAndProject + a 5×5 self-join rank —
+    * no global rank window over the |keys| profile anywhere. */
   def keySkewProfile(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.Tables.t
-    import org.apache.spark.sql.expressions.Window
     val counts = t(s, dir, "lineitem")
       .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("cnt"))
-    val wR = Window.orderBy(col("cnt"), col("key"))
-    val ranked = counts.withColumn("rn", row_number().over(wR).cast("long"))
-      .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
-    val stats = ranked.agg(
+    val base = counts.agg(
       count(lit(1)).as("n_keys"),
       sum(col("cnt")).as("n_rows"),
-      max(col("cnt")).as("max_cnt"),
-      max(when(col("rn") === floor((col("nk") * 99 + 99) / 100), col("cnt")))
-        .as("p99_cnt"))
-    val wTop = Window.orderBy(col("cnt").desc, col("key"))
-    counts.withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= 5)
+      max(col("cnt")).as("max_cnt"))
+    val histo = counts.groupBy("cnt").agg(count(lit(1)).as("freq"))
+    val p99 = graft.ops.Prefix.cumSums(histo, "cnt", Seq("freq"))
+      .crossJoin(broadcast(
+        base.select(floor((col("n_keys") * 99 + 99) / 100).as("__target"))))
+      .filter(col("freq_cum") >= col("__target"))
+      .agg(min(col("cnt")).as("p99_cnt"))
+    val stats = base.crossJoin(broadcast(p99))
+    // materialized so the two self-join sides don't each recompute the
+    // fact-sized count aggregation under the limit
+    val top5 = graft.Materialize.stable(
+      counts.orderBy(col("cnt").desc, col("key")).limit(5))
+    top5.as("a")
+      .join(broadcast(top5.as("b")),
+        col("b.cnt") > col("a.cnt") ||
+          (col("b.cnt") === col("a.cnt") && col("b.key") < col("a.key")),
+        "left")
+      .groupBy(col("a.key").as("key"), col("a.cnt").as("cnt"))
+      .agg((count(col("b.key")) + 1L).as("rank"))
       .crossJoin(broadcast(stats))
       .select(col("rank"), col("key"), col("cnt"),
         (col("cnt").cast("double") / col("n_rows")).as("share"),

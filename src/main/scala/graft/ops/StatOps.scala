@@ -41,7 +41,13 @@ object StatOps {
           .cast("double").as("x"),
         col("l_extendedprice"))
       .groupBy(col("p_brand"), col("x"))
-      .agg(avg(col("l_extendedprice")).as("y"))
+      // DECIMAL-sum / count avg, not avg(): a double-sum mean is
+      // partial-merge-order dependent, so the regression inputs would
+      // differ in ulps between Spark and the single-threaded oracle.
+      // This form is bit-identical in both engines; the residual risk
+      // is only the regr_* moment merges (seeded differential gate).
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("y"))
     daily.groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_days"),
         round(regr_slope(col("y"), col("x")), 6).as("slope"),
@@ -594,7 +600,7 @@ object StatOps {
     "q136_price_trend" ->
       """WITH daily AS (SELECT p_brand,
         |    CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS DOUBLE) AS x,
-        |    AVG(l_extendedprice) AS y
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS y
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY 1, 2)
         |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_days,

@@ -44,7 +44,11 @@ object StreamOps {
     graft.Tables.t(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        // DECIMAL(18,2) sum (the q61/q122/q150 money rule): a double sum
+        // is merge-order dependent, so Spark's partial aggs vs DuckDB's
+        // single-threaded sum could differ pre-round and flip the 2dp
+        // rounding at a .005 boundary.
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(unix_micros(col("window.start")).as("ws_us"),
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy("ws_us", "event_type")
@@ -61,7 +65,10 @@ object StreamOps {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        // same DECIMAL money rule as the batch twin (stream ≡ batch is
+        // pinned in StreamingSpec, so the two must quantize identically)
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -282,7 +289,14 @@ object StreamOps {
         (userId: Long, it: Iterator[Event], state: GroupState[TransBuffer]) =>
           if (state.hasTimedOut) {
             val buffered = state.get.events.sortBy(x => (x._1, x._2))
-            state.remove()
+            // Flush the quiet user's steps, but RETAIN the last event as
+            // the seed of the bridging step (last flushed → first future
+            // event). Removing the whole buffer would permanently lose
+            // that step vs batch transitionSteps/q137 semantics when the
+            // user resumes after the quiet period. No new timeout is
+            // armed: the seed is one triple per quiet user (bounded
+            // state) and is picked up by the next data batch.
+            state.update(TransBuffer(List(buffered.last)))
             stepsOf(userId, buffered).iterator
           } else {
             val merged = (state.getOption.map(_.events).getOrElse(Nil) ++
@@ -419,7 +433,7 @@ object StreamOps {
     "q165_hourly_type_counts" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  ROUND(SUM(value), 2) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin,
     // q153 must equal q137 exactly — shared oracle by construction.
     "q153_stateful_transitions" ->
