@@ -24,23 +24,23 @@ object Tables {
     * path (fail-fast on drift, a metadata-only check), then the scan
     * runs with the declared StructType.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by every session
-    * builder in this repo); we convert to a proper timestamp at
-    * microsecond precision here, using integer `div` so the ~1.7e18 nanos
-    * value never loses precision through a double. */
+    * `events.ts` is parquet timestamp[us] without timezone
+    * (TIMESTAMP_NTZ); we cast to the session TimestampType in one place
+    * so every downstream window/watermark/compare sees one type. All
+    * session builders in this repo pin the session timezone to UTC, so
+    * the cast is numerically the identity. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val declared = graft.schema.Schemas.fixture(name)
     graft.schema.Schemas.validateOnce(spark, path, name, declared)
     val df = spark.read.schema(declared).parquet(path)
-    if (name == "events") nanosTsToMicros(df) else df
+    if (name == "events") toSessionTs(df) else df
   }
 
-  /** Raw nanos long → micros timestamp; the one conversion rule, shared
-    * with the streaming reader. */
-  def nanosTsToMicros(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** NTZ → session TimestampType; the one conversion rule, shared with
+    * the streaming reader. */
+  def toSessionTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
 
   /** On-disk size of a fixture table from filesystem metadata only — no
     * Spark job. Used to size LSH structures at plan-construction time

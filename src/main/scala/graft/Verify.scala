@@ -16,7 +16,6 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // See Bench: keep ContextCleaner fed across the 100+-query dump.
       .config("spark.cleaner.periodicGC.interval", "1min")

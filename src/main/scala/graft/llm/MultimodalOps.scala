@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -157,13 +157,23 @@ object MultimodalOps {
     mediaTable(s, dir).select("doc_id", "format", "payload").as[MediaRow]
   }
 
-  /** q51: feature extraction end-to-end (rows-only driver check; value
-    * determinism pinned in MultimodalSpec). */
-  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
-    extractFeatures(mediaDataset(s, dir)).toDF()
-      .select(col("doc_id"), col("format"), col("n_bytes"),
-        round(element_at(col("features"), 1), 3).as("f0"))
+  /** q51: real decode-free metadata extraction. [[MediaHeaders.parse]]
+    * walks each payload's container bytes (magic sniff, JPEG segment
+    * walk, MP4 box walk) in the same batched mapPartitions shape a
+    * vectorized inference kernel would use. Because every header field
+    * is doc_id arithmetic, the parsed output is fully DuckDB-oracle
+    * checked — a parser or synthesis bug breaks the hash compare. */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaDataset(s, dir).mapPartitions { rows =>
+      rows.grouped(64).flatMap(_.map { r =>
+        val p = MediaHeaders.parse(r.payload)
+        (r.doc_id, r.format, if (p.ok) 1 else 0, p.dim1, p.dim2, p.depth,
+          r.payload.length)
+      })
+    }.toDF("doc_id", "format", "ok", "dim1", "dim2", "depth", "n_bytes")
       .orderBy("doc_id")
+  }
 
   /** Frame sampling plan for video assets: one row per sampled frame with
     * its timestamp offset — `explode(sequence(...))`, the scalable
@@ -202,15 +212,37 @@ object MultimodalOps {
     "q52_frame_sample"  -> frameSamplePlan,
     "q53_resize_plan"   -> resizePlan)
 
-  // q51's feature floats come from the JVM stub kernel → rows-only check.
+  // payload length = UTF-8 body + the per-format container header
+  // (png 33 B, jpeg 39 B, wav 44 B, mp4 144 B — see the synth fns above)
   val oracleSql: Map[String, String] = Map(
     "q50_media_catalog" ->
       """SELECT format, COUNT(*) AS n_assets,
-        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        |  CAST(MAX(octet_length(encode(text))) AS INTEGER) AS max_bytes
-        |FROM (SELECT ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] AS format, text
+        |  CAST(SUM(octet_length(encode(text)) + hdr) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(octet_length(encode(text)) + hdr) AS INTEGER) AS max_bytes
+        |FROM (SELECT ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] AS format,
+        |             CASE doc_id % 4 WHEN 0 THEN 39 WHEN 1 THEN 33 WHEN 2 THEN 44 ELSE 144 END AS hdr,
+        |             text
         |      FROM documents)
         |GROUP BY format ORDER BY format""".stripMargin,
+    "q51_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] AS format,
+        |    octet_length(encode(text)) AS body_len
+        |  FROM documents)
+        |SELECT doc_id, format, 1 AS ok,
+        |  CAST(CASE format
+        |    WHEN 'wav' THEN 8000 * (doc_id % 5 + 1)
+        |    WHEN 'mp4' THEN 600
+        |    ELSE (doc_id * 37) % 1024 + 256 END AS INTEGER) AS dim1,
+        |  CAST(CASE format
+        |    WHEN 'wav' THEN doc_id % 2 + 1
+        |    WHEN 'mp4' THEN 1500 * (doc_id % 5 + 2)
+        |    ELSE (doc_id * 53) % 768 + 144 END AS INTEGER) AS dim2,
+        |  CAST(CASE format WHEN 'wav' THEN 16 WHEN 'mp4' THEN 0 ELSE 8 END AS INTEGER) AS depth,
+        |  CAST(body_len + CASE format WHEN 'png' THEN 33 WHEN 'jpeg' THEN 39
+        |                              WHEN 'wav' THEN 44 ELSE 144 END AS INTEGER) AS n_bytes
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q52_frame_sample" ->
       """SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_idx,
         |  ROUND(CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) * 2.5, 1) AS ts_offset_sec

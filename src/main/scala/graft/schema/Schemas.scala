@@ -29,10 +29,10 @@ object Schemas {
   private def st(fields: (String, DataType)*): StructType =
     StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) })
 
-  /** The driver fixture tables (TESTDATA.md). `events.ts` is declared
-    * LONG: the file stores TIMESTAMP(NANOS), which this repo reads under
-    * `spark.sql.legacy.parquet.nanosAsLong` and converts to a micros
-    * timestamp in one place (Tables.nanosTsToMicros). */
+  /** The driver fixture tables (TESTDATA.md). `events.ts` is stored as
+    * parquet timestamp[us] without timezone (TIMESTAMP_NTZ); one shared
+    * rule (Tables.toSessionTs) casts it to the session TimestampType so
+    * every downstream window/watermark sees the same type. */
   val fixture: Map[String, StructType] = Map(
     "region" -> st("r_regionkey" -> IntegerType, "r_name" -> StringType),
     "nation" -> st("n_nationkey" -> IntegerType, "n_name" -> StringType,
@@ -54,7 +54,7 @@ object Schemas {
       "l_discount" -> DoubleType, "l_tax" -> DoubleType,
       "l_returnflag" -> StringType, "l_linestatus" -> StringType,
       "l_shipdate" -> TimestampNTZType),
-    "events" -> st("event_id" -> LongType, "ts" -> LongType,
+    "events" -> st("event_id" -> LongType, "ts" -> TimestampNTZType,
       "user_id" -> LongType, "event_type" -> StringType,
       "value" -> DoubleType, "props" -> StringType),
     "documents" -> st("doc_id" -> LongType, "text" -> StringType,

@@ -17,20 +17,20 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) → long under
-    * spark.sql.legacy.parquet.nanosAsLong). */
+  /** events schema as stored (ts is parquet timestamp[us] without
+    * timezone → TIMESTAMP_NTZ). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Convert raw nanos to a micros timestamp (delegates to Tables' one
-    * conversion rule). */
+  /** Cast NTZ event time to the session TimestampType (delegates to
+    * Tables' one conversion rule). */
   def withEventTime(df: DataFrame): DataFrame =
-    graft.Tables.nanosTsToMicros(df)
+    graft.Tables.toSessionTs(df)
 
 
   /** q165 — batch twin of [[hourlyTypeCounts]] (the q61/q108 pattern

@@ -22,7 +22,6 @@ object ScaleSoak {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // See Bench: keep ContextCleaner fed across the soak's job train.
       .config("spark.cleaner.periodicGC.interval", "1min")

@@ -25,7 +25,6 @@ class ContractSpec extends AnyFunSuite {
       "q27_approx_profile",     // HLL sketch (engine-specific registers)
       "q45_simhash",            // xxhash64 fingerprint (no DuckDB xxhash)
       "q46_ann_topk",           // approximate bucket recall (twin: q86)
-      "q51_media_features",     // declared JVM decode stub
       "q54_rolling_fingerprint", // Karp-Rabin rolling-hash stream
       "q57_ivf_topk")           // approximate cell recall (twin: q67)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

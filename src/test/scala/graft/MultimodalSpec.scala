@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.MultimodalOps
+import graft.llm.{MediaHeaders, MultimodalOps}
 
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
@@ -28,6 +28,37 @@ class MultimodalSpec extends AnyFunSuite {
     val empt = MultimodalOps.extractFeatures(MultimodalOps.mediaDataset(spark, sfDir))
       .filter(f => f.n_bytes == 0).collect()
     assert(empt.forall(_.features.forall(_ == 0.0f)))
+  }
+
+  test("header parse round-trips the synthesized containers for every format") {
+    // q51's oracle is DuckDB arithmetic; this pins the same contract at
+    // the unit level: parse(synthesize(doc_id)) recovers the header
+    // fields, for all four formats, with ok = true everywhere.
+    val parsed = MultimodalOps.mediaDataset(spark, sfDir).collect()
+      .map(r => r.doc_id -> MediaHeaders.parse(r.payload)).toMap
+    assert(parsed.nonEmpty && parsed.values.forall(_.ok), "parser rejected a synthesized payload")
+    parsed.foreach { case (id, p) =>
+      (id % 4) match {
+        case 0 => assert(p.kind == "jpeg" && p.dim1 == (id * 37 % 1024 + 256) &&
+          p.dim2 == (id * 53 % 768 + 144) && p.depth == 8)
+        case 1 => assert(p.kind == "png" && p.dim1 == (id * 37 % 1024 + 256) &&
+          p.dim2 == (id * 53 % 768 + 144) && p.depth == 8)
+        case 2 => assert(p.kind == "wav" && p.dim1 == 8000 * (id % 5 + 1) &&
+          p.dim2 == (id % 2 + 1) && p.depth == 16)
+        case _ => assert(p.kind == "mp4" && p.dim1 == 600 &&
+          p.dim2 == 1500 * (id % 5 + 2) && p.depth == 0)
+      }
+    }
+  }
+
+  test("header parse is loud-by-value on malformed bytes, never throws") {
+    val good = MultimodalOps.mediaDataset(spark, sfDir).head().payload
+    val cases = Seq[Array[Byte]](
+      null, Array.emptyByteArray, Array.fill(11)(0x41.toByte),
+      good.take(9),                        // truncated mid-header
+      "GARBAGEGARBAGE".getBytes("UTF-8"),  // wrong magic
+      { val c = good.clone(); c(0) = 0x00; c }) // corrupted magic
+    cases.foreach(c => assert(!MediaHeaders.parse(c).ok))
   }
 
   test("resize plan preserves aspect ratio within 224 bound") {
