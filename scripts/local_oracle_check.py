@@ -31,6 +31,12 @@ def canon(v):
     if isinstance(v, dict):
         return tuple(sorted((k, canon(x)) for k, x in v.items()))
     if hasattr(v, "isoformat"):
+        # normalize tz-awareness: a Spark TimestampType dump reads back
+        # tz-aware (UTC) while DuckDB oracle SQL yields naive values —
+        # compare both as naive UTC
+        if getattr(v, "tzinfo", None) is not None:
+            from datetime import timezone
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()

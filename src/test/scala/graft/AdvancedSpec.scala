@@ -40,9 +40,8 @@ class AdvancedSpec extends AnyFunSuite {
       (1L, ns(0), 1L, "view"), (2L, ns(60), 1L, "click"),
       (3L, ns(10000), 1L, "view"),
       (4L, ns(0), 2L, "click"))
-    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    TestFixtures.writeEvents(spark, d,
+      ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") })
     val r = AdvancedQueries.sessionTypeAffinity(spark, d).collect()
     assert(r.length == 1)
     val row = r.head

@@ -52,12 +52,16 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("header parse is loud-by-value on malformed bytes, never throws") {
-    val good = MultimodalOps.mediaDataset(spark, sfDir).head().payload
+    // corrupt a png specifically: byte 0 of an mp4 is already 0x00 (ftyp
+    // box size high byte), so zeroing it there would be a no-op and the
+    // case would silently depend on which row head() returns.
+    val png = MultimodalOps.mediaDataset(spark, sfDir)
+      .filter(r => r.doc_id % 4 == 1).head().payload
     val cases = Seq[Array[Byte]](
       null, Array.emptyByteArray, Array.fill(11)(0x41.toByte),
-      good.take(9),                        // truncated mid-header
+      png.take(9),                         // truncated mid-header
       "GARBAGEGARBAGE".getBytes("UTF-8"),  // wrong magic
-      { val c = good.clone(); c(0) = 0x00; c }) // corrupted magic
+      { val c = png.clone(); c(0) = 0x00; c }) // corrupted magic
     cases.foreach(c => assert(!MediaHeaders.parse(c).ok))
   }
 

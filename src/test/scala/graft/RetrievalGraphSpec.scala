@@ -251,9 +251,8 @@ class RetrievalGraphSpec extends AnyFunSuite {
       (3L, ns(1990), 1L, "view"),
       (4L, ns(2000 - 7200), 1L, "view"),
       (5L, ns(2000 - 120), 1L, "view"))
-    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    TestFixtures.writeEvents(spark, d,
+      ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") })
     val r = graft.streaming.StreamOps.disorderProfile(spark, d).collect()
       .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
       .toMap

@@ -57,9 +57,8 @@ class StatOpsSpec extends AnyFunSuite {
       (1L, ns(0), 1L, "a"), (2L, ns(1), 1L, "b"), (3L, ns(2), 1L, "a"),
       (4L, ns(0), 2L, "a"), (5L, ns(1), 2L, "b"),
       (10L, ns(0), 3L, "x"), (11L, ns(0), 3L, "y"))
-    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    TestFixtures.writeEvents(spark, d,
+      ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") })
     val r = StatOps.eventTransitions(spark, d).collect()
       .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getDouble(3)))
       .toMap
@@ -127,9 +126,8 @@ class StatOpsSpec extends AnyFunSuite {
       (1L, ns(0), 1L, "a"), (2L, ns(10), 1L, "a"), (3L, ns(30), 1L, "a"),
       (4L, ns(5), 1L, "b"), (5L, ns(6), 1L, "b"),
       (6L, ns(100), 2L, "a")) // single event → no gap
-    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    TestFixtures.writeEvents(spark, d,
+      ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") })
     val r = StatOps.eventGapProfile(spark, d).collect()
       .map(x => x.getString(0) ->
         ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
@@ -145,9 +143,8 @@ class StatOpsSpec extends AnyFunSuite {
       (1L, ns(0), 1L, "a"), (2L, ns(1), 1L, "b"),
       (3L, ns(2), 1L, "c"), (4L, ns(3), 1L, "d"),
       (5L, ns(0), 2L, "a"), (6L, ns(1), 2L, "b"), (7L, ns(2), 2L, "c"))
-    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    TestFixtures.writeEvents(spark, d,
+      ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") })
     val r = StatOps.topPaths(spark, d).collect()
       .map(x => (x.getString(0), x.getLong(1)))
     assert(r.toSeq == Seq(("a>b>c", 2L), ("b>c>d", 1L)),
@@ -210,9 +207,8 @@ class StatOpsSpec extends AnyFunSuite {
       (1L, ns(0, 0), 1L, "a"), (2L, ns(0, 1), 1L, "b"),
       (3L, ns(0, 2), 2L, "a"), (4L, ns(0, 3), 2L, "b"),
       (5L, ns(1, 0), 1L, "a"), (6L, ns(1, 1), 2L, "a"))
-    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    TestFixtures.writeEvents(spark, d,
+      ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") })
     val r = StatOps.dailyTypeEntropy(spark, d).collect()
       .map(x => (x.getLong(1), x.getLong(2), x.getDouble(3)))
     assert(r.length == 2)

@@ -113,8 +113,11 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{col => c}
     val d = java.nio.file.Files.createTempDirectory("events-trans")
     val all = spark.read.schema(StreamOps.eventsRawSchema).parquet(streamDir)
+    // ts is TIMESTAMP_NTZ now — split on epoch micros (UTC session TZ
+    // makes the cast the identity) instead of the former raw BIGINT
+    def tsUs = unix_micros(c("ts").cast("timestamp"))
     val midTs = all.agg(org.apache.spark.sql.functions
-      .percentile_approx(c("ts"), org.apache.spark.sql.functions.lit(0.5),
+      .percentile_approx(tsUs, org.apache.spark.sql.functions.lit(0.5),
         org.apache.spark.sql.functions.lit(1000))).head.getLong(0)
     def arrive(tag: String, pred: org.apache.spark.sql.Column): Unit = {
       val staging = java.nio.file.Files.createTempDirectory(s"trans-$tag")
@@ -125,7 +128,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     // the "late" half arrives a whole micro-batch later — steps that
     // straddle the boundary must come out identical to the batch run
-    arrive("early", c("ts") < midTs)
+    arrive("early", tsUs < midTs)
     val streamed = StreamOps.transitionsStreaming(
       StreamOps.readEvents(spark, d.toString)
         .withWatermark("ts", "10 minutes")
@@ -136,7 +139,7 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       q.processAllAvailable()
-      arrive("late", c("ts") >= midTs)
+      arrive("late", tsUs >= midTs)
       q.processAllAvailable()
     } finally q.stop()
     val emitted = spark.table("trans_stream").collect()
@@ -167,8 +170,9 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{col => c}
     val d = java.nio.file.Files.createTempDirectory("events-sess")
     val all = spark.read.schema(StreamOps.eventsRawSchema).parquet(streamDir)
+    def tsUs = unix_micros(c("ts").cast("timestamp"))
     val midTs = all.agg(org.apache.spark.sql.functions
-      .percentile_approx(c("ts"), org.apache.spark.sql.functions.lit(0.5),
+      .percentile_approx(tsUs, org.apache.spark.sql.functions.lit(0.5),
         org.apache.spark.sql.functions.lit(1000))).head.getLong(0)
     def arrive(tag: String, pred: org.apache.spark.sql.Column): Unit = {
       val staging = java.nio.file.Files.createTempDirectory(s"sess-$tag")
@@ -178,7 +182,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.copy(part, d.resolve(s"$tag.parquet"))
     }
     // time-split so some sessions span the batch boundary
-    arrive("early", c("ts") < midTs)
+    arrive("early", tsUs < midTs)
     val streamed = StreamOps.sessionizeStreaming(
       StreamOps.readEvents(spark, d.toString)
         .withWatermark("ts", "10 minutes")
@@ -189,7 +193,7 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       q.processAllAvailable()
-      arrive("late", c("ts") >= midTs)
+      arrive("late", tsUs >= midTs)
       q.processAllAvailable()
     } finally q.stop()
     val emitted = spark.table("sess_stream").collect()

@@ -50,9 +50,8 @@ class TimeSeriesSpec extends AnyFunSuite {
       (4L, ns(0), 2L, "click"), (5L, ns(1), 2L, "view"),
       (6L, ns(0), 3L, "view"), (7L, ns(0), 3L, "purchase"), (8L, ns(1), 3L, "click"),
       (9L, ns(0), 4L, "click"), (10L, ns(1), 4L, "purchase"))
-    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    TestFixtures.writeEvents(spark, d,
+      ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") })
     val r = TimeSeriesOps.orderedFunnel(spark, d).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
   }
@@ -91,9 +90,8 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, ns(0), 1L, "view"), (2L, ns(1), 1L, "click"), (3L, ns(2), 1L, "purchase"),
       (4L, ns(0), 2L, "view"), (5L, ns(30), 2L, "click"),
       (6L, ns(0), 3L, "view"), (7L, ns(1), 3L, "click"), (8L, ns(20), 3L, "purchase"))
-    ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    TestFixtures.writeEvents(spark, d,
+      ev.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") })
     val r = TimeSeriesOps.windowedFunnel(spark, d).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
   }
@@ -127,9 +125,8 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, ns(0), 1L), (2L, ns(0, 1), 1L), (3L, ns(1), 1L), (4L, ns(3), 1L),
       (5L, ns(0, 2), 2L),
       (6L, ns(1, 4), 3L), (7L, ns(2), 3L))
-    ev.map { case (id, t, u) => (id, t, u, "click", 1.0, "{}") }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    TestFixtures.writeEvents(spark, d,
+      ev.map { case (id, t, u) => (id, t, u, "click", 1.0, "{}") })
     val r = TimeSeriesOps.cohortRetention(spark, d).collect()
       .map(x => ((x.getLong(0), x.getLong(1)),
         (x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
