@@ -35,8 +35,14 @@ object Bench {
     // noop sink materializes EVERY column — count() would let Catalyst
     // prune projection-only work (e.g. a fingerprint column that nothing
     // aggregates), timing just the scan.
+    // Optional comma-separated query filter for local iteration
+    // (unset = the full catalog, which is what the driver runs).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var failures = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (k, _) => f(k) })
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>

@@ -245,6 +245,92 @@ object MinHashKernel {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** First 8 MD5 bytes of `s` (UTF-8), big-endian signed long — the
+    * bit-identical JVM form of SQL `substr(md5(s), 1, 16)` read as a
+    * 64-bit value, which is what makes the md5-keyed fingerprints below
+    * reproducible in an ANSI engine. */
+  private def md5First8(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h
+  }
+
+  /** md5-keyed SimHash: identical vote/sign structure to [[simhash64]],
+    * but each token's 64-bit key is its leading MD5 half instead of
+    * xxhash64 — ~2× more hash work per token, bought back as a full
+    * DuckDB oracle for q45 (`substr(md5(w),1,16)` reproduces the key
+    * exactly; xxhash64 exists in no ANSI engine). Use [[simhash64]]
+    * where cross-engine parity is not required. Empty docs hash to 0. */
+  def simhashMd5(text: UTF8String): Long = {
+    val words = text.toString.split(' ')
+    val votes = new Array[Int](64)
+    val md = md5Local.get()
+    var j = 0
+    while (j < words.length) {
+      if (words(j).nonEmpty) {
+        val h = md5First8(md, words(j))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var r = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) r |= (1L << i); i += 1 }
+    r
+  }
+
+  /** md5-keyed winnowing: [[winnowFingerprint]]'s sliding-window-minimum
+    * selection with the Karp-Rabin rolling hash replaced by per-gram
+    * MD5 prefixes kept as fixed-width lowercase hex strings — for which
+    * lexicographic order IS unsigned numeric order, so the window
+    * minimum is engine-agnostic and the whole stream has an exact
+    * `md5(substr(text, i, n))` DuckDB oracle. O(len·n) hashing instead
+    * of O(len) — the price of auditability; the Karp-Rabin form remains
+    * the throughput path. Sorted distinct array; null below n chars. */
+  def winnowFingerprintMd5(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < n) return null
+    val md = md5Local.get()
+    val nHashes = s.length - n + 1
+    val hashes = new Array[String](nHashes)
+    var i = 0
+    while (i < nHashes) {
+      md.reset()
+      val d = md.digest(s.substring(i, i + n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(16)
+      var b = 0
+      while (b < 8) {
+        val v = d(b) & 0xff
+        sb.append(Character.forDigit(v >> 4, 16))
+        sb.append(Character.forDigit(v & 0xf, 16))
+        b += 1
+      }
+      hashes(i) = sb.toString
+      i += 1
+    }
+    val sel = scala.collection.mutable.SortedSet[String]()
+    val lastStart = math.max(0, nHashes - w)
+    var start = 0
+    while (start <= lastStart) {
+      val end = math.min(start + w, nHashes)
+      var m = hashes(start)
+      var j = start + 1
+      while (j < end) { if (hashes(j).compareTo(m) < 0) m = hashes(j); j += 1 }
+      sel += m
+      start += 1
+    }
+    new GenericArrayData(sel.toArray[Any](scala.reflect.ClassTag.Any)
+      .map(x => UTF8String.fromString(x.asInstanceOf[String])))
+  }
+
   /** Deterministic 1/16 sample of a document's char-k-gram MD5 digests
     * (those whose first hex nibble is 0), distinct + sorted lowercase
     * hex. MD5-of-substring is the one gram hash an ANSI-SQL oracle
@@ -466,6 +552,42 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Catalyst expression: text → md5-keyed 64-bit simhash (oracle-safe). */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.simhashMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.simhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: text → sorted distinct md5-keyed winnowing
+  * fingerprints as 16-hex-char strings (null below n chars). */
+case class WinnowFingerprintMd5(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.winnowFingerprintMd5(input.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.MinHashKernel.winnowFingerprintMd5($c, $n, $w);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Catalyst expression: text → array<string> distinct word n-grams. */
 case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
 
@@ -528,6 +650,12 @@ object HashKernels {
 
   def simhash64(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
+
+  def simhash_md5(text: Column): Column =
+    GraftSqlBridge.column(SimHashMd5(GraftSqlBridge.expression(text)))
+
+  def winnow_fingerprint_md5(text: Column, n: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowFingerprintMd5(GraftSqlBridge.expression(text), n, w))
 
   def hashed_tf_vector(text: Column, dim: Int): Column =
     GraftSqlBridge.column(HashedTfVector(GraftSqlBridge.expression(text), dim))

@@ -785,14 +785,18 @@ object NearDupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document: every token votes ±1 on each bit of its
-    * xxhash64; the sign pattern becomes the fingerprint. Near-dups differ
-    * in few bits. Per-row, no shuffle; uses the fused Catalyst kernel
-    * (bit-identical to this composed form — pinned in NearDupSpec). */
+  /** 64-bit SimHash per document: every token votes ±1 on each bit of
+    * its 64-bit key; the sign pattern becomes the fingerprint. Near-dups
+    * differ in few bits. Per-row, no shuffle. The catalog query keys
+    * tokens with the leading MD5 half (fused kernel) so the fingerprint
+    * has a full DuckDB oracle — `substr(md5(w),1,16)` reproduces the
+    * key bit-for-bit; the xxhash64-keyed kernel (simhash64) remains the
+    * throughput variant, cross-checked against its composed form in
+    * NearDupSpec. */
   def simhash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        graft.functions.HashKernels.simhash64(col("text")).as("simhash"))
+        graft.functions.HashKernels.simhash_md5(col("text")).as("simhash"))
       .orderBy("doc_id")
 
   /** Composed-builtin simhash, kept as the cross-check reference for the
@@ -1198,14 +1202,39 @@ object NearDupOps {
     "q93_edit_neardup" -> editNearDup,
     "q107_chunk_neardup" -> chunkNearDup)
 
-  // q45 hashes with xxhash64 (not available in DuckDB) → rows-only
-  // driver check; its value-level verification is NearDupSpec. q43/q49
-  // ARE oracle-checked despite their probabilistic candidate stage: the
-  // exact-verified output equals brute-force thresholded Jaccard as long
-  // as candidate recall is complete at the threshold (it is, at every
-  // fixture scale — and candidate recall on planted dups is additionally
-  // pinned in NearDupSpec).
+  // q43/q49 ARE oracle-checked despite their probabilistic candidate
+  // stage: the exact-verified output equals brute-force thresholded
+  // Jaccard as long as candidate recall is complete at the threshold
+  // (it is, at every fixture scale — and candidate recall on planted
+  // dups is additionally pinned in NearDupSpec).
   val oracleSql: Map[String, String] = Map(
+    // q45: md5-keyed simhash replayed in SQL. Per token the 64-bit key
+    // is substr(md5(w),1,16); bit i (LSB-numbered) lives in hex char
+    // 16 - i//4 at nibble position i%4; votes sum ±1 per token; the
+    // sign pattern packs to a signed BIGINT through HUGEINT (bit 63 is
+    // the sign contribution -2^63). Docs with no tokens fingerprint to
+    // 0 via the left join.
+    "q45_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.w AS w
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        |  WHERE u.w <> ''),
+        |th AS (SELECT doc_id, substr(md5(w), 1, 16) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, g.i AS i,
+        |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(h, CAST(16 - (g.i // 4) AS INT), 1)) - 1)
+        |        >> (g.i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th, unnest(generate_series(0, 63)) AS g(i)
+        |  GROUP BY doc_id, g.i),
+        |fp AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN
+        |      CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |           ELSE CAST(CAST(1 AS BIGINT) << CAST(i AS INT) AS HUGEINT) END
+        |    ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
+        |FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q107_chunk_neardup" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |            FROM documents),

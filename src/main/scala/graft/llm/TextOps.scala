@@ -139,16 +139,20 @@ object TextOps {
       .orderBy("event_type")
 
   /** Rolling-hash document fingerprinting (winnowing): char-8-gram
-    * Karp-Rabin hashes, window minima, distinct — shared substrings of
-    * length ≥ 23 guarantee shared fingerprints even when edits shift
-    * the rest of the document. Kernel-hashed → rows-only driver check;
+    * hashes, window minima, distinct — shared substrings of length ≥ 23
+    * guarantee shared fingerprints even when edits shift the rest of
+    * the document. The catalog query keys grams with MD5 prefixes kept
+    * as fixed-width hex (fused kernel), for which the window minimum is
+    * engine-agnostic — so the stream has a full DuckDB oracle
+    * (`md5(substr(text, i, 8))`); the Karp-Rabin kernel
+    * (winnow_fingerprint) remains the throughput variant, its
     * shift-robustness pinned in NearDupSpec. */
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        graft.functions.HashKernels.winnow_fingerprint(col("text"), 8, 16).as("fp"))
+        graft.functions.HashKernels.winnow_fingerprint_md5(col("text"), 8, 16).as("fp"))
       .filter(col("fp").isNotNull)
-      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fingerprints"),
         element_at(col("fp"), 1).as("fp_min"))
       .orderBy("doc_id")
 
@@ -420,6 +424,26 @@ object TextOps {
     "q37_json_props"    -> jsonProps)
 
   val oracleSql: Map[String, String] = Map(
+    // q54: the md5-keyed winnowing stream replayed in SQL — per-position
+    // gram hash substr(md5(substr(text,i,8)),1,16), sliding window-of-16
+    // minima over positions (the clamp i <= greatest(1, L-22) mirrors
+    // the kernel's lastStart = max(0, nHashes - w)), distinct, then the
+    // count + lexicographic min the query reports.
+    "q54_rolling_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L
+        |           FROM documents WHERE length(text) >= 8),
+        |pos AS (SELECT doc_id, L, g.i AS i,
+        |    substr(md5(substr(text, CAST(g.i AS INT), 8)), 1, 16) AS h
+        |  FROM d, unnest(generate_series(1, L - 7)) AS g(i)),
+        |wins AS (SELECT doc_id, i, L,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+        |  FROM pos),
+        |sel AS (SELECT DISTINCT doc_id, m FROM wins
+        |        WHERE i <= greatest(1, L - 22))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+        |  MIN(m) AS fp_min
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q77_normalize_text" ->
       """SELECT doc_id, text,
         |  regexp_replace(

@@ -591,13 +591,22 @@ object VectorOps {
             (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
           lit(0.0), (acc, v) => acc + v)), 6).as("dist6"))
     val n = dist.agg(count(lit(1)).as("n"))
+    // Median as an order statistic over the value histogram, with the
+    // cumulative count on Prefix.cumSums rather than Window.orderBy —
+    // 6dp-rounded distances are near-unique, so that histogram is
+    // O(|vectors|) and an unpartitioned WindowExec would funnel the
+    // corpus through one task. The micro-unit key floor(v·10⁶ + 0.5) is
+    // a bijection on 6dp-rounded values (distinct values differ by ≥ 1
+    // micro), so ordering by it IS ordering by value, blocks cover
+    // bounded value ranges, and the selected member value (min over the
+    // ≥⌈n/2⌉ tail) is untouched — the oracle keeps the plain
+    // window-over-histogram form.
     def histMedian(values: DataFrame, vcol: String, out: String): DataFrame = {
-      val wcum = Window.orderBy(vcol)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      values.groupBy(vcol).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(wcum))
+      val hist = values.groupBy(vcol).agg(count(lit(1)).as("cnt"))
+        .withColumn("k", floor(col(vcol) * 1e6 + lit(0.5)).cast("long"))
+      graft.ops.Prefix.cumSums(hist, "k", Seq("cnt"))
         .crossJoin(broadcast(n))
-        .filter(col("cum") >= ceil(col("n") / 2.0))
+        .filter(col("cnt_cum") >= ceil(col("n") / 2.0))
         .agg(min(col(vcol)).as(out))
     }
     val med = histMedian(dist, "dist6", "med")

@@ -34,19 +34,59 @@ object GraphOps {
     * self-join (a < b < c) — orientation changes WHICH corner finds a
     * triangle, never whether it is found, so the two enumerations agree
     * row-for-row. */
+  /** Session-scoped memo for the family's shared derived frames (the
+    * incidence list and the edge list). Six catalog queries each start
+    * from the same co-purchase graph; without this, every one re-runs
+    * the lineitem distinct + self-join + distinct just to get its input
+    * — at 100 TB that is six full fact-table scans for one derived
+    * asset. Memoizing the MATERIALIZED frame per (session, dir) is the
+    * in-session form of the staged-index pattern (IvfIndex/BandIndex
+    * `ensure`): first caller pays the build, the rest reuse the blocks.
+    * Weak keys so a closed session's blocks are collectable. */
+  private val memoCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val m = memoCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    val cached = m.get(key)
+    if (cached != null) cached
+    else {
+      // Build OUTSIDE the map update: computeIfAbsent forbids reentrancy,
+      // and the edges build recurses into the incidence memo. Concurrent
+      // duplicate builds are possible and harmless — the frames are
+      // deterministic and the first registration wins.
+      val built = graft.Materialize.stable(build)
+      val prev = m.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Distinct (order, part) incidence pairs — the bipartite base frame.
+    * Hash-partitioned by order key before materializing: localCheckpoint
+    * preserves outputPartitioning in the LogicalRDD, so the edge-build
+    * self-join (on o) and HITS' per-iteration o-joins reuse the layout
+    * instead of re-exchanging the big frame each time. */
+  private def incidence(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"incidence:$dir") {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .repartition(col("o"))
+    }
+
   /** Distinct undirected co-purchase edges (u < v), materialized once:
     * within-order part pairs are bounded per order by its line count,
     * so edge instances grow linearly with the fact table. */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val it = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    graft.Materialize.stable(
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"edges:$dir") {
+      val it = incidence(s, dir)
       it.as("a").join(it.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct())
-  }
+        .distinct()
+    }
 
   def triangleCounts(s: SparkSession, dir: String): DataFrame = {
     val e = coPurchaseEdges(s, dir)
@@ -57,12 +97,15 @@ object GraphOps {
     // adjacency arrays below.
     val uLower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // src-partitioned: the adjacency groupBy and the first closure join
+    // both cluster on src and reuse the layout.
     val directed = graft.Materialize.stable(
       e.join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
         .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
         .select(
           when(uLower, col("u")).otherwise(col("v")).as("src"),
-          when(uLower, col("v")).otherwise(col("u")).as("dst")))
+          when(uLower, col("v")).otherwise(col("u")).as("dst"))
+        .repartition(col("src")))
     // Edge-centric closure: a triangle in the orientation DAG is
     // exactly {a→b, a→c, b→c}, so for each directed edge (a,b) its
     // triangles are N⁺(a) ∩ N⁺(b) — each found ONCE, from its two
@@ -117,24 +160,32 @@ object GraphOps {
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = deg.select(col("src").as("n"), col("outdeg"))
     val nStats = nodes.agg(count(lit(1)).as("n_nodes"))
+    // Partitioned by src before the lineage cut so the five rank joins
+    // below exchange only the |V|-row rank frame, never the edge list.
     val edgesWithDeg = graft.Materialize.stable(
-      sym.join(deg, Seq("src")))
+      sym.join(deg, Seq("src")).repartition(col("src")))
     var r = nodes.crossJoin(broadcast(nStats))
       .select(col("n"),
         floor(lit(1.0) / col("n_nodes") * lit(1.0e10) + lit(0.5))
           .cast("long").as("r"))
+    // No per-iteration materialization: unlike BFS/HITS (whose loop
+    // variable is referenced twice per round, so an unmaterialized plan
+    // doubles per level), each rank frame feeds exactly ONE downstream
+    // join — the unrolled 5-iteration plan is linear in size, every
+    // shuffle is over the |V|-row rank frame keyed by node id, and the
+    // edge frame below it is the one materialized leaf. One job, AQE
+    // over the whole chain, no per-round scheduling overhead.
     for (_ <- 1 to 5) {
       val contrib = edgesWithDeg
         .join(r.select(col("n").as("src"), col("r")), Seq("src"))
         .select(col("dst"),
           floor(lit(0.85) * (col("r") / col("outdeg")) + lit(0.5))
             .cast("long").as("c"))
-      r = graft.Materialize.stable(
-        contrib.groupBy("dst").agg(sum(col("c")).as("csum"))
-          .crossJoin(broadcast(nStats))
-          .select(col("dst").as("n"),
-            (floor(lit(0.15) / col("n_nodes") * lit(1.0e10) + lit(0.5))
-              .cast("long") + col("csum")).as("r")))
+      r = contrib.groupBy("dst").agg(sum(col("c")).as("csum"))
+        .crossJoin(broadcast(nStats))
+        .select(col("dst").as("n"),
+          (floor(lit(0.15) / col("n_nodes") * lit(1.0e10) + lit(0.5))
+            .cast("long") + col("csum")).as("r"))
     }
     r.join(nodes, Seq("n"))
       .orderBy(col("r").desc, col("n"))
@@ -156,9 +207,12 @@ object GraphOps {
     * oracle is a bounded recursive CTE with UNION dedup semantics. */
   def bfsProfile(s: SparkSession, dir: String): DataFrame = {
     val e = coPurchaseEdges(s, dir)
+    // src-partitioned before the cut: each hop's frontier join then
+    // exchanges only the (small) frontier, not the symmetric edge list.
     val sym = graft.Materialize.stable(
       e.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(e.select(col("v").as("src"), col("u").as("dst"))))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val seed = deg
       .orderBy(col("deg").desc, col("src")).limit(1)
@@ -202,9 +256,7 @@ object GraphOps {
     * state bigger than the pair-count frame, which grows linearly with
     * the fact table. */
   def associationRules(s: SparkSession, dir: String): DataFrame = {
-    val it = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
+    val it = incidence(s, dir)
     val pairSupp = it.as("a").join(it.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
@@ -280,10 +332,7 @@ object GraphOps {
     * shape, materialized per the §8.12 rule); the normalizing max is a
     * broadcast 1-row frame. */
   def hitsRanking(s: SparkSession, dir: String): DataFrame = {
-    val it = graft.Materialize.stable(
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct())
+    val it = incidence(s, dir)
     var auth = it.select(col("p")).distinct()
       .select(col("p"), lit(1000000L).as("a"))
     var hub: DataFrame = null

@@ -21,11 +21,12 @@ class ContractSpec extends AnyFunSuite {
     // an exact full-probe twin under a real oracle (q86/q67). A new
     // query landing without an oracle must either get one or be argued
     // onto this list explicitly.
+    // q45/q54 left this list in round 7: their fingerprints are now
+    // md5-keyed (simhash_md5 / winnow_fingerprint_md5), which an ANSI
+    // oracle reproduces bit-for-bit.
     val rowsOnly = Set(
       "q27_approx_profile",     // HLL sketch (engine-specific registers)
-      "q45_simhash",            // xxhash64 fingerprint (no DuckDB xxhash)
       "q46_ann_topk",           // approximate bucket recall (twin: q86)
-      "q54_rolling_fingerprint", // Karp-Rabin rolling-hash stream
       "q57_ivf_topk")           // approximate cell recall (twin: q67)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly,

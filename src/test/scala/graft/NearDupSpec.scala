@@ -93,9 +93,13 @@ class NearDupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("fused simhash equals composed simhash bit-for-bit") {
-    val a = NearDupOps.simhash(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("fused xxhash simhash equals composed simhash bit-for-bit") {
+    // q45 itself is md5-keyed (oracle-checked); this pins the xxhash64
+    // throughput kernel against its composed-builtin reference.
+    val a = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.HashKernels.simhash64(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = NearDupOps.simhashComposed(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
