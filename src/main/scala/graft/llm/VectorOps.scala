@@ -547,6 +547,75 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Incremental semantic dedup — [[semanticDedup]]'s add-batch form
+    * (the q76/q106/q132 maintenance pattern applied to SemDeDup). The
+    * standard ingest boundary (vec_id % 10 = 7) plays the incoming
+    * batch; everything else is the already-deduped corpus whose
+    * component partition is the staged state (production reads it as a
+    * staged parquet next to the IVF centroids; recomputed here so the
+    * query is self-contained, the q76 posture).
+    *
+    * The incremental step computes cosine ONLY for pairs touching the
+    * batch — O(|batch| · cluster width), never old×old — and recovers
+    * the full-corpus components by running the component step over the
+    * STAR EDGES of the staged partition (member → representative, one
+    * edge per deduped member: contracting known-connected nodes
+    * preserves connectivity) unioned with the new batch edges. A new
+    * vector can therefore appear as a fresh singleton, join a cluster,
+    * or MERGE two staged clusters — all three arise on the fixture, and
+    * the oracle (q90's full-corpus recursive CTE, verbatim) proves the
+    * result equals a from-scratch dedup; StagedEquivalenceSpec pins the
+    * same against [[semanticDedup]] directly. */
+  def semanticDedupAddBatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val isNew = pmod(col("vec_id"), lit(10)) === 7
+    val e = t(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding").as("v"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val old = e.filter(!isNew)
+    val batch = e.filter(isNew)
+    // Staged state: the old corpus's component partition.
+    val oldA = old.select(col("label"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val oldB = old.select(col("label"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val oldEdges = oldA.join(oldB, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("sim"))
+      .filter(col("sim") >= 0.35)
+      .select(col("id_a"), col("id_b"))
+    val staged = Graphs.connectedComponents(oldEdges)
+    // Add path: batch × same-label corpus sims only, then components
+    // over star edges + new edges — the only per-ingest work.
+    val ba = batch.select(col("label"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val all = e.select(col("label"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val newEdges = ba.join(all, Seq("label"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("sim"))
+      .filter(col("sim") >= 0.35)
+      .select(col("id_a"), col("id_b")).distinct()
+    val starEdges = staged
+      .filter(col("id") =!= col("component"))
+      .select(col("component").as("id_a"), col("id").as("id_b"))
+    val comp = Graphs.connectedComponents(starEdges.unionByName(newEdges))
+      .select(col("id").as("vec_id"), col("component"))
+    val wc = Window.partitionBy("cluster_id")
+    e.select(col("vec_id"), col("label"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   /** Prototypicality / outlier scoring by distance to the cluster
     * centroid — the pruning signal of Sorscher et al. ("Beyond neural
     * scaling laws", 2022) and the standard mislabeled-embedding gate:
@@ -716,6 +785,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_pair_cosine_calibration" -> pairCosineCalibration,
     "q90_semantic_dedup"  -> semanticDedup,
+    "q170_semdedup_add_batch" -> semanticDedupAddBatch,
     "q91_centroid_outliers" -> centroidOutliers,
     "q134_centroid_drift" -> centroidDrift,
     "q74_int8_quantize"   -> int8Quantize,
@@ -846,6 +916,36 @@ object VectorOps {
         |FROM pick WHERE vr = 1
         |ORDER BY query_id""".stripMargin,
     "q90_semantic_dedup" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |      AS sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM sims WHERE sim >= 0.35),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, g.b FROM reach r JOIN edges g ON g.a = r.dst),
+        |comp AS (SELECT src AS vec_id, MIN(dst) AS component FROM reach GROUP BY src),
+        |allv AS (
+        |  SELECT e.vec_id, e.label, COALESCE(c.component, e.vec_id) AS cluster_id
+        |  FROM e LEFT JOIN comp c ON c.vec_id = e.vec_id),
+        |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |       FROM allv GROUP BY 1)
+        |SELECT a.vec_id, a.label, a.cluster_id, cs.n_members,
+        |       a.vec_id = a.cluster_id AS keep
+        |FROM allv a JOIN cs USING (cluster_id)
+        |ORDER BY a.vec_id""".stripMargin,
+    // q170 shares q90's full-corpus oracle BY DESIGN: the maintenance
+    // contract is that the staged-components + batch-edges path equals a
+    // from-scratch dedup of the merged corpus — any pair the add path
+    // misses, any component it fails to merge, is a hash mismatch here.
+    "q170_semdedup_add_batch" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sims AS (

@@ -136,4 +136,42 @@ class SemanticOpsSpec extends AnyFunSuite {
     assert(r.head.getLong(3) == 5L)
     assert(!r.head.getBoolean(4))
   }
+
+  test("incremental semantic dedup equals from-scratch dedup on the driver fixture") {
+    val fresh = VectorOps.semanticDedup(spark, sfDir).collect().map(_.toSeq).toSeq
+    val staged = VectorOps.semanticDedupAddBatch(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(staged == fresh,
+      "staged-components + batch-edges path must reproduce a full dedup")
+  }
+
+  test("incremental semantic dedup handles join and MERGE of staged clusters") {
+    // Staged corpus (vec_id % 10 != 7): clusters {1,2} on axis 0 and
+    // {3,4} on axis 1, plus singleton 5 on axis 2 — axes are orthogonal
+    // so the staged partition has two 2-clusters. The batch (17, 27):
+    // 17 is the diagonal bridge between axes 0 and 1 (cos 0.707 ≥ 0.35
+    // to all of 1..4) → its arrival must MERGE the two staged clusters;
+    // 27 is a fresh singleton on axis 3.
+    def v(x: Float, y: Float, z: Float, w: Float) = Seq(x, y, z, w)
+    val rows = Seq(
+      (1L, v(1, 0, 0, 0), 0), (2L, v(1, 0.01f, 0, 0), 0),
+      (3L, v(0, 1, 0, 0), 0), (4L, v(0.01f, 1, 0, 0), 0),
+      (5L, v(0, 0, 1, 0), 0),
+      (17L, v(1, 1, 0, 0), 0),
+      (27L, v(0, 0, 0, 1), 0))
+    val d = embDir(rows)
+    val got = VectorOps.semanticDedupAddBatch(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    Seq(1L, 2L, 3L, 4L, 17L).foreach { id =>
+      assert(got(id)._1 == 1L && got(id)._2 == 5L,
+        s"vec $id must land in the merged 5-member cluster rooted at 1")
+    }
+    assert(got(1L)._3 && !got(17L)._3, "representative is the min id")
+    assert(got(27L) == ((27L, 1L, true)), "new singleton keeps itself")
+    assert(got(5L) == ((5L, 1L, true)), "staged singleton untouched")
+    // and the incremental result still equals a from-scratch dedup here
+    val fresh = VectorOps.semanticDedup(spark, d).collect().map(_.toSeq).toSeq
+    val staged = VectorOps.semanticDedupAddBatch(spark, d).collect().map(_.toSeq).toSeq
+    assert(staged == fresh)
+  }
 }
