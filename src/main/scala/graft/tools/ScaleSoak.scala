@@ -138,6 +138,27 @@ object ScaleSoak {
       graft.llm.BandIndex.ensure(spark, dir, graft.llm.BandIndex.Boundary.all)
       ()
     }
+    // Staged PROBE paths (round-4 item #6): the per-ingest cost that
+    // must stay O(batch) while the indexes above grow with the corpus.
+    // Builds are timed separately (band_index_ingest_build /
+    // posting_index_build) so the probe lines measure probes.
+    time("band_index_ingest_build") {
+      graft.llm.BandIndex.ensure(spark, dir,
+        graft.llm.BandIndex.Boundary.ingestMod10)
+      ()
+    }
+    time("incremental_staged_probe") {
+      graft.llm.NearDupOps.incrementalNearDupStaged(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("posting_index_build") {
+      graft.llm.PostingIndex.ensure(spark, dir)
+      ()
+    }
+    time("bm25_staged_probe") {
+      graft.llm.RetrievalOps.bm25Staged(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("minhash_pairs") {
       graft.llm.NearDupOps.minhashPairs(spark, dir)
         .write.format("noop").mode("overwrite").save()
