@@ -25,9 +25,10 @@ object SimplifySelfCosine extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`). This is the deployment path
   * for a cluster: users get `cosine_sim`, `dot_product`, `self_cosine`,
-  * `hyperplane_bucket`, `shingle_minhash`, `simhash64`,
-  * `winnow_fingerprint`, and `hashed_tf_vector` in plain SQL with full
-  * codegen, plus the SimplifySelfCosine optimizer rule.
+  * `hyperplane_bucket`, `shingle_minhash`, `simhash64`, `simhash_md5`,
+  * `winnow_fingerprint`, `winnow_fingerprint_md5`, and
+  * `hashed_tf_vector` in plain SQL with full codegen, plus the
+  * SimplifySelfCosine optimizer rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -56,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
       (exprs: Seq[Expression]) =>
         WinnowFingerprint(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
+      (exprs: Seq[Expression]) => SimHashMd5(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprint_md5"),
+      new ExpressionInfo(classOf[WinnowFingerprintMd5].getName, "winnow_fingerprint_md5"),
+      (exprs: Seq[Expression]) =>
+        WinnowFingerprintMd5(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
     ext.injectFunction((FunctionIdentifier("hashed_tf_vector"),
       new ExpressionInfo(classOf[HashedTfVector].getName, "hashed_tf_vector"),
       (exprs: Seq[Expression]) => HashedTfVector(exprs(0), intArg(exprs(1)))))

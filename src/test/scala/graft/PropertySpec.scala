@@ -53,6 +53,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("md5 simhash is token-order invariant and parity-matches a JVM replay") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val ws = words(2 + rnd.nextInt(10))
+      val a = ws.mkString(" ")
+      val b = new scala.util.Random(rnd.nextInt()).shuffle(ws).mkString(" ")
+      val r = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+        .select(graft.functions.HashKernels.simhash_md5(col("text")).as("s"))
+        .collect().map(_.getLong(0))
+      assert(r(0) == r(1), s"'$a' vs '$b'")
+      // independent replay of the oracle arithmetic: per-token leading
+      // MD5 half (big-endian == substr(md5(w),1,16)), ±1 votes, sign pack
+      val votes = new Array[Int](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      a.split(' ').filter(_.nonEmpty).foreach { w =>
+        md.reset()
+        val d = md.digest(w.getBytes("UTF-8"))
+        val h = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+        (0 until 64).foreach(i =>
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1)
+      }
+      val expect = (0 until 64).foldLeft(0L)((acc, i) =>
+        if (votes(i) > 0) acc | (1L << i) else acc)
+      assert(r(0) == expect, s"kernel/replay divergence on '$a'")
+    }
+  }
+
+  test("md5 winnowing keeps the shift-robustness of the Karp-Rabin form") {
+    import spark.implicits._
+    val base = words(40).mkString(" ")
+    val shifted = "NEW PREFIX WORDS HERE " + base
+    val other = (0 until 40).map(i => s"zzz$i").mkString(" ")
+    val fps = Seq((0L, base), (1L, shifted), (2L, other))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.HashKernels.winnow_fingerprint_md5(col("text"), 8, 16).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    def overlap(a: Set[String], b: Set[String]) =
+      a.intersect(b).size.toDouble / math.min(a.size, b.size)
+    assert(overlap(fps(0L), fps(1L)) > 0.6,
+      s"prefix-shifted doc must share most md5 fingerprints, got ${overlap(fps(0L), fps(1L))}")
+    assert(overlap(fps(0L), fps(2L)) < 0.2)
+    assert(fps(0L).forall(h => h.length == 16 && h.forall("0123456789abcdef".contains(_))),
+      "fingerprints are fixed-width lowercase hex")
+  }
+
   test("minhash of a token superset is elementwise <= (min monotone)") {
     import spark.implicits._
     (1 to 20).foreach { _ =>

@@ -18,6 +18,12 @@ class ScaleUtilsSpec extends AnyFunSuite {
       "SELECT simhash64('a b c') AS s, shingle_minhash('a b c d', 3, 8) AS m").head
     assert(sh.getLong(0) != 0L)
     assert(sh.getSeq[Long](1).length == 8)
+    val md5fns = spark.sql(
+      """SELECT simhash_md5('a b c') AS s,
+        |       winnow_fingerprint_md5('abcdefghijklmnop', 8, 4) AS w
+        |""".stripMargin).head
+    assert(md5fns.getLong(0) != 0L)
+    assert(md5fns.getSeq[String](1).forall(_.length == 16))
     val more = spark.sql(
       """SELECT winnow_fingerprint('abcdefghijklmnop', 8, 4) AS w,
         |       hashed_tf_vector('a b c', 16) AS v,
