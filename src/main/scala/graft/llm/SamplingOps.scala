@@ -49,17 +49,17 @@ object SamplingOps {
   /** The packing transform shared by q64 and q65: given rows with
     * (doc_id, n_tokens, …), append cum_tokens and shard_id — shard id =
     * the doc's cumulative start offset over the budget, in stable
-    * doc_id order. One window pass; at scale the ordering column would
-    * be a precomputed global sort key, and the same arithmetic holds
-    * per sort-partition. */
-  def packByBudget(df: DataFrame, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
-    df.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    * doc_id order. The running total rides `Prefix.cumSums` (doc_id is
+    * a distinct integral key, so value-range blocks bound every task)
+    * — the unpartitioned-window form this replaces funneled the whole
+    * corpus through one task, the q110/q115/q116/q91 scale-killer
+    * class. Same values, same oracles. */
+  def packByBudget(df: DataFrame, budget: Long): DataFrame =
+    graft.ops.Prefix.cumSums(df, "doc_id", Seq("n_tokens"))
+      .withColumnRenamed("n_tokens_cum", "cum_tokens")
       .withColumn("shard_id",
         ((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
       .orderBy("doc_id")
-  }
 
   /** Token-budget shard packing over the whole corpus. */
   def shardPack(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame =
