@@ -31,6 +31,7 @@ object Bench {
       graft.llm.BandIndex.ensure(spark, sfDir,
         graft.llm.BandIndex.Boundary.all)
       graft.llm.PostingIndex.ensure(spark, sfDir)
+      graft.llm.SemDedupIndex.ensure(spark, sfDir)
     } catch { case _: Throwable => () }
     // noop sink materializes EVERY column — count() would let Catalyst
     // prune projection-only work (e.g. a fingerprint column that nothing

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline component index for semantic dedup — the staged state of the
+  * SemDeDup maintenance path (q171), mirroring [[BandIndex]]'s
+  * offline-build/online-probe split and atomic-publish discipline.
+  *
+  * Staged table:
+  *   - `components/` — (vec_id, component) for every corpus-side vector
+  *     that belongs to a multi-member semantic cluster (component = min
+  *     member id, the q90 representative rule). Singletons are absent —
+  *     the probe coalesces them to themselves, so the table is
+  *     proportional to the semantic dup rate, not the corpus.
+  *
+  * The per-ingest probe then needs ONLY batch-touching cosine work:
+  * star edges reconstructed from this table (member → representative)
+  * plus batch × same-cluster-key sims, components re-run on that small
+  * graph (see [[VectorOps.semanticDedupAddBatch]] for the equivalence
+  * argument — contracting known-connected nodes preserves
+  * connectivity).
+  *
+  * Keyed on corpus version (path | bytes | mtime), the similarity
+  * threshold, the boundary identity, and a layout version — the
+  * [[BandIndex]] rule: drifting content or a changed batch predicate
+  * rebuilds under a fresh key rather than silently serving stale
+  * membership. Publication is staging write + one atomic rename with
+  * completeness keyed on `components/_SUCCESS`. */
+object SemDedupIndex {
+
+  private def cacheRoot: String =
+    sys.env.getOrElse("GRAFT_INDEX_DIR",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
+
+  private val LayoutVersion = 1
+  private val SimThreshold = 0.35
+
+  def indexDir(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val bytes = fs.getContentSummary(p).getLength
+    val id = s"$dir|$bytes|${st.getModificationTime}|semdedup" +
+      s"|thr=$SimThreshold|batch=mod10eq7|v=$LayoutVersion"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    s"$cacheRoot/semdedup_$key"
+  }
+
+  /** Offline build over the corpus side (vec_id % 10 ≠ 7): the
+    * cluster-restricted pairwise pass q90 runs, reduced to its
+    * component partition. Runs as a scheduled staging stage at scale —
+    * its cost is the one SemDeDup pays once per corpus version, and
+    * per-cluster pair counts stay ~constant as long as the cluster key
+    * granularity grows with the corpus (q90's k ≈ n/1000 note). */
+  def build(s: SparkSession, dir: String): String = {
+    import graft.functions.VectorFunctions.dot_product
+    val idx = indexDir(s, dir)
+    val tmp = s"$idx.tmp-${java.util.UUID.randomUUID}"
+    val old = graft.Tables.tSpread(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      .select(col("label"), col("vec_id"), col("embedding").as("v"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val a = old.select(col("label"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = old.select(col("label"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val edges = a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("sim"))
+      .filter(col("sim") >= SimThreshold)
+      .select(col("id_a"), col("id_b"))
+    Graphs.connectedComponents(edges)
+      .select(col("id").as("vec_id"), col("component"))
+      .write.mode("overwrite").parquet(s"$tmp/components")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/components/_SUCCESS")
+    if (fs.exists(idxPath) && !fs.exists(marker)) fs.delete(idxPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), idxPath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      if (!fs.exists(marker))
+        throw new IllegalStateException(
+          s"semdedup index publish failed and no complete index exists at $idx")
+    }
+    idx
+  }
+
+  /** Build-if-absent, keyed by (corpus version, threshold, boundary). */
+  def ensure(s: SparkSession, dir: String): String = {
+    val idx = indexDir(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/components/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) build(s, dir) else idx
+  }
+
+  /** The staged component partition as a DataFrame (build-if-absent). */
+  def components(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensure(s, dir)}/components")
+}

@@ -573,8 +573,8 @@ object VectorOps {
       .select(col("label"), col("vec_id"), col("embedding").as("v"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
     val old = e.filter(!isNew)
-    val batch = e.filter(isNew)
-    // Staged state: the old corpus's component partition.
+    // Staged state: the old corpus's component partition (inline here;
+    // q171 reads the same partition from the staged parquet index).
     val oldA = old.select(col("label"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
     val oldB = old.select(col("label"), col("vec_id").as("id_b"),
@@ -587,8 +587,30 @@ object VectorOps {
       .filter(col("sim") >= 0.35)
       .select(col("id_a"), col("id_b"))
     val staged = Graphs.connectedComponents(oldEdges)
-    // Add path: batch × same-label corpus sims only, then components
-    // over star edges + new edges — the only per-ingest work.
+      .select(col("id").as("vec_id"), col("component"))
+    semDedupProbe(s, dir, staged)
+  }
+
+  /** q171 — [[semanticDedupAddBatch]]'s production form: the staged
+    * component partition comes from the [[SemDedupIndex]] parquet
+    * (built offline per corpus version, atomic publish), so the
+    * per-ingest plan contains ONLY the batch-touching cosine work and
+    * the small component graph. Same oracle as q90/q170;
+    * SemanticOpsSpec pins staged-parquet ≡ inline ≡ fresh. */
+  def semanticDedupStaged(s: SparkSession, dir: String): DataFrame =
+    semDedupProbe(s, dir, SemDedupIndex.components(s, dir))
+
+  /** The shared add-batch probe: batch × same-cluster-key sims, then
+    * components over the staged partition's star edges + the new
+    * edges. O(batch · cluster width) similarity work, never old×old. */
+  private def semDedupProbe(s: SparkSession, dir: String,
+      staged: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val isNew = pmod(col("vec_id"), lit(10)) === 7
+    val e = t(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding").as("v"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val batch = e.filter(isNew)
     val ba = batch.select(col("label"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
     val all = e.select(col("label"), col("vec_id").as("id_b"),
@@ -602,8 +624,8 @@ object VectorOps {
       .filter(col("sim") >= 0.35)
       .select(col("id_a"), col("id_b")).distinct()
     val starEdges = staged
-      .filter(col("id") =!= col("component"))
-      .select(col("component").as("id_a"), col("id").as("id_b"))
+      .filter(col("vec_id") =!= col("component"))
+      .select(col("component").as("id_a"), col("vec_id").as("id_b"))
     val comp = Graphs.connectedComponents(starEdges.unionByName(newEdges))
       .select(col("id").as("vec_id"), col("component"))
     val wc = Window.partitionBy("cluster_id")
@@ -786,6 +808,7 @@ object VectorOps {
     "q160_pair_cosine_calibration" -> pairCosineCalibration,
     "q90_semantic_dedup"  -> semanticDedup,
     "q170_semdedup_add_batch" -> semanticDedupAddBatch,
+    "q171_semdedup_staged" -> semanticDedupStaged,
     "q91_centroid_outliers" -> centroidOutliers,
     "q134_centroid_drift" -> centroidDrift,
     "q74_int8_quantize"   -> int8Quantize,
@@ -941,10 +964,38 @@ object VectorOps {
         |       a.vec_id = a.cluster_id AS keep
         |FROM allv a JOIN cs USING (cluster_id)
         |ORDER BY a.vec_id""".stripMargin,
-    // q170 shares q90's full-corpus oracle BY DESIGN: the maintenance
-    // contract is that the staged-components + batch-edges path equals a
-    // from-scratch dedup of the merged corpus — any pair the add path
-    // misses, any component it fails to merge, is a hash mismatch here.
+    // q170/q171 share q90's full-corpus oracle BY DESIGN: the
+    // maintenance contract is that the staged-components + batch-edges
+    // path (inline staged state for q170, the SemDedupIndex parquet for
+    // q171) equals a from-scratch dedup of the merged corpus — any pair
+    // the add path misses, any component it fails to merge, is a hash
+    // mismatch here.
+    "q171_semdedup_staged" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |      AS sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM sims WHERE sim >= 0.35),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, g.b FROM reach r JOIN edges g ON g.a = r.dst),
+        |comp AS (SELECT src AS vec_id, MIN(dst) AS component FROM reach GROUP BY src),
+        |allv AS (
+        |  SELECT e.vec_id, e.label, COALESCE(c.component, e.vec_id) AS cluster_id
+        |  FROM e LEFT JOIN comp c ON c.vec_id = e.vec_id),
+        |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |       FROM allv GROUP BY 1)
+        |SELECT a.vec_id, a.label, a.cluster_id, cs.n_members,
+        |       a.vec_id = a.cluster_id AS keep
+        |FROM allv a JOIN cs USING (cluster_id)
+        |ORDER BY a.vec_id""".stripMargin,
     "q170_semdedup_add_batch" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

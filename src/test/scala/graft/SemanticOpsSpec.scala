@@ -142,6 +142,10 @@ class SemanticOpsSpec extends AnyFunSuite {
     val staged = VectorOps.semanticDedupAddBatch(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(staged == fresh,
       "staged-components + batch-edges path must reproduce a full dedup")
+    // and the production form reading the staged PARQUET index agrees
+    val fromIndex = VectorOps.semanticDedupStaged(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(fromIndex == fresh,
+      "SemDedupIndex-backed probe must reproduce a full dedup")
   }
 
   test("incremental semantic dedup handles join and MERGE of staged clusters") {
