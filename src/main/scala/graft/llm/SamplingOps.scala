@@ -151,6 +151,38 @@ object SamplingOps {
         col("hash_bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** q172 — cluster-aware split assignment: the REMEDIATION for the
+    * leakage q126 measures. q97's hash-bucket holdout salts each doc's
+    * OWN id, so two near-identical documents can land in train and test
+    * — exactly the contamination a dedup-aware pipeline must prevent.
+    * Here every member of a q62 near-dup cluster inherits the split of
+    * its cluster id instead: the bucket is md5-salted on `cluster_id`,
+    * so a cluster moves as a unit and a near-dup pair can NEVER
+    * straddle the holdout boundary (pinned in SamplingSpec against the
+    * exact-Jaccard pair list). Unclustered docs coalesce to their own
+    * id with the SAME salt as q97 — singletons keep their q97 split, so
+    * adopting cluster-aware splits only ever moves clustered docs.
+    *
+    * Plan: the q62 component labels (narrow id frame, rides the staged
+    * band index) left-joined onto the corpus; the split itself is
+    * per-row md5 arithmetic, no extra shuffle. */
+  def clusterSplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val labels = NearDupOps.dupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    t(s, dir, "documents")
+      .join(labels, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("hash_bucket", substring(
+        md5(concat(lit("split1:"), col("cluster_id").cast("string"))), 1, 8))
+      .withColumn("split",
+        when(col("hash_bucket") < "e6666666", "train")
+          .when(col("hash_bucket") < "f3333333", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("source"),
+        col("hash_bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** q143 — token-budget allocator: turn a temperature-weighted mixture
     * (the q82 shape, computed over TOKENS rather than doc counts) into
     * the numbers a sampling run actually executes: per source, the
@@ -229,9 +261,52 @@ object SamplingOps {
     "q66_stratified_topn" -> ((s, dir) => stratifiedTopN(s, dir)),
     "q94_weighted_sample" -> weightedSample,
     "q97_split_assign" -> splitAssign,
+    "q172_cluster_split_assign" -> clusterSplitAssign,
     "q143_token_budget" -> ((s, dir) => tokenBudget(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    // q172: q62's component CTE (same shingle/jaccard/star contract)
+    // with the q97 split rule keyed on the cluster id; singletons
+    // coalesce to their own id under the same salt.
+    "q172_cluster_split_assign" ->
+      """WITH RECURSIVE
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |allv AS (
+        |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.source
+        |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+        |sp AS (SELECT doc_id, cluster_id, source,
+        |         substr(md5('split1:' || CAST(cluster_id AS VARCHAR)), 1, 8) AS hash_bucket
+        |       FROM allv)
+        |SELECT doc_id, cluster_id, source, hash_bucket,
+        |  CASE WHEN hash_bucket < 'e6666666' THEN 'train'
+        |       WHEN hash_bucket < 'f3333333' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM sp ORDER BY doc_id""".stripMargin,
     "q161_effective_budget" ->
       """WITH RECURSIVE
         |docsh AS (

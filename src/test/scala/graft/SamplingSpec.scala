@@ -155,4 +155,27 @@ class SamplingSpec extends AnyFunSuite {
     val fullMap = rows.toMap
     sliced.foreach { case (id, sp) => assert(fullMap(id) == sp) }
   }
+
+  test("cluster-aware splits never separate a near-dup pair; singletons keep q97's split") {
+    val splits = SamplingOps.clusterSplitAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(4)))).toMap
+    // every verified near-dup pair (exact Jaccard ≥ 0.8, the q43
+    // contract) lands in ONE split — the leakage q126 measures is
+    // structurally impossible here
+    val pairs = graft.llm.NearDupOps.minhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(splits(a)._2 == splits(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // docs outside any cluster carry their own id and the q97 salt, so
+    // their split is exactly q97's — adopting q172 only moves clusters
+    val q97 = SamplingOps.splitAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val singletons = splits.filter { case (id, (cid, _)) => cid == id }
+    assert(singletons.nonEmpty)
+    // (cluster representatives also salt their own id — equality holds
+    // for them too, which is fine: only NON-canonical members move)
+    singletons.foreach { case (id, (_, sp)) => assert(q97(id) == sp) }
+  }
 }
