@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo for MATERIALIZED derived frames that several
+  * catalog queries share (the co-purchase edge list, the q62 dup
+  * clusters): first caller pays the build, the rest reuse the blocks —
+  * the in-session form of the staged-index pattern
+  * (IvfIndex/BandIndex/SemDedupIndex `ensure`). At 100 TB this is the
+  * difference between one derived-asset build per session and one per
+  * consuming query.
+  *
+  * Weak session keys so a closed session's blocks become collectable.
+  * The Materialize reliable-checkpoint flag is part of the key: a frame
+  * materialized under one durability policy is never served to a
+  * session re-configured for another (MaterializeSpec toggles exactly
+  * this). `ConcurrentHashMap.computeIfAbsent` is NOT reentrant — builds
+  * that recurse into other memoized builds (edges → incidence) need the
+  * get/putIfAbsent shape below; duplicate concurrent builds are
+  * deterministic and idempotent, first registration wins. */
+object SessionMemo {
+
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  /** Materialize (Materialize.stable) and cache `build`'s frame under
+    * (session, key, durability-policy). */
+  def materialized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val m = cache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    val reliable = s.conf.getOption(Materialize.ReliableFlag).exists(_.toBoolean)
+    val k = s"$key|reliable=$reliable"
+    val cached = m.get(k)
+    if (cached != null) cached
+    else {
+      val built = Materialize.stable(build)
+      val prev = m.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+}

@@ -382,8 +382,16 @@ object NearDupOps {
     * order-independent, so the output is deterministic and fully
     * oracle-checkable against a DuckDB recursive-CTE reachability
     * closure over the same verified pairs. */
+  /** Memoized per (session, dir): the cluster frame is the shared input
+    * of ~10 catalog queries (canonical selection, dup-rate reports,
+    * leakage audits, effective budgets, cluster-aware splits, hard
+    * negatives) — one label-propagation run per session serves all of
+    * them (the SessionMemo rule). The explicit-maxRounds overload below
+    * stays unmemoized for convergence tests. */
   def dupClusters(s: SparkSession, dir: String): DataFrame =
-    dupClusters(s, dir, maxRounds = 64)
+    graft.SessionMemo.materialized(s, s"dupClusters:$dir") {
+      dupClusters(s, dir, maxRounds = 64)
+    }
 
   def dupClusters(s: SparkSession, dir: String, maxRounds: Int): DataFrame = {
     // Connectivity needs O(edges) structure, not the full pair listing:

@@ -34,34 +34,14 @@ object GraphOps {
     * self-join (a < b < c) — orientation changes WHICH corner finds a
     * triangle, never whether it is found, so the two enumerations agree
     * row-for-row. */
-  /** Session-scoped memo for the family's shared derived frames (the
-    * incidence list and the edge list). Six catalog queries each start
-    * from the same co-purchase graph; without this, every one re-runs
-    * the lineitem distinct + self-join + distinct just to get its input
-    * — at 100 TB that is six full fact-table scans for one derived
-    * asset. Memoizing the MATERIALIZED frame per (session, dir) is the
-    * in-session form of the staged-index pattern (IvfIndex/BandIndex
-    * `ensure`): first caller pays the build, the rest reuse the blocks.
-    * Weak keys so a closed session's blocks are collectable. */
-  private val memoCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
-  private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val m = memoCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    val cached = m.get(key)
-    if (cached != null) cached
-    else {
-      // Build OUTSIDE the map update: computeIfAbsent forbids reentrancy,
-      // and the edges build recurses into the incidence memo. Concurrent
-      // duplicate builds are possible and harmless — the frames are
-      // deterministic and the first registration wins.
-      val built = graft.Materialize.stable(build)
-      val prev = m.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+  /** The family's shared derived frames (the incidence list and the
+    * edge list), memoized per session — six catalog queries each start
+    * from the same co-purchase graph; without [[graft.SessionMemo]],
+    * every one re-runs the lineitem distinct + self-join + distinct
+    * just to get its input — at 100 TB that is six full fact-table
+    * scans for one derived asset. */
+  private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    graft.SessionMemo.materialized(s, key)(build)
 
   /** Distinct (order, part) incidence pairs — the bipartite base frame.
     * Hash-partitioned by order key before materializing: localCheckpoint
