@@ -145,6 +145,58 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** q173 — embedding-health / anisotropy report per label: vector
+    * count, zero-vector count, mean and sd of norms, centroid norm, and
+    * the anisotropy ratio ||centroid|| / mean-norm — ≈0 when directions
+    * cancel (isotropic, informative geometry), →1 when the label's
+    * vectors collapse onto one direction (cosine thresholds stop
+    * discriminating). The "should SemDeDup/ANN trust this embedding
+    * column" gate, complementing q160's pairwise calibration.
+    *
+    * Determinism: per-row norms round to 6dp and aggregate as exact
+    * DECIMAL sums (order-independent both engines — the q127/q152
+    * window-sum rule applied to aggregates); squared terms go through
+    * round(·,12)→DECIMAL(24,12) (the q134 rule); centroid dims are
+    * round(avg,6) (q42/q91); every derived ratio is one double
+    * expression of already-rounded values.
+    *
+    * Plan: one norm aggregation + one posexplode centroid aggregation,
+    * both partial+final on the label key; k·d and k-row frames after
+    * the scans regardless of corpus size. */
+  def embeddingHealth(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val e = t(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        round(sqrt(dot_product(col("embedding"), col("embedding"))), 6).as("norm6"),
+        col("embedding"))
+    val normAgg = e.groupBy("label").agg(
+      count(lit(1)).as("n_vectors"),
+      sum(when(col("norm6") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      sum(col("norm6").cast("decimal(28,6)")).as("sum_n"),
+      sum(round(col("norm6") * col("norm6"), 12).cast("decimal(28,12)")).as("sum_n2"))
+    val cent = e.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"), col("x").cast("double").as("x"))
+      .groupBy("label", "pos").agg(round(avg(col("x")), 6).as("c"))
+      .groupBy("label")
+      .agg(round(sqrt(sum(round(col("c") * col("c"), 12).cast("decimal(24,12)"))
+        .cast("double")), 6).as("centroid_norm"))
+    val meanN = round(col("sum_n").cast("double") / col("n_vectors"), 6)
+    normAgg.join(cent, Seq("label"))
+      .withColumn("mean_norm", meanN)
+      .withColumn("sd_norm", round(sqrt(greatest(
+        col("sum_n2").cast("double") / col("n_vectors")
+          - (col("sum_n").cast("double") / col("n_vectors"))
+          * (col("sum_n").cast("double") / col("n_vectors")),
+        lit(0.0))), 6))
+      .withColumn("anisotropy",
+        when(col("mean_norm") > 0,
+          round(col("centroid_norm") / col("mean_norm"), 6)).otherwise(0.0))
+      .select(col("label"), col("n_vectors"), col("n_zero"),
+        col("mean_norm"), col("sd_norm"), col("centroid_norm"), col("anisotropy"))
+      .orderBy("label")
+  }
+
   /** LSH-bucketed approximate nearest neighbors: the subquadratic scale
     * path. Vectors are bucketed once by an 8-bit hyperplane code (a
     * narrow codegen'd projection); each query only scores candidates in
@@ -809,6 +861,7 @@ object VectorOps {
     "q90_semantic_dedup"  -> semanticDedup,
     "q170_semdedup_add_batch" -> semanticDedupAddBatch,
     "q171_semdedup_staged" -> semanticDedupStaged,
+    "q173_embedding_health" -> embeddingHealth,
     "q91_centroid_outliers" -> centroidOutliers,
     "q134_centroid_drift" -> centroidDrift,
     "q74_int8_quantize"   -> int8Quantize,
@@ -1022,6 +1075,34 @@ object VectorOps {
         |       a.vec_id = a.cluster_id AS keep
         |FROM allv a JOIN cs USING (cluster_id)
         |ORDER BY a.vec_id""".stripMargin,
+    "q173_embedding_health" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n6 AS (SELECT label, vec_id,
+        |         round(sqrt(list_dot_product(v, v)), 6) AS norm6 FROM e),
+        |na AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |         CAST(SUM(CASE WHEN norm6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |         SUM(CAST(norm6 AS DECIMAL(28,6))) AS sum_n,
+        |         SUM(CAST(round(norm6 * norm6, 12) AS DECIMAL(28,12))) AS sum_n2
+        |       FROM n6 GROUP BY label),
+        |ex0 AS (SELECT vec_id, label, v,
+        |          unnest(generate_series(1, len(v))) AS pos FROM e),
+        |ex AS (SELECT label, pos, v[pos] AS x FROM ex0),
+        |cent AS (SELECT label, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, pos),
+        |cn AS (SELECT label,
+        |         round(sqrt(CAST(SUM(CAST(round(c * c, 12) AS DECIMAL(24,12)))
+        |           AS DOUBLE)), 6) AS centroid_norm
+        |       FROM cent GROUP BY label),
+        |f AS (SELECT na.label, n_vectors, n_zero,
+        |        round(CAST(sum_n AS DOUBLE) / n_vectors, 6) AS mean_norm,
+        |        round(sqrt(greatest(CAST(sum_n2 AS DOUBLE) / n_vectors
+        |          - (CAST(sum_n AS DOUBLE) / n_vectors)
+        |          * (CAST(sum_n AS DOUBLE) / n_vectors), 0)), 6) AS sd_norm,
+        |        centroid_norm
+        |      FROM na JOIN cn USING (label))
+        |SELECT label, n_vectors, n_zero, mean_norm, sd_norm, centroid_norm,
+        |  CASE WHEN mean_norm > 0 THEN round(centroid_norm / mean_norm, 6)
+        |       ELSE 0.0 END AS anisotropy
+        |FROM f ORDER BY label""".stripMargin,
     "q91_centroid_outliers" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ex0 AS (SELECT vec_id, label, v,

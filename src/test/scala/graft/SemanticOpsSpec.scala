@@ -137,6 +137,29 @@ class SemanticOpsSpec extends AnyFunSuite {
     assert(!r.head.getBoolean(4))
   }
 
+  test("embedding health: orthogonal cluster scores 0.5, collapsed cluster 1, zeros counted") {
+    // label 0: the four axis unit vectors — norms exactly 1 (sd 0),
+    // centroid (¼,¼,¼,¼) with norm ½ → anisotropy 0.5.
+    // label 1: three identical unit vectors → anisotropy exactly 1.
+    // label 2: one unit vector plus a zero vector → n_zero = 1.
+    def unit(i: Int): Seq[Float] = (0 until 4).map(j => if (j == i) 1f else 0f)
+    val rows =
+      (0 until 4).map(i => (i.toLong, unit(i), 0)) ++
+      Seq((10L, unit(0), 1), (11L, unit(0), 1), (12L, unit(0), 1)) ++
+      Seq((20L, unit(1), 2), (21L, Seq(0f, 0f, 0f, 0f), 2))
+    val d = embDir(rows)
+    val r = VectorOps.embeddingHealth(spark, d).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5), x.getDouble(6)))).toMap
+    assert(r(0) == ((4L, 0L, 1.0, 0.0, 0.5, 0.5)),
+      "orthogonal axes: mean norm 1, centroid norm 0.5, anisotropy 0.5")
+    assert(r(1) == ((3L, 0L, 1.0, 0.0, 1.0, 1.0)),
+      "a collapsed cluster is maximally anisotropic")
+    val (n2, z2, m2, _, c2, a2) = r(2)
+    assert(n2 == 2L && z2 == 1L, "zero vector counted")
+    assert(m2 == 0.5 && c2 == 0.5 && a2 == 1.0)
+  }
+
   test("incremental semantic dedup equals from-scratch dedup on the driver fixture") {
     val fresh = VectorOps.semanticDedup(spark, sfDir).collect().map(_.toSeq).toSeq
     val staged = VectorOps.semanticDedupAddBatch(spark, sfDir).collect().map(_.toSeq).toSeq
