@@ -25,6 +25,17 @@ object SessionMemo {
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
+  /** Corpus-version key component — path | bytes | mtime of one fixture
+    * file, the BandIndex identity rule: a rewritten fixture can never
+    * be served a stale memoized frame (callers fold this into their
+    * key). One filesystem stat, no job. */
+  def versionOf(s: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"$dir/$table|${fs.getContentSummary(p).getLength}|${st.getModificationTime}"
+  }
+
   /** Materialize (Materialize.stable) and cache `build`'s frame under
     * (session, key, durability-policy). */
   def materialized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {

@@ -389,7 +389,8 @@ object NearDupOps {
     * them (the SessionMemo rule). The explicit-maxRounds overload below
     * stays unmemoized for convergence tests. */
   def dupClusters(s: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.materialized(s, s"dupClusters:$dir") {
+    graft.SessionMemo.materialized(s,
+      "dupClusters:" + graft.SessionMemo.versionOf(s, dir, "documents")) {
       dupClusters(s, dir, maxRounds = 64)
     }
 

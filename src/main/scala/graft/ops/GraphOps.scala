@@ -40,8 +40,10 @@ object GraphOps {
     * every one re-runs the lineitem distinct + self-join + distinct
     * just to get its input — at 100 TB that is six full fact-table
     * scans for one derived asset. */
-  private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    graft.SessionMemo.materialized(s, key)(build)
+  private def memo(s: SparkSession, name: String, dir: String)
+      (build: => DataFrame): DataFrame =
+    graft.SessionMemo.materialized(s,
+      name + ":" + graft.SessionMemo.versionOf(s, dir, "lineitem"))(build)
 
   /** Distinct (order, part) incidence pairs — the bipartite base frame.
     * Hash-partitioned by order key before materializing: localCheckpoint
@@ -49,7 +51,7 @@ object GraphOps {
     * self-join (on o) and HITS' per-iteration o-joins reuse the layout
     * instead of re-exchanging the big frame each time. */
   private def incidence(s: SparkSession, dir: String): DataFrame =
-    memo(s, s"incidence:$dir") {
+    memo(s, "incidence", dir) {
       t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
@@ -60,7 +62,7 @@ object GraphOps {
     * within-order part pairs are bounded per order by its line count,
     * so edge instances grow linearly with the fact table. */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    memo(s, s"edges:$dir") {
+    memo(s, "edges", dir) {
       val it = incidence(s, dir)
       it.as("a").join(it.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
