@@ -183,6 +183,48 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
+  /** q174 — holdout balance audit: the source × split contingency table
+    * a curation run checks before trusting its eval sets. For every
+    * (source, split) cell after cluster-aware assignment (q172): doc
+    * and token counts, the split's share WITHIN the source, and the
+    * deviation from that split's corpus-wide share — a source whose
+    * val/test share deviates far from global is either tiny (noise) or
+    * systematically entangled with near-dup clusters, and its eval
+    * numbers should not be trusted.
+    *
+    * Determinism: counts exact; each share is one double division of
+    * exact longs rounded 6dp; deviation subtracts two already-rounded
+    * doubles (identical fp ops both engines).
+    *
+    * Plan: q172's frame (dup clusters ride the session memo; the split
+    * is per-row arithmetic) + one tokenize aggregation keyed on
+    * (source, split) — |sources|·3 rows out regardless of corpus
+    * size. */
+  def holdoutBalance(s: SparkSession, dir: String): DataFrame = {
+    val splits = clusterSplitAssign(s, dir).select("doc_id", "source", "split")
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("toks"))
+    val cells = splits.join(toks, Seq("doc_id"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val perSource = cells.groupBy("source")
+      .agg(sum(col("n_docs")).as("src_docs"))
+    val global = cells.groupBy("split")
+      .agg(sum(col("n_docs")).as("split_docs"))
+      .crossJoin(broadcast(cells.agg(sum(col("n_docs")).as("all_docs"))))
+      .select(col("split"),
+        round(col("split_docs").cast("double") / col("all_docs"), 6)
+          .as("global_share"))
+    cells.join(perSource, Seq("source")).join(broadcast(global), Seq("split"))
+      .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("src_docs"), 6).as("src_share"),
+        col("global_share"))
+      .withColumn("deviation",
+        round(col("src_share") - col("global_share"), 6))
+      .orderBy("source", "split")
+  }
+
   /** q143 — token-budget allocator: turn a temperature-weighted mixture
     * (the q82 shape, computed over TOKENS rather than doc counts) into
     * the numbers a sampling run actually executes: per source, the
@@ -262,9 +304,65 @@ object SamplingOps {
     "q94_weighted_sample" -> weightedSample,
     "q97_split_assign" -> splitAssign,
     "q172_cluster_split_assign" -> clusterSplitAssign,
+    "q174_holdout_balance" -> holdoutBalance,
     "q143_token_budget" -> ((s, dir) => tokenBudget(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    // q174: q172's cluster-split CTE + the (source, split) contingency.
+    "q174_holdout_balance" ->
+      """WITH RECURSIVE
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |allv AS (
+        |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.source,
+        |    CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+        |sp AS (SELECT doc_id, source, toks,
+        |         CASE WHEN substr(md5('split1:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+        |                < 'e6666666' THEN 'train'
+        |              WHEN substr(md5('split1:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+        |                < 'f3333333' THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM allv),
+        |cells AS (SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |            CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |          FROM sp GROUP BY 1, 2),
+        |per_source AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_docs
+        |               FROM cells GROUP BY 1),
+        |gl AS (SELECT split, round(CAST(SUM(n_docs) AS DOUBLE)
+        |         / (SELECT SUM(n_docs) FROM cells), 6) AS global_share
+        |       FROM cells GROUP BY 1)
+        |SELECT source, split, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / src_docs, 6) AS src_share,
+        |  global_share,
+        |  round(round(CAST(n_docs AS DOUBLE) / src_docs, 6) - global_share, 6)
+        |    AS deviation
+        |FROM cells JOIN per_source USING (source) JOIN gl USING (split)
+        |ORDER BY source, split""".stripMargin,
     // q172: q62's component CTE (same shingle/jaccard/star contract)
     // with the q97 split rule keyed on the cluster id; singletons
     // coalesce to their own id under the same salt.

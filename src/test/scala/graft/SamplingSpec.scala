@@ -178,4 +178,25 @@ class SamplingSpec extends AnyFunSuite {
     // for them too, which is fine: only NON-canonical members move)
     singletons.foreach { case (id, (_, sp)) => assert(q97(id) == sp) }
   }
+
+  test("holdout balance: per-source shares sum to 1, deviation = share − global") {
+    val rows = SamplingOps.holdoutBalance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val s = rs.map(_.getDouble(4)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"src shares sum to 1 within 6dp rounding, got $s")
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(6) - (r.getDouble(4) - r.getDouble(5))) < 1e-9,
+        "deviation must be exactly src_share - global_share")
+      assert(r.getLong(2) > 0 && r.getLong(3) >= 0)
+    }
+    // cells agree with a direct count over the q172 assignment
+    val direct = SamplingOps.clusterSplitAssign(spark, sfDir)
+      .groupBy("source", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(direct((r.getString(0), r.getString(1))) == r.getLong(2))
+    }
+  }
 }
