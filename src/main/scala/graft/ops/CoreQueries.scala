@@ -89,7 +89,7 @@ object CoreQueries {
       .limit(100)
   }
 
-  /** Reference gold mart `dm_artifact_trade_summary`
+  /** Reference gold mart `dm_artifact_sales_summary`
     * (gold_aggregator.py:108-125): category filter, group by product+tier,
     * two-key mixed-direction sort. p_type='PROMO' stands in for
     * category_name='Artifacts', p_brand for tier_level. */

@@ -67,18 +67,32 @@ class ErathiaSpec extends AnyFunSuite {
     }
   }
 
-  test("gold marts exist and respect the reference's shapes") {
+  test("gold marts exist under the reference's table names and shapes") {
     dir
-    assert(Viewer.listMarts(spark) == Seq("dm_artifact_trade_summary",
+    assert(Viewer.listMarts(spark) == Seq("dm_artifact_sales_summary",
       "dm_faction_economy", "dm_resource_price_history", "dm_top_vip_customers"))
     val fe = spark.table("dm_faction_economy")
     assert(fe.count() == 9)
-    // Net Profit = Sell − Buy, within rounding
+    // Net Profit = Earned − Spent, within rounding
     val bad = fe.filter(
-      abs(col("Net Profit") - (col("Total Sell Volume (Gold)")
-        - col("Total Buy Volume (Gold)"))) > 0.02).count()
+      abs(col("Net Profit") - (col("Total Gold Earned")
+        - col("Total Gold Spent"))) > 0.02).count()
     assert(bad == 0)
     assert(spark.table("dm_top_vip_customers").count() <= 100)
+  }
+
+  test("gold mart columns carry the reference's quoted friendly names") {
+    dir
+    // gold_aggregator.py:38-44, 58-63, 85-90, 110-114 — drop-in fidelity
+    assert(spark.table("dm_faction_economy").columns.toSeq == Seq(
+      "Faction Name", "Total Gold Spent", "Total Gold Earned",
+      "Net Profit", "Total Transactions"))
+    assert(spark.table("dm_resource_price_history").columns.toSeq == Seq(
+      "Year", "Month", "Resource Name", "Average Price", "Total Quantity Traded"))
+    assert(spark.table("dm_top_vip_customers").columns.toSeq == Seq(
+      "Customer Name", "Faction", "Total Spent", "Total Earned", "Total Transactions"))
+    assert(spark.table("dm_artifact_sales_summary").columns.toSeq == Seq(
+      "Artifact Name", "Tier", "Total Sold", "Total Gold Value"))
   }
 
   test("golden: faction economy mart values pinned for the 8-week fixture") {
@@ -87,20 +101,36 @@ class ErathiaSpec extends AnyFunSuite {
     // values recorded from a verified run; DataGen is deterministic, so
     // any drift here is a real behavior change
     assert(top.getString(0) == "Faction 2")
-    assert(top.getAs[Double]("Total Buy Volume (Gold)") == 70203.07)
-    assert(top.getAs[Double]("Total Sell Volume (Gold)") == 56105.06)
+    assert(top.getAs[Double]("Total Gold Spent") == 70203.07)
+    assert(top.getAs[Double]("Total Gold Earned") == 56105.06)
     assert(top.getAs[Double]("Net Profit") == -14098.01)
-    assert(top.getAs[Long]("Transactions") == 86L)
+    assert(top.getAs[Long]("Total Transactions") == 86L)
     val totals = spark.table("dm_faction_economy")
-      .agg(sum(col("Transactions"))).head.getLong(0)
+      .agg(sum(col("Total Transactions"))).head.getLong(0)
     assert(totals == 840L)
   }
 
-  test("dataframe and SQL twins agree on faction economy") {
+  test("dataframe and SQL twins agree on every mart") {
     dir
-    val df = Gold.factionEconomy(spark).collect().map(_.toSeq)
-    val sql = spark.sql(Gold.sql("dm_faction_economy")).collect().map(_.toSeq)
-    assert(df.sameElements(sql))
+    Gold.marts.keys.foreach { mart =>
+      val df = Gold.marts(mart)(spark).collect().map(_.toSeq)
+      val sql = spark.sql(Gold.sql(mart)).collect().map(_.toSeq)
+      assert(df.sameElements(sql), s"DataFrame/SQL twin drift on $mart")
+    }
+  }
+
+  test("DuckDB differential: marts match the reference's literal SQL") {
+    dir
+    // scripts/erathia_gold_check.py extracts the CTAS statements verbatim
+    // from /root/reference/src/gold_aggregator.py, runs them in DuckDB
+    // over the silver parquet, and diffs against Gold.run's output.
+    val cmd = Seq("python3", "scripts/erathia_gold_check.py",
+      s"$dir/silver", s"$dir/gold")
+    val out = new StringBuilder
+    val code = scala.sys.process.Process(cmd, new java.io.File(".")).!(
+      scala.sys.process.ProcessLogger(l => out.append(l).append('\n')))
+    assert(code == 0, s"differential failed:\n$out")
+    assert(out.toString.contains("4/4 marts match"))
   }
 
   test("artifact scarcity: relic trades bounded by pool cap") {
@@ -137,10 +167,10 @@ class ErathiaSpec extends AnyFunSuite {
   test("gold marts conserve fact totals") {
     dir
     val fe = spark.table("dm_faction_economy")
-    assert(fe.agg(sum(col("Transactions"))).head.getLong(0) ==
+    assert(fe.agg(sum(col("Total Transactions"))).head.getLong(0) ==
       spark.table("fact_sales").count())
     val martGold = fe.agg(
-      sum(col("Total Buy Volume (Gold)")) + sum(col("Total Sell Volume (Gold)")))
+      sum(col("Total Gold Spent")) + sum(col("Total Gold Earned")))
       .head.getDouble(0)
     val factGold = spark.table("fact_sales").agg(sum(col("gold_total")))
       .head.getDouble(0)
