@@ -190,33 +190,53 @@ object AdvancedQueries {
     * MAD·35000 — one IEEE product per side, no division — so the
     * comparison is deterministic in both engines.
     *
-    * Plan shape: two rank windows + one rollup, all exchanged on the
-    * 5-value event-type key; nothing buffers a whole group (exact
-    * `percentile` would). At 100 TB with skewed group sizes the same
-    * shape holds per key — selection windows stream sorted runs. */
+    * Plan shape (the q91 histogram recipe, grouped): each median is an
+    * order statistic over the per-type VALUE HISTOGRAM — groupBy
+    * (event_type, value) collapses the corpus to distinct-value rows,
+    * `Prefix.cumSumsBy` runs the cumulative count as a two-level
+    * grouped scan (≤ block rows per task), and the median is the first
+    * value whose cumulative count reaches ⌈n/2⌉. No per-row sort
+    * window anywhere: the old `row_number().over(partitionBy(
+    * event_type))` sorted each type's ENTIRE history in one task (~1/5
+    * of the corpus per task at any scale — a straggler/OOM at 100×).
+    * Values sit on the cents grid, so floor(v·100 + 0.5) is a monotone
+    * integral block key; the raw value column rides along as the
+    * window tie-break, so scan order is exactly value order even if
+    * two IEEE doubles share a cent. Selected member values are
+    * untouched — the oracle keeps its plain window form. */
   def valueOutliers(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "events")
-      .select(col("event_type"), col("value").as("x"), col("event_id"))
-    val wN = Window.partitionBy("event_type")
-    def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
-      val wR = Window.partitionBy("event_type").orderBy(col(v), col("event_id"))
-      df.withColumn("rn", row_number().over(wR).cast("long"))
-        .withColumn("n", count(lit(1)).over(wN))
-        .groupBy("event_type")
-        .agg(max(when(col("rn") === floor((col("n") + 1) / 2), col(v))).as(out))
-    }
-    val med = medianOf(o, "x", "median_value")
-    val dev = o.join(med, Seq("event_type"))
+      .select(col("event_type"), col("value").as("x"))
+    // ONE corpus aggregation; everything downstream (n, both medians,
+    // the outlier count) runs on the distinct-value histogram — the
+    // deviation histogram is a regroup of the value histogram, not a
+    // second corpus pass.
+    val hist = o.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
+    def medianOf(h: DataFrame, v: String, out: String): DataFrame =
+      graft.ops.Prefix
+        .cumSumsBy(h.withColumn("ck",
+          floor(col(v) * 100 + lit(0.5)).cast("long")),
+          Seq("event_type"), "ck", Seq("cnt"), Seq(v))
+        .join(broadcast(n), Seq("event_type"))
+        .filter(col("cnt_cum") >= floor((col("n") + 1) / 2))
+        .groupBy("event_type").agg(min(col(v)).as(out))
+    val med = medianOf(hist, "x", "median_value")
+    val devHist = hist.join(broadcast(med), Seq("event_type"))
       .withColumn("dv", abs(col("x") - col("median_value")))
-    val mad = medianOf(dev, "dv", "mad")
-    dev.join(mad, Seq("event_type"))
+      .groupBy(col("event_type"), col("dv"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = medianOf(devHist, "dv", "mad")
+    devHist.join(broadcast(mad), Seq("event_type"))
+      .join(broadcast(med), Seq("event_type"))
       .groupBy("event_type")
       .agg(
-        count(lit(1)).as("n_events"),
+        sum(col("cnt")).as("n_events"),
         max(col("median_value")).as("median_value"),
         max(col("mad")).as("mad"),
-        sum(when(col("dv") * 6745 > col("mad") * 35000, 1L).otherwise(0L))
-          .as("n_outliers"))
+        sum(when(col("dv") * 6745 > col("mad") * 35000, col("cnt"))
+          .otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_frac",
         col("n_outliers").cast("double") / col("n_events"))
       .orderBy("event_type")
