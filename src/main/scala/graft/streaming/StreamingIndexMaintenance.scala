@@ -36,11 +36,30 @@ object StreamingIndexMaintenance {
 
   /** Read the delta digest table (union of per-batch appends);
     * empty-frame-safe before the first batch lands. */
-  def deltaDigests(s: SparkSession, deltaDir: String): DataFrame = {
+  def deltaDigests(s: SparkSession, deltaDir: String): DataFrame =
+    deltaDigestsBefore(s, deltaDir, Long.MaxValue)
+
+  /** Delta digests from batches with id STRICTLY BELOW `batchId` — the
+    * known side a replaying batch must see. A `b*` glob would also pick
+    * up `b<batchId>` left by a failed attempt of the SAME batch: the
+    * batch's own digests would then look "known", firstSeen would come
+    * out empty (overwriting the delta with nothing — first-seen digests
+    * permanently lost), and every first-seen doc would flag as a dup of
+    * itself. Filtering by parsed batch id makes replay read exactly the
+    * state the first attempt saw. */
+  def deltaDigestsBefore(s: SparkSession, deltaDir: String,
+      batchId: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(deltaDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      s.read.parquet(s"$deltaDir/b*")
+    val dirs =
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter { q =>
+            q.getName.matches("b\\d+") && q.getName.drop(1).toLong < batchId
+          }
+          .map(_.toString)
+      else Nil
+    if (dirs.nonEmpty) s.read.parquet(dirs: _*)
     else
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -57,10 +76,12 @@ object StreamingIndexMaintenance {
       (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val probe = batch.select(col("doc_id"), md5(col("text")).as("digest"))
-    // Known side: base ∪ delta-so-far. Narrow (16-byte digest + id);
-    // at most one row per distinct text ever seen.
+    // Known side: base ∪ delta from STRICTLY EARLIER batches — never
+    // this batch's own dir, which a failed prior attempt of the same
+    // batch may have left behind (see deltaDigestsBefore). Narrow
+    // (16-byte digest + id); at most one row per distinct text seen.
     val known = baseDigests.select(col("digest"), col("rep_id"))
-      .unionByName(deltaDigests(s, deltaDir))
+      .unionByName(deltaDigestsBefore(s, deltaDir, batchId))
     // Within-batch clones: the min doc_id per digest is the batch's own
     // candidate representative.
     val batchRep = probe.groupBy("digest").agg(min(col("doc_id")).as("batch_rep"))

@@ -73,4 +73,41 @@ class StreamingIndexMaintenanceSpec extends AnyFunSuite {
       }.toMap
     assert(grown == expectDigest, s"grown index: $grown")
   }
+
+  test("replay of an unacknowledged batch is idempotent (kill-and-restart)") {
+    // Structured Streaming re-runs foreachBatch with the SAME batch id
+    // if the sink commit was not acknowledged. The first (failed)
+    // attempt has already written delta/b<id>; the replay must not see
+    // that dir as "known", or every first-seen doc flags as a dup of
+    // itself and the delta is overwritten with an empty frame.
+    val root = java.nio.file.Files.createTempDirectory("simx-replay").toString
+    val delta = s"$root/delta"; val out = s"$root/out"
+    val base = Seq((100L, "base doc text"))
+      .toDF("rep_id", "text")
+      .select(md5(col("text")).as("digest"), col("rep_id"))
+    val fn = StreamingIndexMaintenance.dedupMaintain(base, delta, out) _
+    fn(Seq(1L -> "alpha", 2L -> "alpha").toDF("doc_id", "text"), 0L)
+    val b1 = Seq(11L -> "alpha", 12L -> "beta").toDF("doc_id", "text")
+    def snap(dir: String) = spark.read.parquet(dir).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    fn(b1, 1L) // first attempt: commit "lost"
+    val flagsA = snap(s"$out/b1"); val deltaA = snap(s"$delta/b1")
+    fn(b1, 1L) // replay after restart
+    assert(snap(s"$out/b1") == flagsA, "replayed flags drifted")
+    assert(snap(s"$delta/b1") == deltaA, "replayed delta drifted")
+    // semantic pin: 12 is FIRST-SEEN, not a dup of itself
+    val flags = spark.read.parquet(s"$out/b1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(flags == Map(11L -> ((1L, true)), 12L -> ((-1L, false))), s"got $flags")
+    val d1 = spark.read.parquet(s"$delta/b1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val betaDigest = java.security.MessageDigest.getInstance("MD5")
+      .digest("beta".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(d1 == Map(betaDigest -> 12L), s"delta/b1: $d1")
+    // and the NEXT batch still dedups against the replayed batch's docs
+    fn(Seq(21L -> "beta").toDF("doc_id", "text"), 2L)
+    val f2 = spark.read.parquet(s"$out/b2").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(f2 == Map(21L -> ((12L, true))), s"got $f2")
+  }
 }
