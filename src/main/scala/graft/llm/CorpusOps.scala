@@ -434,25 +434,27 @@ object CorpusOps {
     * interpolation: the k-th smallest value with k = ⌈q·n⌉ computed in
     * integer arithmetic ((q·n + den − 1) div den), so every reported
     * quantile is an input value and the result is cross-engine exact —
-    * the same property q91's median/MAD uses. One window per source
-    * (rank) + one rollup; exact `percentile` would buffer every value
-    * per group, while this shape is two narrow exchanges on the source
-    * key. */
+    * the same property q91's median/MAD uses. The q109 histogram shape,
+    * grouped: one (source, n_chars) aggregation collapses the corpus to
+    * distinct-length rows, `Prefix.cumSumsBy` runs the per-source
+    * cumulative count block-parallel, and each quantile is the first
+    * length whose cumulative count reaches k — a per-source rank window
+    * would instead sort |corpus|/|sources| rows in one task. */
   def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
-    val wRank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    val wN = Window.partitionBy("source")
     def k(num: Int, den: Int) =
       floor((col("n") * num + (den - 1)) / den).cast("long")
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("rn", row_number().over(wRank).cast("long"))
-      .withColumn("n", count(lit(1)).over(wN))
+    val hist = t(s, dir, "documents")
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = hist.groupBy("source").agg(sum(col("cnt")).as("n"))
+    graft.ops.Prefix.cumSumsBy(hist, Seq("source"), "n_chars", Seq("cnt"))
+      .join(broadcast(n), Seq("source"))
       .groupBy("source")
       .agg(
         max(col("n")).as("n_docs"),
-        max(when(col("rn") === k(1, 2), col("n_chars"))).as("p50"),
-        max(when(col("rn") === k(9, 10), col("n_chars"))).as("p90"),
-        max(when(col("rn") === k(99, 100), col("n_chars"))).as("p99"))
+        min(when(col("cnt_cum") >= k(1, 2), col("n_chars"))).as("p50"),
+        min(when(col("cnt_cum") >= k(9, 10), col("n_chars"))).as("p90"),
+        min(when(col("cnt_cum") >= k(99, 100), col("n_chars"))).as("p99"))
       .orderBy("source")
   }
 

@@ -127,17 +127,20 @@ object CoreQueries {
       .orderBy("c_custkey")
 
   /** Silver dedup (silver_processor.py:47,53-64, D1/D2) made deterministic:
-    * keep the lowest-key row per group via row_number, instead of
-    * dropDuplicates' arbitrary-row semantics (which cannot be
-    * oracle-checked). Same shuffle shape: one exchange on the dedup key. */
-  def dedupFirstPerKey(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    * keep the lowest-key row per group, instead of dropDuplicates'
+    * arbitrary-row semantics (which cannot be oracle-checked). An argmin
+    * via min-over-struct (lexicographic, key first and unique) rather
+    * than a rank window: the aggregate combines map-side, so one row per
+    * group per input partition crosses the exchange — a
+    * `partitionBy(c_nationkey)` window would instead sort each nation's
+    * whole customer list in one task (the PlanAuditSpec class). */
+  def dedupFirstPerKey(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("c_nationkey", "c_custkey", "c_name")
+      .groupBy(col("c_nationkey"))
+      .agg(min(struct(col("c_custkey"), col("c_name"))).as("__first"))
+      .select(col("c_nationkey"), col("__first.c_custkey").as("c_custkey"),
+        col("__first.c_name").as("c_name"))
       .orderBy("c_nationkey")
-  }
 
   /** DISTINCT projection + ordinal sort (main.py:304, D3/O5). */
   def distinctFlags(s: SparkSession, dir: String): DataFrame =

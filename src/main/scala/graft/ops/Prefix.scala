@@ -50,7 +50,7 @@ object Prefix {
     * construction, so block offsets are unaffected. */
   def cumSumsBy(df: DataFrame, groupCols: Seq[String], orderCol: String,
       sumCols: Seq[String], tieCols: Seq[String] = Nil,
-      block: Long = 1L << 20): DataFrame = {
+      block: Long = 1L << 20, broadcastOffsets: Boolean = true): DataFrame = {
     val blk = "__blk"
     val keyCols = groupCols :+ blk
     val withBlk = df.withColumn(blk, floor(col(orderCol) / block))
@@ -75,8 +75,65 @@ object Prefix {
           .as(s"__off_${sumCols.head}"),
         sumCols.tail.map(c =>
           coalesce(sum(col(s"b.__tot_$c")), lit(0L)).as(s"__off_$c")): _*)
-    local.join(broadcast(offsets), keyCols)
+    // Callers whose (group, block) space is bounded by a VALUE RANGE
+    // broadcast the offsets (the default); callers whose groups are
+    // data-scaled (e.g. tie groups keyed by near-distinct values) must
+    // NOT — a broadcast of a data-scaled frame is a driver OOM — and
+    // take a shuffle join instead.
+    val off = if (broadcastOffsets) broadcast(offsets) else offsets
+    local.join(off, keyCols)
       .select(df.columns.map(col).toSeq ++ sumCols.map(c =>
         (col(s"${c}_cum") + col(s"__off_$c")).as(s"${c}_cum")): _*)
+  }
+
+  /** Exact 1-based per-group rank of every row under (`keyCol` asc,
+    * `tieCol` asc) — the distributed replacement for
+    * `row_number().over(partitionBy(group).orderBy(v, id))` when
+    * `group` is low-cardinality and the frame is data-scaled (the
+    * per-group sort window funnels each group's entire history through
+    * one task; ntile/percent_rank then follow from the rank and the
+    * group size by integer arithmetic).
+    *
+    * Contract: `keyCol` is an integral (LongType) monotone encoding of
+    * the sort value — cents/micro units for grid doubles/decimals,
+    * negated for descending — and `tieCol` is integral and UNIQUE
+    * within (group, key), so the rank is total and deterministic.
+    *
+    * rank = (rows with a strictly smaller key in the group)
+    *      + (rank by tie key among rows sharing this exact key):
+    * the strict count comes off the (group, key) histogram — key-range
+    * blocks, broadcast offsets (bounded by value range / block, NOT by
+    * data size) — and the tie rank from a scan over tie-key-range
+    * blocks whose offsets are shuffle-joined, since tie groups follow
+    * the data distribution (a skewed value can hold a corpus share, and
+    * its block count scales with it). Every window task in both scans
+    * is ≤ `block` rows regardless of group or value skew. */
+  def groupedRank(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      tieCol: String, out: String, block: Long = 1L << 20): DataFrame = {
+    val one = "__one"
+    val tie = cumSumsBy(df.withColumn(one, lit(1L)), groupCols :+ keyCol,
+        tieCol, Seq(one), Nil, block, broadcastOffsets = false)
+      .withColumnRenamed(s"${one}_cum", "__t").drop(one)
+    val hist = df.groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val strict = cumSumsBy(hist, groupCols, keyCol, Seq("__cnt"), Nil, block)
+      .select((groupCols :+ keyCol).map(col) :+
+        (col("__cnt_cum") - col("__cnt")).as("__s"): _*)
+    tie.join(strict, groupCols :+ keyCol)
+      .withColumn(out, col("__s") + col("__t"))
+      .drop("__s", "__t")
+  }
+
+  /** SQL-standard NTILE(k) from a total 1-based rank and the group size:
+    * the first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer
+    * arithmetic only, so Spark and any SQL oracle agree exactly. */
+  def ntileOf(rank: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column = {
+    val q = floor(n / k).cast("long")
+    val r = pmod(n, lit(k.toLong)).cast("long")
+    val bigSpan = r * (q + 1)
+    when(rank <= bigSpan, floor((rank - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(r + floor((rank - bigSpan - 1) / greatest(q, lit(1L)))
+        .cast("long") + 1)
   }
 }

@@ -329,22 +329,24 @@ object StatOps {
     * screen — a nation whose revenue Gini approaches 1 is a
     * one-whale market and every per-nation average is misleading.
     *
-    * Determinism: spend totals ride DECIMAL(18,2); ranks are
-    * row_number over (spend, custkey) — total order, no tie ambiguity;
-    * Σ i·xᵢ accumulates in DECIMAL (exact rank-weighted cents); the
-    * final G is one double expression of exact sums, rounded 6dp.
+    * Determinism: spend totals ride DECIMAL(18,2); ranks are total
+    * under (spend, custkey) — no tie ambiguity; Σ i·xᵢ accumulates in
+    * DECIMAL (exact rank-weighted cents); the final G is one double
+    * expression of exact sums, rounded 6dp.
     *
-    * Plan: one (nation, customer) partial-agg exchange; the rank
-    * window partitions per nation (the q24 rule — never a global
-    * sort); the Gini arithmetic runs on |nations| rows. */
+    * Plan: one (nation, customer) partial-agg exchange; the rank comes
+    * from `Prefix.groupedRank` on the exact cents key (a per-nation
+    * rank WINDOW would sort |customers|/25 rows in one task — the
+    * PlanAuditSpec class); the Gini arithmetic runs on |nations| rows. */
   def spendGini(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").cast("long").as("nation"), col("c_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)").as("spend"))
-    val w = Window.partitionBy("nation").orderBy(col("spend"), col("c_custkey"))
-    spend.withColumn("rk", row_number().over(w).cast("long"))
+    graft.ops.Prefix.groupedRank(
+        spend.withColumn("__k", (col("spend") * 100).cast("long")),
+        Seq("nation"), "__k", "c_custkey", "rk")
       .groupBy("nation")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend")).cast("decimal(18,2)").as("total_spend"),

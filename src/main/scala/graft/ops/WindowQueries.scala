@@ -68,14 +68,30 @@ object WindowQueries {
   }
 
   /** ntile + percent_rank: quartile customers by account balance inside
-    * each nation (ties broken by key for determinism). */
+    * each nation (ties broken by key for determinism).
+    *
+    * NOT a sort window: `partitionBy(c_nationkey)` over the customer
+    * table sorts each nation's ENTIRE customer list (|C|/25 rows) in one
+    * task — the low-cardinality-window class PlanAuditSpec pins. The
+    * rank instead comes from `Prefix.groupedRank` (cents-keyed balance
+    * histogram + tie scan, every task block-bounded), and ntile/
+    * percent_rank are integer arithmetic on (rank, n): the order keys
+    * are unique per row, so rank() ≡ row_number() and both formulas are
+    * exact. */
   def balanceQuartiles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    t(s, dir, "customer")
+    val base = t(s, dir, "customer")
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("__k", floor(col("c_acctbal") * 100 + lit(0.5)).cast("long"))
+    val n = base.groupBy("c_nationkey").agg(count(lit(1)).as("__n"))
+    graft.ops.Prefix
+      .groupedRank(base, Seq("c_nationkey"), "__k", "c_custkey", "__r")
+      .join(broadcast(n), Seq("c_nationkey"))
+      .withColumn("quartile", graft.ops.Prefix.ntileOf(col("__r"), col("__n"), 4))
+      .withColumn("pct_rank",
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__r") - 1).cast("double") / (col("__n") - 1)))
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        col("quartile"), col("pct_rank"))
       .orderBy("c_nationkey", "c_acctbal", "c_custkey")
   }
 
@@ -134,17 +150,25 @@ object WindowQueries {
 
   /** q131 — RFM segmentation: the recency/frequency/monetary quintile
     * code marketing marts attach to every customer (Hughes' RFM). Each
-    * dimension quintiles WITHIN the customer's nation (the q24 rule —
-    * partitioned windows keep the sort distributed; a global ntile
-    * would put the whole customer table in one task), ties broken by
+    * dimension quintiles WITHIN the customer's nation, ties broken by
     * key. Recency is integer days before the corpus anchor (max order
     * date); monetary sums on exact DECIMAL(18,2) and converts to
     * double only on output.
     *
+    * The per-nation frame is customer-scaled, so a
+    * `partitionBy(nationkey)` ntile window would sort |C|/25 rows per
+    * task (the PlanAuditSpec class). Each dimension's quintile instead
+    * rides `Prefix.groupedRank` — descending dimensions negate their
+    * integral key (frequency; monetary in exact cents off the
+    * DECIMAL(18,2) sum) — and `Prefix.ntileOf` reproduces NTILE(5)'s
+    * remainder rule exactly. The three rank frames join back on
+    * custkey; the orders aggregation exchange is reused across them.
+    *
     * Plan: one (custkey) aggregation of orders, one broadcast-joined
-    * customer dimension, three ntile windows over the SAME nation
-    * partitioning (one Exchange, three Sorts). */
+    * customer dimension, three block-bounded rank scans, three custkey
+    * joins. */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
     val o = t(s, dir, "orders")
       .select(col("o_custkey").as("custkey"),
         col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -160,14 +184,20 @@ object WindowQueries {
     val withNation = per.join(
       t(s, dir, "customer").select(col("c_custkey").as("custkey"),
         col("c_nationkey").as("nationkey")), Seq("custkey"))
-    val byNation = Window.partitionBy("nationkey")
-    val rW = byNation.orderBy(col("recency_days"), col("custkey"))
-    val fW = byNation.orderBy(col("frequency").desc, col("custkey"))
-    val mW = byNation.orderBy(col("mon_dec").desc, col("custkey"))
+    val n = withNation.groupBy("nationkey").agg(count(lit(1)).as("__n"))
+    def tileOn(key: Column, out: String) =
+      graft.ops.Prefix
+        .groupedRank(withNation.withColumn("__k", key)
+          .select(col("custkey"), col("nationkey"), col("__k")),
+          Seq("nationkey"), "__k", "custkey", "__r")
+        .join(broadcast(n), Seq("nationkey"))
+        .select(col("custkey"),
+          graft.ops.Prefix.ntileOf(col("__r"), col("__n"), 5).as(out))
+    val rT = tileOn(col("recency_days"), "r_tile")
+    val fT = tileOn(-col("frequency"), "f_tile")
+    val mT = tileOn((col("mon_dec") * 100).cast("long") * -1, "m_tile")
     withNation
-      .withColumn("r_tile", ntile(5).over(rW).cast("long"))
-      .withColumn("f_tile", ntile(5).over(fW).cast("long"))
-      .withColumn("m_tile", ntile(5).over(mW).cast("long"))
+      .join(rT, Seq("custkey")).join(fT, Seq("custkey")).join(mT, Seq("custkey"))
       .select(col("custkey"), col("nationkey"), col("recency_days"),
         col("frequency"), col("mon_dec").cast("double").as("monetary"),
         col("r_tile"), col("f_tile"), col("m_tile"),
