@@ -190,7 +190,7 @@ object NearDupOps {
   /** The standard banding (k=64, 16 bands) over an arbitrary (doc_id,
     * text) frame — exposed to [[BandIndex]] so the staged index and the
     * online probe share one banding definition by construction. */
-  private[llm] def mhBandedFor(docs: DataFrame): DataFrame =
+  private[graft] def mhBandedFor(docs: DataFrame): DataFrame =
     mhBandedOf(docs, 64, 16)
 
   /** Within-band candidate pairs with the saturated-band guard: bands
