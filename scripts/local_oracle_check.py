@@ -33,7 +33,11 @@ def canon(v):
     if hasattr(v, "isoformat"):
         # normalize tz-awareness: a Spark TimestampType dump reads back
         # tz-aware (UTC) while DuckDB oracle SQL yields naive values —
-        # compare both as naive UTC
+        # compare both as naive UTC. SOUND ONLY because the dump harness
+        # pins spark.sql.session.timeZone=UTC (Verify.scala:18, Bench
+        # likewise) — under a non-UTC session a constant-offset mismatch
+        # could hide behind this normalization. If the pin ever moves,
+        # assert it here instead of stripping tzinfo blindly.
         if getattr(v, "tzinfo", None) is not None:
             from datetime import timezone
             v = v.astimezone(timezone.utc).replace(tzinfo=None)

@@ -25,15 +25,36 @@ object SessionMemo {
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  /** Corpus-version key component — path | bytes | mtime of one fixture
-    * file, the BandIndex identity rule: a rewritten fixture can never
-    * be served a stale memoized frame (callers fold this into their
-    * key). One filesystem stat, no job. */
-  def versionOf(s: SparkSession, dir: String, table: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+  /** Digest of the recursive per-file (name, length, mtime) manifest
+    * under `path` — the corpus-identity primitive shared by this memo
+    * and the staged indexes (BandIndex/PostingIndex/IvfIndex/
+    * SemDedupIndex). Total-bytes + dir-mtime alone is too coarse: on
+    * filesystems with 1s mtime granularity a fixture rewritten in-place
+    * with identical total length within the same second would collide;
+    * per-file names and lengths make that require every part file to
+    * keep its exact name AND size, which a Spark overwrite (fresh UUID
+    * part names) never does. One recursive listing, no job — the same
+    * metadata walk `getContentSummary` already did. */
+  def manifestDigest(s: SparkSession, pathStr: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    s"$dir/$table|${fs.getContentSummary(p).getLength}|${st.getModificationTime}"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** Corpus-version key component for one fixture table: a rewritten
+    * fixture can never be served a stale memoized frame (callers fold
+    * this into their key). */
+  def versionOf(s: SparkSession, dir: String, table: String): String = {
+    val path = s"$dir/$table.parquet"
+    s"$path|${manifestDigest(s, path)}"
   }
 
   /** Materialize (Materialize.stable) and cache `build`'s frame under

@@ -286,24 +286,48 @@ object MinHashKernel {
     r
   }
 
+  /** Start offset (in UTF-16 code units) of each code point of `s`,
+    * with a sentinel end offset — grams indexed through this table are
+    * CODE-POINT grams, matching ANSI `substr(text, i, n)`/`length`
+    * (DuckDB counts code points) even for non-BMP text, where a raw
+    * JVM `substring` would split surrogate pairs and break the claimed
+    * exact md5-gram oracle parity. For BMP-only text this is the
+    * identity table, so the fast common case costs one linear scan. */
+  private def codePointStarts(s: String): Array[Int] = {
+    val starts = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var cu = 0
+    var cp = 0
+    while (cu < s.length) {
+      starts(cp) = cu
+      cu += Character.charCount(s.codePointAt(cu))
+      cp += 1
+    }
+    starts(cp) = s.length
+    starts
+  }
+
   /** md5-keyed winnowing: [[winnowFingerprint]]'s sliding-window-minimum
     * selection with the Karp-Rabin rolling hash replaced by per-gram
     * MD5 prefixes kept as fixed-width lowercase hex strings — for which
     * lexicographic order IS unsigned numeric order, so the window
     * minimum is engine-agnostic and the whole stream has an exact
-    * `md5(substr(text, i, n))` DuckDB oracle. O(len·n) hashing instead
+    * `md5(substr(text, i, n))` DuckDB oracle (grams and the length
+    * guard count CODE POINTS, via [[codePointStarts]], to match ANSI
+    * substr/len on non-BMP text). O(len·n) hashing instead
     * of O(len) — the price of auditability; the Karp-Rabin form remains
     * the throughput path. Sorted distinct array; null below n chars. */
   def winnowFingerprintMd5(text: UTF8String, n: Int, w: Int): ArrayData = {
     val s = text.toString
-    if (s.length < n) return null
+    val starts = codePointStarts(s)
+    val cpLen = starts.length - 1
+    if (cpLen < n) return null
     val md = md5Local.get()
-    val nHashes = s.length - n + 1
+    val nHashes = cpLen - n + 1
     val hashes = new Array[String](nHashes)
     var i = 0
     while (i < nHashes) {
       md.reset()
-      val d = md.digest(s.substring(i, i + n)
+      val d = md.digest(s.substring(starts(i), starts(i + n))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val sb = new java.lang.StringBuilder(16)
       var b = 0
@@ -343,13 +367,15 @@ object MinHashKernel {
     * stays in codegen and allocates only for the 1/16 that survive. */
   def sampledGramDigests(text: UTF8String, k: Int): ArrayData = {
     val s = text.toString
-    if (s.length < k) return null
+    val starts = codePointStarts(s)
+    val cpLen = starts.length - 1
+    if (cpLen < k) return null
     val md = md5Local.get()
     val sel = scala.collection.mutable.SortedSet[String]()
     var i = 0
-    val last = s.length - k
+    val last = cpLen - k
     while (i <= last) {
-      val d = md.digest(s.substring(i, i + k)
+      val d = md.digest(s.substring(starts(i), starts(i + k))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if ((d(0) & 0xF0) == 0) {
         val sb = new java.lang.StringBuilder(32)

@@ -80,11 +80,10 @@ object BandIndex {
   private val Bands = 16
 
   def indexDir(s: SparkSession, dir: String, boundary: Boundary): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val bytes = fs.getContentSummary(p).getLength
-    val id = s"$dir|$bytes|${st.getModificationTime}|bands|k=$K|b=$Bands" +
+    // Per-file manifest digest, not bytes|mtime — see
+    // SessionMemo.manifestDigest for why the coarse form can collide.
+    val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/documents.parquet")
+    val id = s"$dir|$corpus|bands|k=$K|b=$Bands" +
       s"|${boundary.id}|v=$LayoutVersion"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(id.getBytes("UTF-8"))

@@ -43,11 +43,8 @@ object IvfIndex {
     * here would let two corpora collide and silently serve the wrong
     * inverted lists (wrong vec_ids, no error). */
   def indexDir(s: SparkSession, dir: String, k: Int = 16): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val bytes = fs.getContentSummary(p).getLength
-    val id = s"$dir|$bytes|${st.getModificationTime}|k=$k|v=$LayoutVersion"
+    val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/embeddings.parquet")
+    val id = s"$dir|$corpus|k=$k|v=$LayoutVersion"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(id.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString

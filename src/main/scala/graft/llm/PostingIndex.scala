@@ -55,11 +55,8 @@ object PostingIndex {
       .digest(term.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
 
   def indexDir(s: SparkSession, dir: String, boundary: Boundary): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val bytes = fs.getContentSummary(p).getLength
-    val id = s"$dir|$bytes|${st.getModificationTime}|postings" +
+    val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/documents.parquet")
+    val id = s"$dir|$corpus|postings" +
       s"|${boundary.id}|v=$LayoutVersion"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(id.getBytes("UTF-8")).map(b => f"$b%02x").mkString

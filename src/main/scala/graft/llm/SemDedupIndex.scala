@@ -37,11 +37,8 @@ object SemDedupIndex {
   private val SimThreshold = 0.35
 
   def indexDir(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val bytes = fs.getContentSummary(p).getLength
-    val id = s"$dir|$bytes|${st.getModificationTime}|semdedup" +
+    val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/embeddings.parquet")
+    val id = s"$dir|$corpus|semdedup" +
       s"|thr=$SimThreshold|batch=mod10eq7|v=$LayoutVersion"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(id.getBytes("UTF-8"))

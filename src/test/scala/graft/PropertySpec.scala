@@ -99,6 +99,46 @@ class PropertySpec extends AnyFunSuite {
       "fingerprints are fixed-width lowercase hex")
   }
 
+  test("md5 gram kernels count code points, not UTF-16 units (non-BMP parity)") {
+    import spark.implicits._
+    // "𝕏" (U+1D54F) is a surrogate PAIR in the JVM but ONE code point to
+    // ANSI substr/len — a code-unit-indexed gram would split it and break
+    // the md5(substr(text,i,k)) oracle parity the kernels claim.
+    val doc = "a𝕏b c𝄞d e𝕏f padding words"
+    def cpGrams(s: String, k: Int): Seq[String] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - k).map(i =>
+        new String(cps, i, k))
+    }
+    def md5hex(s: String, bytes: Int): String = {
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(bytes).map(b => f"$b%02x").mkString
+    }
+    // sampledGramDigests: deterministic — must equal the code-point replay
+    val k = 4
+    val expectSample = cpGrams(doc, k).map(md5hex(_, 16))
+      .filter(_.startsWith("0")).distinct.sorted
+    val gotSample = Seq(Tuple1(doc)).toDF("text")
+      .select(graft.functions.HashKernels.sampled_gram_digests(col("text"), k).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(gotSample == expectSample, s"sampled grams diverge from code-point replay")
+    // winnowFingerprintMd5: every selected fingerprint must be the md5
+    // prefix of SOME code-point gram (selection is a subset by design)
+    val allCp = cpGrams(doc, 8).map(md5hex(_, 8)).toSet
+    val gotWin = Seq(Tuple1(doc)).toDF("text")
+      .select(graft.functions.HashKernels.winnow_fingerprint_md5(col("text"), 8, 4).as("fp"))
+      .collect().head.getSeq[String](0).toSet
+    assert(gotWin.nonEmpty && gotWin.subsetOf(allCp),
+      "winnow md5 fingerprints must come from code-point grams")
+    // length guard counts code points: 6 code points but 9 UTF-16 units —
+    // a gram size of 7 must yield null (too short), not a split-surrogate gram
+    val short = "𝕏𝕏𝕏abc" // 6 cps, 9 code units
+    val r = Seq(Tuple1(short)).toDF("text")
+      .select(graft.functions.HashKernels.winnow_fingerprint_md5(col("text"), 7, 4).as("fp"))
+      .collect().head
+    assert(r.isNullAt(0), "cp-length guard must null out 6-cp doc at n=7")
+  }
+
   test("minhash of a token superset is elementwise <= (min monotone)") {
     import spark.implicits._
     (1 to 20).foreach { _ =>
