@@ -40,24 +40,44 @@ object Bench {
     // (unset = the full catalog, which is what the driver runs).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Ambient-load variance on the shared VM swings identical plans
+    // 2-7x between runs (SURVEY §8.11), so single-shot timings make
+    // round-over-round regression lists mostly noise. With repeats>1
+    // each query runs `repeats` times back-to-back and reports the
+    // per-query MEDIAN; the 1-min loadavg is recorded alongside so a
+    // hot machine is visible in the artifact rather than inferred.
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3)
     var failures = List.empty[String]
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        failures ::= name
-        System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to math.max(1, repeats)).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          failures ::= name
+          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+          None
+        }
+      }
+      name -> (if (times.nonEmpty) medianOf(times) else 0.0)
+    }
+    val loadavg =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val fails = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fails = failures.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failures":${failures.size},"failures":$fails}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failures":${failures.reverse.distinct.size},"failures":$fails,"repeats":$repeats,"loadavg_1m":$loadavg}"""
     // The driver greps a 2000-char stdout tail where sbt/log4j noise can
     // interleave with (or truncate) the metric line, so ALSO persist it
     // to a file and make the line itself the final stdout output.

@@ -217,7 +217,20 @@ object CoreQueries {
       .orderBy("region_name", "nation_name")
   }
 
+  /** Parameterized drill-down (P5; reference main.py:326-327, surfaced
+    * in-warehouse by [[graft.erathia.Viewer.priceDrilldown]]): the
+    * price-history mart restricted to ONE user-chosen product,
+    * chronological. Composed as mart-then-filter so the binding stays a
+    * typed Column literal (never string-spliced SQL) and Catalyst pushes
+    * the product predicate through the sort and aggregate into the part
+    * scan (PushedFilters: p_name) — at 100 TB the drill-down reads one
+    * product's slice, not the materialized mart. The catalog entry q175
+    * binds 'blue anvil' (present at every test SF) for the oracle. */
+  def priceDrilldown(s: SparkSession, dir: String, product: String): DataFrame =
+    priceHistory(s, dir).filter(col("product_name") === product)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_param_drilldown"  -> ((s, dir) => priceDrilldown(s, dir, "blue anvil")),
     "q01_faction_economy"   -> factionEconomy,
     "q02_price_history"     -> priceHistory,
     "q03_top_customers"     -> topCustomers,
@@ -256,6 +269,16 @@ object CoreQueries {
         |WHERE p_type = 'STANDARD'
         |GROUP BY 1, 2, 3
         |ORDER BY year, month, product_name""".stripMargin,
+    "q175_param_drilldown" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+        |  CAST(month(l_shipdate) AS INTEGER) AS month,
+        |  p_name AS product_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  ROUND(SUM(l_quantity), 2) AS total_quantity
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'STANDARD' AND p_name = 'blue anvil'
+        |GROUP BY 1, 2, 3
+        |ORDER BY year, month""".stripMargin,
     "q03_top_customers" ->
       """SELECT c_name AS customer_name, n_name AS nation_name,
         |  COUNT(l_orderkey) AS trades,
