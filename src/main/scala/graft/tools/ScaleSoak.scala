@@ -100,13 +100,20 @@ object ScaleSoak {
         .repartition(8)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     } else {
-      // hash-derived pseudo-gaussian-ish vectors: dup-sparse
+      // hash-derived pseudo-gaussian-ish vectors: dup-sparse. The
+      // cluster key cardinality GROWS with the corpus (k ≈ n/1000 —
+      // the SemDeDup contract, and the q90 docstring's note): semantic
+      // dedup's within-cluster pairwise pass is O(n·width), so a fixed
+      // 10-label fixture shape at 1000× would be a ~10¹¹-pair
+      // quadratic, which no deployment would run — k∝n is the
+      // published recipe, not a soak convenience.
+      val labelMod = math.max(10L, nEmb * reps / 1000L)
       spark.range(nEmb * reps).select(col("id").as("vec_id"))
         .select(col("vec_id"),
           transform(sequence(lit(0), lit(63)), i =>
             ((pmod(xxhash64(col("vec_id"), i), lit(2001)) - 1000) / 1000.0)
               .cast("float")).as("embedding"),
-          pmod(col("vec_id"), lit(10)).cast("int").as("label"))
+          pmod(col("vec_id"), lit(labelMod)).cast("int").as("label"))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
@@ -150,6 +157,23 @@ object ScaleSoak {
     time("incremental_staged_probe") {
       graft.llm.NearDupOps.incrementalNearDupStaged(spark, dir)
         .write.format("noop").mode("overwrite").save()
+    }
+    // SemDedup staged split (q171): the offline cluster-restricted
+    // pairwise pass vs the O(batch) probe that unions batch-touching
+    // cosine edges with the staged component graph — the same
+    // build/probe asymmetry the band and posting indexes show. Skipped
+    // in rep mode, which replicates the 10-label fixture embeddings
+    // verbatim: constant cluster count at growing n is the quadratic
+    // shape the k∝n contract above exists to rule out.
+    if (mode != "rep") {
+      time("semdedup_index_build") {
+        graft.llm.SemDedupIndex.ensure(spark, dir)
+        ()
+      }
+      time("semdedup_staged_probe") {
+        graft.llm.VectorOps.semanticDedupStaged(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     time("posting_index_build") {
       graft.llm.PostingIndex.ensure(spark, dir)
