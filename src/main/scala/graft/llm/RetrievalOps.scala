@@ -23,7 +23,7 @@ object RetrievalOps {
     * IR literature settled on). Written as the literals 2.2 (= k1+1),
     * 1.2 (= k1) and 0.25 / 0.75 (= 1−b / b) in BOTH engines so the
     * IEEE expression trees match bit-for-bit. */
-  private val QueryTerms: Seq[(Long, String)] = Seq(
+  private[graft] val QueryTerms: Seq[(Long, String)] = Seq(
     (1L, "spark"), (1L, "stream"), (1L, "join"),
     (2L, "hash"), (2L, "merge"), (2L, "sort"),
     (3L, "customer"), (3L, "vector"), (3L, "window"))
@@ -47,7 +47,7 @@ object RetrievalOps {
     * `tf` may be pre-pruned to the query terms; `dfQ` must be pruned
     * (≤|query terms| rows, broadcastable at any corpus size — never the
     * q80-class unbounded-vocabulary broadcast). */
-  private def bm25Score(tf: DataFrame, dl: DataFrame, dfQ: DataFrame,
+  private[graft] def bm25Score(tf: DataFrame, dl: DataFrame, dfQ: DataFrame,
       stats: DataFrame, q: DataFrame): DataFrame = {
     val contrib = tf
       .join(broadcast(q), Seq("term"))

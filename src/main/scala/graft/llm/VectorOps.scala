@@ -34,7 +34,7 @@ object VectorOps {
     * tie-break. One definition so the three ANN variants (brute, LSH,
     * IVF) cannot drift in rounding or tie-break semantics. Input needs
     * columns (query_id, vec_id, qv, v, qnorm, norm). */
-  private def rankTop10(pairs: DataFrame): DataFrame = {
+  private[graft] def rankTop10(pairs: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
     val sims = pairs.select(col("query_id"), col("vec_id"),
       round(dot_product(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)

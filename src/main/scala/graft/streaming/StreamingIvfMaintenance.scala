@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+/** Streaming maintenance of the IVF index — the vector member of the
+  * streaming-maintenance matrix. Per micro-batch of (vec_id, embedding)
+  * arrivals, each vector is assigned to its nearest FROZEN centroid
+  * (the FAISS `add` path: a |batch|×k broadcast cross-join against the
+  * staged centroid table — k rows, never a corpus shuffle; re-trains
+  * happen offline on their own cadence) and appended as a delta
+  * inverted-list segment `delta/b<id>/lists` with the same (vec_id,
+  * cell, v, norm) shape as the staged lists.
+  *
+  * Like the posting maintainer, the write depends only on the batch and
+  * the frozen centroids, so replay of an unacknowledged batch is
+  * idempotent by construction (batch-id-keyed overwrite). The
+  * assignment argmin tie-breaks on cell id — the q106 rule — so a
+  * replay cannot flip a boundary vector to a different cell.
+  *
+  * [[probeWithDelta]] ranks against base lists ∪ delta segments with
+  * the catalog's shared top-10 tail; StreamingIvfMaintenanceSpec pins
+  * stream-grown ≡ q106's single-shot add-batch over three arrivals.
+  *
+  * 100 TB posture: O(batch·k) distance work per batch; the corpus
+  * lists are never read at maintenance time, and at probe time cell
+  * pruning applies to base and delta alike (both carry the cell
+  * column). */
+object StreamingIvfMaintenance {
+
+  private val listSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("cell", IntegerType),
+    StructField("v", ArrayType(FloatType)),
+    StructField("norm", DoubleType)))
+
+  /** Delta inverted-list rows across all landed batches. */
+  def deltaLists(s: SparkSession, deltaDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.matches("b\\d+"))
+          .map(q => s"$q/lists")
+      else Nil
+    if (dirs.nonEmpty) s.read.schema(listSchema).parquet(dirs: _*)
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], listSchema)
+  }
+
+  /** The foreachBatch function: nearest-frozen-centroid assignment of
+    * the batch, appended as one delta segment. `centroids` is the
+    * staged (cell, centroid) table of the published index. */
+  def ivfMaintain(centroids: DataFrame, deltaDir: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    import graft.functions.VectorFunctions.dot_product
+    val dist = aggregate(
+      zip_with(col("v").cast("array<double>"), col("centroid"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    batch
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cell", "v", "norm")
+      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/lists")
+  }
+
+  /** Full probe (every vector with vec_id < 5 queries all cells, the
+    * catalog's q67/q106 contract) over base lists ∪ streamed delta. */
+  def probeWithDelta(s: SparkSession, baseLists: DataFrame,
+      centroids: DataFrame, deltaDir: String): DataFrame = {
+    val merged = baseLists.select("vec_id", "cell", "v", "norm")
+      .unionByName(deltaLists(s, deltaDir))
+    val q = merged.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val probed = q.crossJoin(broadcast(centroids.select(col("cell"))))
+    graft.llm.VectorOps.rankTop10(
+      merged.join(broadcast(probed), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id")))
+  }
+}

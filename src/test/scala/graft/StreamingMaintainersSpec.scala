@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{IvfIndex, PostingIndex, RetrievalOps, SemDedupIndex, VectorOps}
+import graft.streaming.{StreamingIvfMaintenance, StreamingPostingMaintenance, StreamingSemDedupMaintenance}
+
+/** The streaming-maintenance matrix, closed: postings, IVF lists, and
+  * SemDedup components each grow under continuous ingest and must end
+  * in EXACTLY the state their single-shot add-batch twin (q132, q106,
+  * q171) produces — each of which is itself pinned to a from-scratch
+  * full-corpus build by the driver oracle. Arrivals are the standard
+  * mod-10 ingest batch split into three files. */
+class StreamingPostingMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchDocs = graft.Tables.tSpread(spark, dir, "documents")
+    .filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id", "text")
+
+  test("streamed posting delta ranks exactly like the full-corpus build") {
+    val root = java.nio.file.Files.createTempDirectory("spm").toString
+    val in = s"$root/in"; val delta = s"$root/delta"
+    new java.io.File(in).mkdirs()
+    val idx = PostingIndex.ensure(spark, dir, PostingIndex.Boundary.ingestMod10)
+    val ids = batchDocs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    var arrivals = 0
+    def arrive(part: Seq[Long]): Unit = {
+      arrivals += 1
+      val staging = java.nio.file.Files.createTempDirectory(s"spm-a$arrivals")
+      batchDocs.filter(col("doc_id").isin(part: _*))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val it = java.nio.file.Files.list(staging).iterator()
+      var p: java.nio.file.Path = null
+      while (it.hasNext) { val f = it.next(); if (f.toString.endsWith(".parquet")) p = f }
+      java.nio.file.Files.copy(p,
+        java.nio.file.Paths.get(in, s"arrival$arrivals.parquet"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val tertile = ids.grouped((ids.length + 2) / 3).toSeq
+    arrive(tertile(0))
+    val q = spark.readStream.schema(schema).parquet(in)
+      .writeStream
+      .foreachBatch(StreamingPostingMaintenance.postingMaintain(delta) _)
+      .start()
+    try {
+      q.processAllAvailable()
+      arrive(tertile(1)); q.processAllAvailable()
+      arrive(tertile(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingPostingMaintenance.bm25StreamedProbe(spark, idx, delta)
+      .collect().map(_.toSeq)
+    val want = RetrievalOps.bm25Search(spark, dir).collect().map(_.toSeq)
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      s"streamed BM25 drifted from the full-corpus ranking")
+  }
+
+  test("posting replay is idempotent (additive segments, batch-keyed overwrite)") {
+    val root = java.nio.file.Files.createTempDirectory("spm-replay").toString
+    val delta = s"$root/delta"
+    val fn = StreamingPostingMaintenance.postingMaintain(delta) _
+    val b = batchDocs.limit(20)
+    def snap(sub: String) = spark.read.parquet(s"$delta/b0/$sub").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    fn(b, 0L)
+    val before = Seq("postings", "doclen", "df", "stats").map(snap)
+    fn(b, 0L)
+    val after = Seq("postings", "doclen", "df", "stats").map(snap)
+    assert(before == after, "replayed posting segments drifted")
+    assert(before.head.nonEmpty, "vacuous replay check")
+  }
+}
+
+class StreamingIvfMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stream-grown IVF delta probes exactly like the single-shot add-batch") {
+    val root = java.nio.file.Files.createTempDirectory("sim-ivf").toString
+    val delta = s"$root/delta"
+    val idx = IvfIndex.ensure(spark, dir)
+    val lists = spark.read.parquet(s"$idx/lists")
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val isNew = pmod(col("vec_id"), lit(10)) === 7
+    val baseLists = lists.filter(!isNew)
+    val batch = graft.Tables.tSpread(spark, dir, "embeddings")
+      .filter(isNew).select("vec_id", "embedding")
+    val ids = batch.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val fn = StreamingIvfMaintenance.ivfMaintain(centroids, delta) _
+    ids.grouped((ids.length + 2) / 3).zipWithIndex.foreach { case (part, i) =>
+      fn(batch.filter(col("vec_id").isin(part: _*)), i.toLong)
+    }
+    val got = StreamingIvfMaintenance
+      .probeWithDelta(spark, baseLists, centroids, delta)
+      .collect().map(_.toSeq)
+    val want = VectorOps.ivfAddBatch(spark, dir).collect().map(_.toSeq)
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      "streamed IVF probe drifted from q106's add-batch")
+    // replay: same batch id, byte-identical segment
+    def snap() = spark.read.parquet(s"$delta/b0/lists").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val before = snap()
+    fn(batch.filter(col("vec_id").isin(ids.take((ids.length + 2) / 3): _*)), 0L)
+    assert(snap() == before, "replayed IVF segment drifted")
+  }
+}
+
+class StreamingSemDedupMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stream-grown components equal the staged add-batch cluster table") {
+    val root = java.nio.file.Files.createTempDirectory("sim-sd").toString
+    val delta = s"$root/delta"
+    SemDedupIndex.ensure(spark, dir)
+    val staged = SemDedupIndex.components(spark, dir)
+    val emb = graft.Tables.tSpread(spark, dir, "embeddings")
+    val baseVecs = emb.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      .select("label", "vec_id", "embedding")
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select("label", "vec_id", "embedding")
+    val ids = batch.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val fn = StreamingSemDedupMaintenance.semDedupMaintain(baseVecs, delta) _
+    ids.grouped((ids.length + 2) / 3).zipWithIndex.foreach { case (part, i) =>
+      fn(batch.filter(col("vec_id").isin(part: _*)), i.toLong)
+    }
+    val got = StreamingSemDedupMaintenance
+      .componentsWithDelta(spark, baseVecs, staged, delta)
+      .collect().map(_.toSeq)
+    val want = VectorOps.semanticDedupStaged(spark, dir).collect().map(_.toSeq)
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      "streamed semdedup components drifted from q171")
+    // replay: edges for a re-run batch must not see the batch's own
+    // delta vecs (strictly-before read), so the segment is stable
+    def snap(sub: String) = spark.read.parquet(s"$delta/b1/$sub").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val t1 = ids.grouped((ids.length + 2) / 3).toSeq(1)
+    val before = (snap("edges"), snap("vecs"))
+    fn(batch.filter(col("vec_id").isin(t1: _*)), 1L)
+    assert((snap("edges"), snap("vecs")) == before,
+      "replayed semdedup segments drifted")
+  }
+}
