@@ -25,6 +25,25 @@ object SessionMemo {
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
+  /** RDD ids backing memoized frames — the blocks that must SURVIVE
+    * `Materialize.releaseTransient` (everything else persisted is a
+    * dead per-query checkpoint once its query's action returns). */
+  private val protectedIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Set[Integer]]())
+
+  def protectedRddIds(s: SparkSession): java.util.Set[Integer] =
+    protectedIds.synchronized {
+      val cur = protectedIds.get(s)
+      if (cur != null) cur
+      else {
+        val fresh: java.util.Set[Integer] =
+          java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+        protectedIds.put(s, fresh)
+        fresh
+      }
+    }
+
   /** Digest of the recursive per-file (name, length, mtime) manifest
     * under `path` — the corpus-identity primitive shared by this memo
     * and the staged indexes (BandIndex/PostingIndex/IvfIndex/
@@ -67,7 +86,17 @@ object SessionMemo {
     val cached = m.get(k)
     if (cached != null) cached
     else {
+      // Snapshot-diff of the persistent-RDD set brackets the build so
+      // every block the materialization pins (including blocks from
+      // NESTED memoized builds — their own bracket also registers them)
+      // lands in the protected set before the frame is published. A
+      // concurrent unrelated persist inside the bracket gets protected
+      // too: conservative, never unsound.
+      val before = s.sparkContext.getPersistentRDDs.keySet
       val built = Materialize.stable(build)
+      val ids = protectedRddIds(s)
+      s.sparkContext.getPersistentRDDs.keysIterator
+        .filterNot(before.contains).foreach(id => ids.add(id))
       val prev = m.putIfAbsent(k, built)
       if (prev != null) prev else built
     }

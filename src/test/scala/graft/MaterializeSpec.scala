@@ -38,4 +38,33 @@ class MaterializeSpec extends AnyFunSuite {
       spark.range(100).select(col("id"), (col("id") * 2).as("v")))
     assert(df.count() == 100)
   }
+
+  test("releaseTransient drops dead checkpoint blocks but never a memoized frame") {
+    val sc = spark.sparkContext
+    // A query-local checkpoint: dead the moment its action returns.
+    val transient = Materialize.stable(
+      spark.range(1000).select(col("id"), (col("id") * 3).as("v")))
+    assert(transient.count() == 1000)
+    // A memoized frame: must survive the release and stay readable.
+    val memoKey = s"materialize-spec-memo-${System.nanoTime()}"
+    val memo = SessionMemo.materialized(spark, memoKey)(
+      spark.range(500).select(col("id"), (col("id") + 7).as("w")))
+    assert(memo.count() == 500)
+    val persistedBefore = sc.getPersistentRDDs.size
+    assert(persistedBefore >= 2, "both frames should hold persisted blocks")
+    Materialize.releaseTransient(spark)
+    val keep = SessionMemo.protectedRddIds(spark)
+    // Everything still persisted is protected; the transient's blocks
+    // are gone from the persistent set.
+    sc.getPersistentRDDs.keysIterator.foreach { id =>
+      assert(keep.contains(Int.box(id)),
+        s"unprotected RDD $id survived releaseTransient")
+    }
+    // The memoized frame is still fully readable after the sweep —
+    // its blocks were never dropped (localCheckpoint truncates lineage,
+    // so a dropped block would make this throw, not recompute).
+    assert(memo.count() == 500)
+    assert(SessionMemo.materialized(spark, memoKey)(
+      sys.error("memo must not rebuild")).count() == 500)
+  }
 }
