@@ -32,6 +32,7 @@ object SparkEntry {
     llm.CorpusAudit.queries ++
     llm.SamplingOps.queries ++
     llm.MultimodalOps.queries ++
+    sources.Interchange.queries ++
     streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
     llm.CorpusAudit.oracleSql ++
     llm.SamplingOps.oracleSql ++
     llm.MultimodalOps.oracleSql ++
+    sources.Interchange.oracleSql ++
     streaming.StreamOps.oracleSql
 }
