@@ -114,6 +114,49 @@ object Interchange {
     case other => throw new IllegalArgumentException(s"unknown format $other")
   }
 
+  /** PERMISSIVE quarantine ingest — the production-posture complement
+    * of [[readBack]]'s FAILFAST: at 100 TB you do not kill a
+    * 1000-executor job for three bad lines, you route them. Parses the
+    * input ONCE (the parsed frame is materialized via
+    * [[graft.Materialize.stable]] — without it the good/bad split
+    * would re-read and re-parse the entire input twice, and Spark
+    * additionally refuses plans that prune down to only the corrupt
+    * column), then splits into (good rows with the declared schema,
+    * quarantined raw lines preserved VERBATIM for replay after the
+    * producer is fixed). The caller owns loud accounting: a quarantine
+    * count that is not asserted against an expectation is silent data
+    * loss with extra steps. */
+  def readWithQuarantine(s: SparkSession, path: String, fmt: String,
+                         schema: StructType): (DataFrame, DataFrame) = {
+    val crCol = "_corrupt_record"
+    val withCr = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(crCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = fmt match {
+      case "jsonl" =>
+        s.read.schema(withCr)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", crCol)
+          .json(path)
+      case "csv" =>
+        s.read.schema(withCr)
+          .option("header", "true")
+          .option("quote", "\"")
+          .option("escape", "\"")
+          .option("nullValue", CsvNullSentinel)
+          .option("multiLine", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", crCol)
+          .csv(path)
+      case other => throw new IllegalArgumentException(s"unknown format $other")
+    }
+    val parsed = graft.Materialize.stable(raw)
+    val good = parsed.filter(col(crCol).isNull).drop(crCol)
+    val bad = parsed.filter(col(crCol).isNotNull)
+      .select(col(crCol).as("raw_line"))
+    (good, bad)
+  }
+
   private def exportDir(s: SparkSession, dir: String, fmt: String): String = {
     val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/documents.parquet")
     val id = s"$dir|$corpus|interchange|$fmt|v=$LayoutVersion"

@@ -264,6 +264,23 @@ object ScaleSoak {
       val n = graft.llm.NearDupOps.saturatedBands(spark, dir).count()
       println(s"[soak] saturated distinct-text bands: $n")
     }
+    // Interchange (round-8): each export is one corpus pass; ingest
+    // parallelism = file count for JSONL, while CSV's multiLine mode
+    // parses each file as ONE unit — the slope gap between the two
+    // ingest lines at the same decade is the measured form of the
+    // Interchange scaladoc's "JSONL over CSV for text" argument.
+    val docsSchema = graft.schema.Schemas.fixture("documents")
+    for (fmt <- Seq("jsonl", "csv")) {
+      time(s"${fmt}_export") {
+        graft.sources.Interchange.ensure(spark, dir, fmt)
+        ()
+      }
+      time(s"${fmt}_ingest") {
+        graft.sources.Interchange.readBack(spark,
+            graft.sources.Interchange.ensure(spark, dir, fmt), fmt, docsSchema)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }

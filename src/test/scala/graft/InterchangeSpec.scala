@@ -66,6 +66,27 @@ class InterchangeSpec extends AnyFunSuite {
       }
   }
 
+  test("quarantine ingest splits good rows from verbatim-preserved bad lines") {
+    val dir = java.nio.file.Files.createTempDirectory("ichg-quar").toString
+    val lines = Seq(
+      "{\"doc_id\": 1, \"text\": \"good one\", \"lang\": \"en\"}",
+      "this is not json",
+      "{\"doc_id\": 2, \"text\": \"good two\", \"lang\": \"de\"}",
+      "{\"doc_id\": \"not-a-number\", \"text\": \"bad type\", \"lang\": \"fr\"}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00000.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val (good, bad) =
+      sources.Interchange.readWithQuarantine(spark, dir, "jsonl", schema)
+    val g = good.orderBy("doc_id").collect().toSeq
+    assert(g.map(_.getLong(0)) == Seq(1L, 2L),
+      s"good rows wrong: $g")
+    assert(g.map(_.getString(1)) == Seq("good one", "good two"))
+    val b = bad.collect().map(_.getString(0)).toSet
+    assert(b == Set(lines(1), lines(3)),
+      s"quarantine must preserve bad lines verbatim, got $b")
+  }
+
   test("FAILFAST ingest rejects a corrupt JSONL line loudly") {
     val dir = java.nio.file.Files.createTempDirectory("ichg-corrupt").toString
     java.nio.file.Files.write(
