@@ -66,22 +66,44 @@ object IvfIndex {
     // centroids-first ordering still exposed a window where lists/ was
     // mid-write under the final path).
     val tmp = s"$idx.tmp-${java.util.UUID.randomUUID}"
+    // NULL embeddings are unindexable (array_to_vector and KMeans both
+    // NPE on them) and unsearchable — drop them at the build boundary,
+    // the same contract a FAISS ingest applies. A null-dense slice at
+    // scale (failed upstream embedder) shrinks the index rather than
+    // failing the build; the probe side null-propagates on its own.
     val e = graft.Tables.tSpread(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").as("v"),
         array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(e.select("features"))
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray)
-    }
     import s.implicits._
-    centroids.toSeq.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-    model.transform(e)
-      .select(col("vec_id"), col("cell"), col("v"),
-        sqrt(dot_product(col("v"), col("v"))).as("norm"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/lists")
+    if (e.isEmpty) {
+      // Zero-vector corpus (at scale: a partition-pruned or brand-new
+      // tenant slice): KMeans.fit would throw on an empty summarizer.
+      // Stage a schema-stable EMPTY index instead — `cell` inlined as a
+      // regular column (a partitionBy write of an empty frame emits NO
+      // part files, and a later read of the dir cannot infer a schema),
+      // repartition(1) forcing the one empty part file that carries the
+      // schema. Probes join/prune against empty lists and return empty
+      // results with their normal shapes.
+      Seq.empty[(Int, Array[Double])].toDF("cell", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      e.select(col("vec_id"), col("v"),
+          lit(0.0).as("norm"), lit(0).as("cell"))
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/lists")
+    } else {
+      val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(e.select("features"))
+      val centroids = model.clusterCenters.zipWithIndex.map {
+        case (c, i) => (i, c.toArray)
+      }
+      centroids.toSeq.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      model.transform(e)
+        .select(col("vec_id"), col("cell"), col("v"),
+          sqrt(dot_product(col("v"), col("v"))).as("norm"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/lists")
+    }
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val idxPath = new org.apache.hadoop.fs.Path(idx)

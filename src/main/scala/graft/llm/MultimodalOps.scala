@@ -87,6 +87,11 @@ object MultimodalOps {
     val rate = (lit(8000) * (col("doc_id") % 5 + 1)).cast("int")
     val dur = (lit(1500) * (col("doc_id") % 5 + 2)).cast("int")
     t(s, dir, "documents")
+      // No text, no asset: a NULL body would null-propagate through
+      // concat into a NULL payload, which is not a media row — every
+      // downstream consumer (parser, feature batch, byte accounting)
+      // correctly assumes payload is a real byte array.
+      .filter(col("text").isNotNull)
       .select(
         col("doc_id"),
         element_at(formats, (col("doc_id") % 4 + 1).cast("int")).as("format"),

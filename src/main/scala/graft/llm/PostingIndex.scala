@@ -76,13 +76,25 @@ object PostingIndex {
         .select(col("doc_id"),
           explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    tf.withColumn("pbucket", substring(md5(col("term")), 1, 2))
-      .repartition(col("pbucket"))
-      .write.partitionBy("pbucket").mode("overwrite").parquet(s"$tmp/postings")
-    tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-      .write.mode("overwrite").parquet(s"$tmp/doclen")
-    tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$tmp/df")
+    // Empty corpus side (at scale: a partition-pruned or brand-new
+    // slice): a partitionBy/0-partition write emits NO part files and a
+    // later read of the dir cannot infer a schema — stage schema-stable
+    // empty tables instead (pbucket inlined, repartition(1) forcing the
+    // one empty part file that carries the schema).
+    val tfEmpty = tf.isEmpty
+    if (tfEmpty)
+      tf.withColumn("pbucket", substring(md5(col("term")), 1, 2))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/postings")
+    else
+      tf.withColumn("pbucket", substring(md5(col("term")), 1, 2))
+        .repartition(col("pbucket"))
+        .write.partitionBy("pbucket").mode("overwrite").parquet(s"$tmp/postings")
+    def wr(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      (if (tfEmpty) df.repartition(1) else df)
+        .write.mode("overwrite").parquet(path)
+    wr(tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")), s"$tmp/doclen")
+    wr(tf.groupBy("term").agg(count(lit(1)).as("df")), s"$tmp/df")
     s.read.parquet(s"$tmp/doclen")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
       .write.mode("overwrite").parquet(s"$tmp/stats")

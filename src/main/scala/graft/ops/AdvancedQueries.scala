@@ -257,6 +257,11 @@ object AdvancedQueries {
     import graft.functions.TopKAggregator
     t(s, dir, "documents")
       .select(col("source"), col("doc_id"), col("n_chars"))
+      // A NULL measure cannot rank (and would NOT_NULL-violate the
+      // tuple encoder's primitive Long) — exclude it, exactly as the
+      // window-form oracle's ORDER BY excludes it from any top-k with
+      // k non-null candidates.
+      .filter(col("n_chars").isNotNull)
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, id, nc) => TopKAggregator.Entry(id, nc.toDouble) }

@@ -334,8 +334,12 @@ object StreamOps {
   def statefulTransitions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = graft.Tables.t(s, dir, "events")
+      // `value` is not a transition input (the extractor orders on
+      // (ts, event_id) and reads types) but it IS a primitive Double in
+      // the Event encoder — a NULL there would NOT_NULL-violate the
+      // deserializer, so pin it before the typed boundary.
       .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
       .as[Event]
     transitionSteps(ev).toDF()
       .groupBy(col("from_type"), col("to_type"))
