@@ -105,6 +105,44 @@ object SamplingOps {
       budget = 2000L)
   }
 
+  /** q178 — concat-and-chunk sequence packing: the pretraining
+    * data-loader op q64 deliberately is NOT. q64 packs WHOLE documents
+    * into token-budget shards; the GPT-style loader instead
+    * concatenates the corpus in stable doc_id order (separator-free
+    * here; an EOS would just add +1 per doc) and slices it into
+    * fixed-length examples of C tokens, SPLITTING documents across
+    * example boundaries. The output is one row per (example, document)
+    * overlap span — exactly the index a loader needs to assemble
+    * example i by reading its member docs' token sub-ranges, and the
+    * provenance map needed to trace any training example back to its
+    * source documents.
+    *
+    * Plan: token counts per doc (fused-kernel scan), the q64 prefix
+    * scan for global offsets (block-bounded tasks, no corpus-sized
+    * window), then `explode(sequence(first_ex, last_ex))` — pure
+    * per-row arithmetic whose fan-out is n_tokens/C + 1 rows per doc,
+    * so output rows ≈ n_docs + total_tokens/C: linear, and nothing
+    * after the prefix scan shuffles at all. Every value is exact
+    * BIGINT arithmetic (integer div, greatest/least), so the DuckDB
+    * twin hash-matches. */
+  def sequenceChunks(s: SparkSession, dir: String, c: Long = 512L): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    graft.ops.Prefix.cumSums(toks, "doc_id", Seq("n_tokens"))
+      .withColumn("start_tok", col("n_tokens_cum") - col("n_tokens"))
+      .withColumn("end_tok", col("n_tokens_cum"))
+      .withColumn("example_id", explode(sequence(
+        expr(s"start_tok div $c"), expr(s"(end_tok - 1) div $c"))))
+      .select(col("example_id"), col("doc_id"),
+        greatest(col("start_tok"), col("example_id") * c).as("span_start"),
+        least(col("end_tok"), (col("example_id") + 1) * c).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .orderBy("example_id", "doc_id")
+  }
+
   /** Importance-weighted Bernoulli (Poisson) downsampling: each doc is
     * kept independently with probability proportional to its weight —
     * here length, p = min(1, n_chars/400), the "prefer substantive
@@ -305,7 +343,8 @@ object SamplingOps {
     "q97_split_assign" -> splitAssign,
     "q172_cluster_split_assign" -> clusterSplitAssign,
     "q174_holdout_balance" -> holdoutBalance,
-    "q143_token_budget" -> ((s, dir) => tokenBudget(s, dir)))
+    "q143_token_budget" -> ((s, dir) => tokenBudget(s, dir)),
+    "q178_sequence_chunks" -> ((s, dir) => sequenceChunks(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
     // q174: q172's cluster-split CTE + the (source, split) contingency.
@@ -581,5 +620,35 @@ object SamplingOps {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST(FLOOR((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
         |FROM c
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q178: q64's token-count + running-offset CTEs, then inclusive
+    // integer-division example spans via generate_series — all-BIGINT
+    // arithmetic, exact in both engines.
+    "q178_sequence_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM tk WHERE n_tokens > 0),
+        |sp AS (
+        |  SELECT doc_id, cum_tokens - n_tokens AS start_tok,
+        |    cum_tokens AS end_tok
+        |  FROM c),
+        |ex AS (
+        |  SELECT doc_id, start_tok, end_tok,
+        |    unnest(generate_series(start_tok // 512, (end_tok - 1) // 512))
+        |      AS example_id
+        |  FROM sp)
+        |SELECT example_id, doc_id,
+        |  GREATEST(start_tok, example_id * 512) AS span_start,
+        |  LEAST(end_tok, (example_id + 1) * 512) AS span_end,
+        |  LEAST(end_tok, (example_id + 1) * 512)
+        |    - GREATEST(start_tok, example_id * 512) AS span_tokens
+        |FROM ex
+        |ORDER BY example_id, doc_id""".stripMargin)
 }

@@ -199,4 +199,42 @@ class SamplingSpec extends AnyFunSuite {
       assert(direct((r.getString(0), r.getString(1))) == r.getLong(2))
     }
   }
+
+  test("sequence chunks tile the token stream exactly: full examples, no gaps") {
+    import org.apache.spark.sql.functions._
+    val c = 512L
+    val rows = SamplingOps.sequenceChunks(spark, sfDir, c).collect()
+    assert(rows.nonEmpty)
+    // Per-example token sums: every example is exactly C tokens except
+    // possibly the last (the stream remainder).
+    val perExample = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(4)).sum).toMap
+    val lastEx = perExample.keys.max
+    perExample.foreach { case (ex, n) =>
+      if (ex < lastEx) assert(n == c, s"example $ex has $n tokens, want $c")
+      else assert(n > 0 && n <= c, s"last example has $n tokens")
+    }
+    // Examples are contiguous from 0, and within each example the doc
+    // spans tile [ex*C, ex*C + sum) without gaps or overlaps.
+    assert(perExample.keys.min == 0L)
+    assert(perExample.size == lastEx + 1)
+    rows.groupBy(_.getLong(0)).foreach { case (ex, rs) =>
+      val spans = rs.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(spans.head._1 == ex * c)
+      spans.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0)._2 == w(1)._1, s"gap in example $ex")
+      }
+    }
+    // Total spans reconstruct every doc's full token count.
+    val perDoc = rows.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getLong(4)).sum).toMap
+    val want = SamplingOps.sequenceChunks(spark, sfDir, c)
+      .sparkSession.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == want, "doc spans must reconstruct every doc exactly")
+  }
 }
