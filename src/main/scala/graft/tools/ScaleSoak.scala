@@ -264,6 +264,12 @@ object ScaleSoak {
       val n = graft.llm.NearDupOps.saturatedBands(spark, dir).count()
       println(s"[soak] saturated distinct-text bands: $n")
     }
+    // q178 concat-and-chunk: the prefix scan must stay block-bounded
+    // and the explode fan-out linear as the token stream grows.
+    time("sequence_chunks") {
+      graft.llm.SamplingOps.sequenceChunks(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
     // Interchange (round-8): each export is one corpus pass; ingest
     // parallelism = file count for JSONL, while CSV's multiLine mode
     // parses each file as ONE unit — the slope gap between the two
