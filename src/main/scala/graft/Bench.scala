@@ -60,18 +60,19 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          // Free the finished run's dead checkpoint blocks immediately —
-          // see Materialize.releaseTransient (late heavy queries
-          // otherwise pay eviction thrash for every earlier run's
-          // garbage; each repeat re-checkpoints its own blocks, so
-          // release per-repeat, outside the timed span).
-          Materialize.releaseTransient(spark)
-          Some(dt)
+          Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           failures ::= name
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
           None
+        } finally {
+          // Free the finished run's dead checkpoint blocks immediately —
+          // see Materialize.releaseTransient (late heavy queries
+          // otherwise pay eviction thrash for every earlier run's
+          // garbage). In a finally: a FAILED run's partial checkpoints
+          // are dead too, and each repeat re-checkpoints its own
+          // blocks, so release per-repeat, outside the timed span.
+          Materialize.releaseTransient(spark)
         }
       }
       name -> (if (times.nonEmpty) medianOf(times) else 0.0)

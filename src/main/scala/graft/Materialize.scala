@@ -57,7 +57,11 @@ object Materialize {
     * memoized frames (protected ids) are exactly the blocks that ARE
     * meant to outlive their building query. */
   def releaseTransient(s: org.apache.spark.sql.SparkSession): Unit = {
-    val keep = SessionMemo.protectedRddIds(s)
+    // getPersistentRDDs is CONTEXT-wide while sessions are not — keep
+    // every session's memo frames, not just the caller's, or a sweep
+    // from one session would destroy a sibling's lineage-truncated
+    // memoized blocks (Thrift server / notebook posture).
+    val keep = SessionMemo.allProtectedRddIds
     s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!keep.contains(id)) rdd.unpersist(blocking = false)
     }

@@ -44,6 +44,18 @@ object SessionMemo {
       }
     }
 
+  /** Protected ids across EVERY live session — `getPersistentRDDs` is
+    * CONTEXT-wide, so a sweep keyed on one session's set would
+    * unpersist sibling sessions' memo frames (whose localCheckpoint
+    * lineage is truncated: the next use would throw, not recompute).
+    * Thrift-server/notebook posture: many sessions, one context. */
+  def allProtectedRddIds: Set[Int] =
+    protectedIds.synchronized {
+      val out = scala.collection.mutable.Set.empty[Int]
+      protectedIds.values.forEach(s => s.forEach(id => out += id.intValue()))
+      out.toSet
+    }
+
   /** Digest of the recursive per-file (name, length, mtime) manifest
     * under `path` — the corpus-identity primitive shared by this memo
     * and the staged indexes (BandIndex/PostingIndex/IvfIndex/
@@ -94,11 +106,25 @@ object SessionMemo {
       // too: conservative, never unsound.
       val before = s.sparkContext.getPersistentRDDs.keySet
       val built = Materialize.stable(build)
-      val ids = protectedRddIds(s)
-      s.sparkContext.getPersistentRDDs.keysIterator
-        .filterNot(before.contains).foreach(id => ids.add(id))
+      val delta = s.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
       val prev = m.putIfAbsent(k, built)
-      if (prev != null) prev else built
+      if (prev != null) {
+        // Lost the duplicate-build race: our frame is discarded, so
+        // registering its blocks would pin dead storage forever (the
+        // very leak releaseTransient exists to close). Drop our
+        // checkpoint blocks now — except any the WINNING build (or a
+        // nested memo that won its own race) already registered.
+        val keep = allProtectedRddIds
+        delta.foreach { case (id, rdd) =>
+          if (!keep.contains(id)) rdd.unpersist(blocking = false)
+        }
+        prev
+      } else {
+        val ids = protectedRddIds(s)
+        delta.keysIterator.foreach(id => ids.add(id))
+        built
+      }
     }
   }
 }

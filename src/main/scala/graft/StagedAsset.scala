@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared machinery for STAGED DERIVED ASSETS — the offline indexes
+  * (BandIndex, PostingIndex, IvfIndex, SemDedupIndex) and the
+  * interchange exports all follow the same lifecycle, defined once
+  * here instead of five near-verbatim copies:
+  *
+  *   1. **Identity → location**: the asset lives at
+  *      `cacheRoot/<prefix>_<md5(identity)>`, where the identity
+  *      string folds in the corpus per-file manifest digest
+  *      (SessionMemo.manifestDigest), every build parameter, and a
+  *      layout version — content drift or a parameter change moves the
+  *      key, so a stale asset is never probed. The full 128-bit md5
+  *      matters: a short hash would let two corpora collide and
+  *      silently serve the wrong rows, no error.
+  *   2. **Stage-then-rename publish**: the builder writes into a
+  *      private `<out>.tmp-<uuid>` directory, then ONE atomic rename
+  *      moves it to the final path — a concurrent JVM sharing the
+  *      cache root can never read a half-written asset.
+  *   3. **Marker-keyed completeness**: an asset is complete iff its
+  *      marker file (`<out>/<markerRel>`) exists, which only ever
+  *      happens via the rename. A final path WITHOUT the marker is a
+  *      crashed older publish — cleared before renaming in. A LOST
+  *      rename race means another process published first; their asset
+  *      is byte-equivalent (the key pins corpus + parameters +
+  *      layout), so the loser deletes its tmp and proceeds — unless no
+  *      complete asset exists, which is a real failure and throws.
+  */
+object StagedAsset {
+
+  def cacheRoot: String =
+    sys.env.getOrElse("GRAFT_INDEX_DIR",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
+
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  /** Deterministic asset location for an identity string. */
+  def dir(prefix: String, identity: String): String =
+    s"$cacheRoot/${prefix}_${md5Hex(identity)}"
+
+  /** Fresh private staging dir for `out`. */
+  def tmpDir(out: String): String =
+    s"$out.tmp-${java.util.UUID.randomUUID}"
+
+  def markerPath(out: String, markerRel: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$out/$markerRel")
+
+  def isComplete(s: SparkSession, out: String, markerRel: String): Boolean = {
+    val marker = markerPath(out, markerRel)
+    marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)
+  }
+
+  /** Atomic publish of a fully-written `tmp` to `out` (rules 2–3
+    * above). `what` names the asset in the lost-race failure message. */
+  def publish(s: SparkSession, tmp: String, out: String,
+              markerRel: String, what: String): Unit = {
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val marker = markerPath(out, markerRel)
+    val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath) && !fs.exists(marker)) fs.delete(outPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), outPath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      if (!fs.exists(marker))
+        throw new IllegalStateException(
+          s"$what publish failed and no complete asset exists at $out")
+    }
+  }
+
+  /** Build-if-absent: returns `out`, invoking `build` only when the
+    * completeness marker is missing. `build` must end in [[publish]]. */
+  def ensure(s: SparkSession, out: String, markerRel: String)
+            (build: => Unit): String = {
+    if (!isComplete(s, out, markerRel)) build
+    out
+  }
+}

@@ -63,10 +63,6 @@ object BandIndex {
     val ingestMod10: Boundary = Boundary("batch=mod10eq7", NearDupOps.isNewDoc)
   }
 
-  private def cacheRoot: String =
-    sys.env.getOrElse("GRAFT_INDEX_DIR",
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
-
   /** Bump on any change to staged schemas or kernel code. Band
     * parameters and the boundary are IN the identity string already —
     * this covers what the string cannot see. v3 added `tfbands/`; v4
@@ -83,12 +79,8 @@ object BandIndex {
     // Per-file manifest digest, not bytes|mtime — see
     // SessionMemo.manifestDigest for why the coarse form can collide.
     val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/documents.parquet")
-    val id = s"$dir|$corpus|bands|k=$K|b=$Bands" +
-      s"|${boundary.id}|v=$LayoutVersion"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    s"$cacheRoot/bands_$key"
+    graft.StagedAsset.dir("bands", s"$dir|$corpus|bands|k=$K|b=$Bands" +
+      s"|${boundary.id}|v=$LayoutVersion")
   }
 
   /** Offline build over the corpus side (everything that is not the
@@ -97,7 +89,7 @@ object BandIndex {
   def build(s: SparkSession, dir: String, boundary: Boundary): String = {
     import graft.functions.HashKernels.shingle_array
     val idx = indexDir(s, dir, boundary)
-    val tmp = s"$idx.tmp-${java.util.UUID.randomUUID}"
+    val tmp = graft.StagedAsset.tmpDir(idx)
     val old = graft.Tables.tSpread(s, dir, "documents")
       .filter(!boundary.isBatch(col("doc_id")))
       .select(col("doc_id"), col("text"), md5(col("text")).as("digest"))
@@ -142,17 +134,7 @@ object BandIndex {
           .as("codes"))
       .filter(col("codes").isNotNull)
       .write.mode("overwrite").parquet(s"$tmp/tfcodes")
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val idxPath = new org.apache.hadoop.fs.Path(idx)
-    val marker = new org.apache.hadoop.fs.Path(s"$idx/bands/_SUCCESS")
-    if (fs.exists(idxPath) && !fs.exists(marker)) fs.delete(idxPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), idxPath)) {
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      if (!fs.exists(marker))
-        throw new IllegalStateException(
-          s"band index publish failed and no complete index exists at $idx")
-    }
+    graft.StagedAsset.publish(s, tmp, idx, "bands/_SUCCESS", "band index")
     idx
   }
 
@@ -165,10 +147,9 @@ object BandIndex {
     s.read.parquet(s"${ensure(s, dir, boundary)}/digests")
 
   /** Build-if-absent, keyed by (corpus version, boundary, band shape). */
-  def ensure(s: SparkSession, dir: String, boundary: Boundary): String = {
-    val idx = indexDir(s, dir, boundary)
-    val marker = new org.apache.hadoop.fs.Path(s"$idx/bands/_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) build(s, dir, boundary) else idx
-  }
+  def ensure(s: SparkSession, dir: String, boundary: Boundary): String =
+    graft.StagedAsset.ensure(s, indexDir(s, dir, boundary),
+        "bands/_SUCCESS") {
+      build(s, dir, boundary)
+    }
 }

@@ -29,10 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private def cacheRoot: String =
-    sys.env.getOrElse("GRAFT_INDEX_DIR",
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
-
   /** Index layout version — bump on any change to build parameters,
     * list schema, or kernel code so indices persisted by older builds
     * are never probed. */
@@ -44,11 +40,7 @@ object IvfIndex {
     * inverted lists (wrong vec_ids, no error). */
   def indexDir(s: SparkSession, dir: String, k: Int = 16): String = {
     val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/embeddings.parquet")
-    val id = s"$dir|$corpus|k=$k|v=$LayoutVersion"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    s"$cacheRoot/ivf_$key"
+    graft.StagedAsset.dir("ivf", s"$dir|$corpus|k=$k|v=$LayoutVersion")
   }
 
   /** Offline build: fit k-means (k=16, fixed seed, 5 Lloyd iterations,
@@ -65,7 +57,7 @@ object IvfIndex {
     // GRAFT_INDEX_DIR can never probe a half-written lists/ (the old
     // centroids-first ordering still exposed a window where lists/ was
     // mid-write under the final path).
-    val tmp = s"$idx.tmp-${java.util.UUID.randomUUID}"
+    val tmp = graft.StagedAsset.tmpDir(idx)
     // NULL embeddings are unindexable (array_to_vector and KMeans both
     // NPE on them) and unsearchable — drop them at the build boundary,
     // the same contract a FAISS ingest applies. A null-dense slice at
@@ -104,34 +96,17 @@ object IvfIndex {
           sqrt(dot_product(col("v"), col("v"))).as("norm"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/lists")
     }
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val idxPath = new org.apache.hadoop.fs.Path(idx)
-    val marker = new org.apache.hadoop.fs.Path(s"$idx/lists/_SUCCESS")
-    // A leftover final path without the completeness marker is a crashed
-    // publish of an older attempt — safe to clear before renaming in.
-    if (fs.exists(idxPath) && !fs.exists(marker)) fs.delete(idxPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), idxPath)) {
-      // Lost the publish race: another process renamed first. Their
-      // index is complete (marker check below) and byte-equivalent
-      // (the key pins corpus version + build parameters + layout).
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      if (!fs.exists(marker))
-        throw new IllegalStateException(
-          s"IVF index publish failed and no complete index exists at $idx")
-    }
+    graft.StagedAsset.publish(s, tmp, idx, "lists/_SUCCESS", "IVF index")
     idx
   }
 
   /** Build-if-absent, keyed by corpus version. Completeness is keyed on
     * lists/_SUCCESS under the final path, which only ever appears via
     * the atomic rename in [[build]]. */
-  def ensure(s: SparkSession, dir: String): String = {
-    val idx = indexDir(s, dir)
-    val marker = new org.apache.hadoop.fs.Path(s"$idx/lists/_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) build(s, dir) else idx
-  }
+  def ensure(s: SparkSession, dir: String): String =
+    graft.StagedAsset.ensure(s, indexDir(s, dir), "lists/_SUCCESS") {
+      build(s, dir)
+    }
 
   /** The inverted lists of the (built-if-needed) index. */
   def lists(s: SparkSession, dir: String): DataFrame =

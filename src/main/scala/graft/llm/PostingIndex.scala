@@ -41,10 +41,6 @@ object PostingIndex {
     val ingestMod10: Boundary = Boundary("batch=mod10eq7", NearDupOps.isNewDoc)
   }
 
-  private def cacheRoot: String =
-    sys.env.getOrElse("GRAFT_INDEX_DIR",
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
-
   /** Bump on any change to staged schemas or the tokenizer contract. */
   private val LayoutVersion = 1
 
@@ -56,11 +52,8 @@ object PostingIndex {
 
   def indexDir(s: SparkSession, dir: String, boundary: Boundary): String = {
     val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/documents.parquet")
-    val id = s"$dir|$corpus|postings" +
-      s"|${boundary.id}|v=$LayoutVersion"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    s"$cacheRoot/postings_$key"
+    graft.StagedAsset.dir("postings", s"$dir|$corpus|postings" +
+      s"|${boundary.id}|v=$LayoutVersion")
   }
 
   /** Offline build over the corpus side (everything that is not the
@@ -69,7 +62,7 @@ object PostingIndex {
     * written once per corpus version. */
   def build(s: SparkSession, dir: String, boundary: Boundary): String = {
     val idx = indexDir(s, dir, boundary)
-    val tmp = s"$idx.tmp-${java.util.UUID.randomUUID}"
+    val tmp = graft.StagedAsset.tmpDir(idx)
     val tf = graft.Materialize.stable(
       graft.Tables.tSpread(s, dir, "documents")
         .filter(!boundary.isBatch(col("doc_id")))
@@ -98,26 +91,16 @@ object PostingIndex {
     s.read.parquet(s"$tmp/doclen")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
       .write.mode("overwrite").parquet(s"$tmp/stats")
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val idxPath = new org.apache.hadoop.fs.Path(idx)
-    val marker = new org.apache.hadoop.fs.Path(s"$idx/stats/_SUCCESS")
-    if (fs.exists(idxPath) && !fs.exists(marker)) fs.delete(idxPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), idxPath)) {
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      if (!fs.exists(marker))
-        throw new IllegalStateException(
-          s"posting index publish failed and no complete index exists at $idx")
-    }
+    graft.StagedAsset.publish(s, tmp, idx, "stats/_SUCCESS",
+      "posting index")
     idx
   }
 
   /** Build-if-absent, keyed by (corpus version, boundary). */
   def ensure(s: SparkSession, dir: String,
-      boundary: Boundary = Boundary.all): String = {
-    val idx = indexDir(s, dir, boundary)
-    val marker = new org.apache.hadoop.fs.Path(s"$idx/stats/_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) build(s, dir, boundary) else idx
-  }
+      boundary: Boundary = Boundary.all): String =
+    graft.StagedAsset.ensure(s, indexDir(s, dir, boundary),
+        "stats/_SUCCESS") {
+      build(s, dir, boundary)
+    }
 }

@@ -29,21 +29,13 @@ import org.apache.spark.sql.functions._
   * completeness keyed on `components/_SUCCESS`. */
 object SemDedupIndex {
 
-  private def cacheRoot: String =
-    sys.env.getOrElse("GRAFT_INDEX_DIR",
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
-
   private val LayoutVersion = 1
   private val SimThreshold = 0.35
 
   def indexDir(s: SparkSession, dir: String): String = {
     val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/embeddings.parquet")
-    val id = s"$dir|$corpus|semdedup" +
-      s"|thr=$SimThreshold|batch=mod10eq7|v=$LayoutVersion"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    s"$cacheRoot/semdedup_$key"
+    graft.StagedAsset.dir("semdedup", s"$dir|$corpus|semdedup" +
+      s"|thr=$SimThreshold|batch=mod10eq7|v=$LayoutVersion")
   }
 
   /** Offline build over the corpus side (vec_id % 10 ≠ 7): the
@@ -55,7 +47,7 @@ object SemDedupIndex {
   def build(s: SparkSession, dir: String): String = {
     import graft.functions.VectorFunctions.dot_product
     val idx = indexDir(s, dir)
-    val tmp = s"$idx.tmp-${java.util.UUID.randomUUID}"
+    val tmp = graft.StagedAsset.tmpDir(idx)
     val old = graft.Tables.tSpread(s, dir, "embeddings")
       .filter(pmod(col("vec_id"), lit(10)) =!= 7)
       .select(col("label"), col("vec_id"), col("embedding").as("v"),
@@ -74,27 +66,16 @@ object SemDedupIndex {
     Graphs.connectedComponents(edges)
       .select(col("id").as("vec_id"), col("component"))
       .write.mode("overwrite").parquet(s"$tmp/components")
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val idxPath = new org.apache.hadoop.fs.Path(idx)
-    val marker = new org.apache.hadoop.fs.Path(s"$idx/components/_SUCCESS")
-    if (fs.exists(idxPath) && !fs.exists(marker)) fs.delete(idxPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), idxPath)) {
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      if (!fs.exists(marker))
-        throw new IllegalStateException(
-          s"semdedup index publish failed and no complete index exists at $idx")
-    }
+    graft.StagedAsset.publish(s, tmp, idx, "components/_SUCCESS",
+      "semdedup index")
     idx
   }
 
   /** Build-if-absent, keyed by (corpus version, threshold, boundary). */
-  def ensure(s: SparkSession, dir: String): String = {
-    val idx = indexDir(s, dir)
-    val marker = new org.apache.hadoop.fs.Path(s"$idx/components/_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) build(s, dir) else idx
-  }
+  def ensure(s: SparkSession, dir: String): String =
+    graft.StagedAsset.ensure(s, indexDir(s, dir), "components/_SUCCESS") {
+      build(s, dir)
+    }
 
   /** The staged component partition as a DataFrame (build-if-absent). */
   def components(s: SparkSession, dir: String): DataFrame =

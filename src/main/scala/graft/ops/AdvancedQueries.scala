@@ -295,7 +295,10 @@ object AdvancedQueries {
       viol.agg(count(lit(1)).as("n_violations"))
         .crossJoin(broadcast(total.agg(count(lit(1)).as("n_total"))))
         .select(lit(name).as("check_name"), col("n_violations"), col("n_total"),
-          (col("n_violations").cast("double") / col("n_total")).as("violation_rate"))
+          // try_divide: a zero-row table under audit yields a NULL
+          // rate, not an ANSI DIVIDE_BY_ZERO that kills the report.
+          try_divide(col("n_violations").cast("double"), col("n_total"))
+            .as("violation_rate"))
     val orphanLi = li.join(orders,
       col("l_orderkey") === col("o_orderkey"), "left_anti")
     val dupOrderKeys = orders.groupBy("o_orderkey")

@@ -96,9 +96,18 @@ object StatOps {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+        // Composed corr = covar_pop / (sd·sd) over the SAME moment
+        // state the built-in maintains — but through try_divide, so a
+        // zero-variance group (constant measures: a mirrored or stuck
+        // producer) yields NULL like DuckDB/Postgres corr, instead of
+        // the built-in Corr's unguarded ANSI DIVIDE_BY_ZERO.
+        round(try_divide(
+          covar_pop(col("l_quantity"), col("l_extendedprice")),
+          stddev_pop(col("l_quantity")) * stddev_pop(col("l_extendedprice"))), 6)
           .as("corr_qty_price"),
-        round(corr(col("l_extendedprice"), col("l_discount")), 6)
+        round(try_divide(
+          covar_pop(col("l_extendedprice"), col("l_discount")),
+          stddev_pop(col("l_extendedprice")) * stddev_pop(col("l_discount"))), 6)
           .as("corr_price_disc"),
         round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
           .as("covar_qty_price"),

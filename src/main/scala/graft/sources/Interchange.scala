@@ -58,10 +58,6 @@ import org.apache.spark.sql.types.StructType
   */
 object Interchange {
 
-  private def cacheRoot: String =
-    sys.env.getOrElse("GRAFT_INDEX_DIR",
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-index")
-
   /** Bump on any change to writer/reader options or layout. */
   private val LayoutVersion = 1
 
@@ -159,33 +155,22 @@ object Interchange {
 
   private def exportDir(s: SparkSession, dir: String, fmt: String): String = {
     val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/documents.parquet")
-    val id = s"$dir|$corpus|interchange|$fmt|v=$LayoutVersion"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    s"$cacheRoot/ichg_${fmt}_$key"
+    graft.StagedAsset.dir(s"ichg_$fmt",
+      s"$dir|$corpus|interchange|$fmt|v=$LayoutVersion")
   }
 
   /** Build-if-absent staged export (atomic publish, BandIndex
     * discipline). Returns the published directory. */
   def ensure(s: SparkSession, dir: String, fmt: String): String = {
     val out = exportDir(s, dir, fmt)
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    val marker = new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return out
-    val tmp = s"$out.tmp-${java.util.UUID.randomUUID}"
-    exportFrame(
-      graft.Tables.t(s, dir, "documents").select(docCols.map(col): _*),
-      tmp, fmt)
-    if (fs.exists(outPath) && !fs.exists(marker)) fs.delete(outPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), outPath)) {
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      if (!fs.exists(marker))
-        throw new IllegalStateException(
-          s"interchange export publish failed and no complete export exists at $out")
+    graft.StagedAsset.ensure(s, out, "_SUCCESS") {
+      val tmp = graft.StagedAsset.tmpDir(out)
+      exportFrame(
+        graft.Tables.t(s, dir, "documents").select(docCols.map(col): _*),
+        tmp, fmt)
+      graft.StagedAsset.publish(s, tmp, out, "_SUCCESS",
+        "interchange export")
     }
-    out
   }
 
   private def roundtrip(s: SparkSession, dir: String, fmt: String): DataFrame =

@@ -147,6 +147,20 @@ object StreamOps {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
+
+  /** THE conversion into the typed Event boundary — batch or stream.
+    * `value` is a primitive Double in the encoder, so a NULL there
+    * NOT_NULL-violates the deserializer mid-job (a null-dense slice is
+    * routine at scale); it is not a session/transition INPUT (the
+    * extractors read types and (ts, event_id) ordering; session totals
+    * sum it, where 0.0 is the null-as-absent convention), so it is
+    * pinned here once rather than at each call site. */
+  def asEvents(df: org.apache.spark.sql.DataFrame): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event]
+  }
   case class SessionState(lastTs: Long, start: Long, n: Long, total: Double)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
@@ -332,15 +346,7 @@ object StreamOps {
     * ([[transitionsStreaming]]) shares `stepsOf`, and StreamingSpec pins
     * stream ≡ batch across micro-batches including a late arrival. */
   def statefulTransitions(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ev = graft.Tables.t(s, dir, "events")
-      // `value` is not a transition input (the extractor orders on
-      // (ts, event_id) and reads types) but it IS a primitive Double in
-      // the Event encoder — a NULL there would NOT_NULL-violate the
-      // deserializer, so pin it before the typed boundary.
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
-      .as[Event]
+    val ev = asEvents(graft.Tables.t(s, dir, "events"))
     transitionSteps(ev).toDF()
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))

@@ -25,17 +25,7 @@ class EmptyInputSpec extends AnyFunSuite {
       spark.read.parquet(s"$src/$n.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$dir/$n.parquet")
     }
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, dir).count(); None }
-        catch { case e: Throwable =>
-          var root: Throwable = e
-          while (root.getCause != null && root.getCause != root)
-            root = root.getCause
-          Some(s"$name -> ${root.getClass.getSimpleName}: " +
-            String.valueOf(root.getMessage).linesIterator.take(1).mkString)
-        }
-    }
+    val failures = SweepHarness.sweepCatalog(spark, dir)
     assert(failures.isEmpty,
       s"${failures.size} queries fail on empty input:\n  " +
         failures.mkString("\n  "))

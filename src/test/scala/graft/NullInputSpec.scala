@@ -43,17 +43,7 @@ class NullInputSpec extends AnyFunSuite {
             col(key).cast("string"))), 1, 1) < lit("8"), col(c)))
       }.write.mode("overwrite").parquet(s"$dir/$n.parquet")
     }
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, dir).count(); None }
-        catch { case e: Throwable =>
-          var root: Throwable = e
-          while (root.getCause != null && root.getCause != root)
-            root = root.getCause
-          Some(s"$name -> ${root.getClass.getSimpleName}: " +
-            String.valueOf(root.getMessage).linesIterator.take(1).mkString)
-        }
-    }
+    val failures = SweepHarness.sweepCatalog(spark, dir)
     assert(failures.isEmpty,
       s"${failures.size} queries fail on half-null input:\n  " +
         failures.mkString("\n  "))
