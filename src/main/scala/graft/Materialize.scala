@@ -31,7 +31,34 @@ object Materialize {
   val DirKey = "spark.graft.checkpointDir"
 
   /** Materialize `df` and cut its lineage, eagerly. */
-  def stable(df: DataFrame): DataFrame = {
+  def stable(df: DataFrame): DataFrame = stableOwned(df)._1
+
+  /** [[stable]], plus the EXACT set of persistent-RDD ids this
+    * materialization pinned — the ownership primitive SessionMemo's
+    * protected-set bookkeeping needs to be sound under concurrency.
+    * The checkpoint runs under a global lock bracketing a
+    * persistent-RDD snapshot diff, so the diff cannot pick up blocks
+    * persisted by a concurrent unrelated query (which the old
+    * memo-side bracket could: a lost-race loser would then unpersist a
+    * sibling query's live, lineage-truncated checkpoint). The lock
+    * serializes the checkpoint jobs themselves; materializations are
+    * once-per-(session, key) and their frames are small relative to
+    * their inputs (see class doc), so the serialization is paid rarely
+    * and briefly. Only persists routed through here are visible to the
+    * diff — the repo's invariant that this object is the one
+    * materialization site is what makes the ownership claim total. */
+  def stableOwned(df: DataFrame): (DataFrame, Set[Int]) =
+    persistLock.synchronized {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val built = doStable(df)
+      val owned = sc.getPersistentRDDs.keySet.diff(before)
+      (built, owned.toSet)
+    }
+
+  private[graft] val persistLock = new Object
+
+  private def doStable(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val reliable = s.conf.getOption(ReliableFlag).exists(_.toBoolean)
     if (!reliable) df.localCheckpoint()
@@ -57,13 +84,30 @@ object Materialize {
     * memoized frames (protected ids) are exactly the blocks that ARE
     * meant to outlive their building query. */
   def releaseTransient(s: org.apache.spark.sql.SparkSession): Unit = {
-    // getPersistentRDDs is CONTEXT-wide while sessions are not — keep
-    // every session's memo frames, not just the caller's, or a sweep
-    // from one session would destroy a sibling's lineage-truncated
-    // memoized blocks (Thrift server / notebook posture).
-    val keep = SessionMemo.allProtectedRddIds
-    s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!keep.contains(id)) rdd.unpersist(blocking = false)
-    }
+    // Exclusive against in-flight memoized builds (SessionMemo holds
+    // the read side for the whole build+register span): a sweep racing
+    // a build would see the build's freshly-checkpointed,
+    // not-yet-registered blocks as unprotected and unpersist them —
+    // and a localCheckpoint's lineage is truncated, so the memoized
+    // frame would THROW on next use, not recompute. tryLock, not lock:
+    // the sweep is an optimization, so rather than stall the caller
+    // behind a long build we skip and let the next idle-point sweep
+    // catch up. This remains an IDLE-POINT operation for the calling
+    // harness: per-query transient checkpoints of queries still
+    // running in OTHER threads are not distinguishable from dead ones
+    // and would be swept — call between queries, as Bench/Verify do.
+    val wl = SessionMemo.sweepLock.writeLock()
+    if (!wl.tryLock()) return
+    try {
+      // getPersistentRDDs is CONTEXT-wide while sessions are not —
+      // keep every session's memo frames, not just the caller's, or a
+      // sweep from one session would destroy a sibling's
+      // lineage-truncated memoized blocks (Thrift server / notebook
+      // posture).
+      val keep = SessionMemo.allProtectedRddIds
+      s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep.contains(id)) rdd.unpersist(blocking = false)
+      }
+    } finally wl.unlock()
   }
 }

@@ -88,43 +88,59 @@ object SessionMemo {
     s"$path|${manifestDigest(s, path)}"
   }
 
+  /** Build/sweep exclusion: every [[materialized]] build holds the READ
+    * side for its whole build+register span (reads are shared, so
+    * concurrent builds — including nested ones on the same thread; the
+    * read lock is reentrant — proceed), while
+    * [[Materialize.releaseTransient]] takes the WRITE side, so a sweep
+    * can never observe a build's checkpointed-but-not-yet-registered
+    * blocks. */
+  private[graft] val sweepLock =
+    new java.util.concurrent.locks.ReentrantReadWriteLock()
+
   /** Materialize (Materialize.stable) and cache `build`'s frame under
-    * (session, key, durability-policy). */
+    * (session, key, durability-policy). Sound under concurrent callers
+    * and concurrent [[Materialize.releaseTransient]] sweeps:
+    *   - the whole build+register span holds [[sweepLock]]'s read side,
+    *     so no sweep runs between checkpointing and registration;
+    *   - ownership is EXACT ([[Materialize.stableOwned]]'s
+    *     lock-bracketed diff), so the lost-race path unpersists only
+    *     blocks this build provably created — never a concurrent
+    *     query's live checkpoint;
+    *   - owned ids are registered BEFORE the frame is published to the
+    *     memo map, so no reader can obtain a frame whose blocks a sweep
+    *     still considers unprotected. */
   def materialized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val m = cache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     val reliable = s.conf.getOption(Materialize.ReliableFlag).exists(_.toBoolean)
     val k = s"$key|reliable=$reliable"
     val cached = m.get(k)
-    if (cached != null) cached
-    else {
-      // Snapshot-diff of the persistent-RDD set brackets the build so
-      // every block the materialization pins (including blocks from
-      // NESTED memoized builds — their own bracket also registers them)
-      // lands in the protected set before the frame is published. A
-      // concurrent unrelated persist inside the bracket gets protected
-      // too: conservative, never unsound.
-      val before = s.sparkContext.getPersistentRDDs.keySet
-      val built = Materialize.stable(build)
-      val delta = s.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => before.contains(id) }
+    if (cached != null) return cached
+    val rl = sweepLock.readLock()
+    rl.lock()
+    try {
+      // Evaluate the build first (nested memoized builds complete here,
+      // registering their own ids under their own bracket), THEN
+      // checkpoint the result under the exact-ownership bracket.
+      val frame = build
+      val (built, owned) = Materialize.stableOwned(frame)
+      val ids = protectedRddIds(s)
+      owned.foreach(id => ids.add(id))
       val prev = m.putIfAbsent(k, built)
       if (prev != null) {
-        // Lost the duplicate-build race: our frame is discarded, so
-        // registering its blocks would pin dead storage forever (the
-        // very leak releaseTransient exists to close). Drop our
-        // checkpoint blocks now — except any the WINNING build (or a
-        // nested memo that won its own race) already registered.
-        val keep = allProtectedRddIds
-        delta.foreach { case (id, rdd) =>
-          if (!keep.contains(id)) rdd.unpersist(blocking = false)
+        // Lost the duplicate-build race: our frame is discarded, so its
+        // blocks would pin dead storage forever (the very leak
+        // releaseTransient exists to close). Drop exactly OUR blocks —
+        // `owned` cannot contain anyone else's (stableOwned's lock),
+        // so this can never kill a sibling query's live checkpoint.
+        owned.foreach { id =>
+          ids.remove(Integer.valueOf(id))
+          s.sparkContext.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(blocking = false))
         }
         prev
-      } else {
-        val ids = protectedRddIds(s)
-        delta.keysIterator.foreach(id => ids.add(id))
-        built
-      }
-    }
+      } else built
+    } finally rl.unlock()
   }
 }

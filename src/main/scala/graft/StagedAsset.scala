@@ -22,11 +22,19 @@ import org.apache.spark.sql.SparkSession
   *   3. **Marker-keyed completeness**: an asset is complete iff its
   *      marker file (`<out>/<markerRel>`) exists, which only ever
   *      happens via the rename. A final path WITHOUT the marker is a
-  *      crashed older publish — cleared before renaming in. A LOST
-  *      rename race means another process published first; their asset
-  *      is byte-equivalent (the key pins corpus + parameters +
-  *      layout), so the loser deletes its tmp and proceeds — unless no
-  *      complete asset exists, which is a real failure and throws.
+  *      crashed older publish — moved ASIDE (rename to a unique
+  *      `.trash-<uuid>` sibling, then deleted) rather than deleted in
+  *      place: the rename is atomic, so a concurrent reader of the
+  *      published directory sees it either whole or absent, never
+  *      half-recursively-deleted; and the marker is re-checked
+  *      immediately before the move so the window in which a
+  *      just-completed concurrent publish could be trashed (and then
+  *      deterministically republished — the key pins content) is one
+  *      syscall, not a full staging write. A LOST rename race means
+  *      another process published first; their asset is
+  *      byte-equivalent (the key pins corpus + parameters + layout),
+  *      so the loser deletes its tmp and proceeds — unless no complete
+  *      asset exists, which is a real failure and throws.
   */
 object StagedAsset {
 
@@ -62,7 +70,17 @@ object StagedAsset {
     val outPath = new org.apache.hadoop.fs.Path(out)
     val marker = markerPath(out, markerRel)
     val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(outPath) && !fs.exists(marker)) fs.delete(outPath, true)
+    if (fs.exists(outPath) && !fs.exists(marker)) {
+      // Crashed older publish: move it aside atomically, then delete
+      // the trash. Re-check the marker right before the move — if a
+      // concurrent publisher completed in between, keep their asset
+      // (rule 3 above). A move that still races a just-landed rename
+      // converges: the loser's re-publish below is byte-equivalent.
+      val trash =
+        new org.apache.hadoop.fs.Path(s"$out.trash-${java.util.UUID.randomUUID}")
+      if (!fs.exists(marker) && fs.rename(outPath, trash))
+        fs.delete(trash, true)
+    }
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), outPath)) {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       if (!fs.exists(marker))

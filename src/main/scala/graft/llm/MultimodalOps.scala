@@ -227,14 +227,14 @@ object MultimodalOps {
         |FROM (SELECT ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] AS format,
         |             CASE doc_id % 4 WHEN 0 THEN 39 WHEN 1 THEN 33 WHEN 2 THEN 44 ELSE 144 END AS hdr,
         |             text
-        |      FROM documents)
+        |      FROM documents WHERE text IS NOT NULL)
         |GROUP BY format ORDER BY format""".stripMargin,
     "q51_media_features" ->
       """WITH m AS (
         |  SELECT doc_id,
         |    ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] AS format,
         |    octet_length(encode(text)) AS body_len
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id, format, 1 AS ok,
         |  CAST(CASE format
         |    WHEN 'wav' THEN 8000 * (doc_id % 5 + 1)
@@ -253,7 +253,8 @@ object MultimodalOps {
         |  ROUND(CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) * 2.5, 1) AS ts_offset_sec
         |FROM (SELECT doc_id, CAST(doc_id % 5 + 2 AS INTEGER) AS n_frames
         |      FROM documents
-        |      WHERE ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] = 'mp4')
+        |      WHERE ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] = 'mp4'
+        |        AND text IS NOT NULL)
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q53_resize_plan" ->
       """WITH m AS (
@@ -261,7 +262,7 @@ object MultimodalOps {
         |    ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INTEGER)] AS format,
         |    CAST((doc_id * 37) % 1024 + 256 AS INTEGER) AS width,
         |    CAST((doc_id * 53) % 768 + 144 AS INTEGER) AS height
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id, width, height,
         |  CASE WHEN width >= height THEN 224
         |       ELSE CAST(FLOOR(width * 224.0 / height) AS INTEGER) END AS out_width,

@@ -394,7 +394,7 @@ object AdvancedQueries {
       """WITH r AS (SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id) AS rank
-        |  FROM documents)
+        |  FROM documents WHERE n_chars IS NOT NULL)
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
         |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "q109_value_outliers" ->

@@ -96,18 +96,28 @@ object StatOps {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        // Composed corr = covar_pop / (sd·sd) over the SAME moment
-        // state the built-in maintains — but through try_divide, so a
-        // zero-variance group (constant measures: a mirrored or stuck
-        // producer) yields NULL like DuckDB/Postgres corr, instead of
-        // the built-in Corr's unguarded ANSI DIVIDE_BY_ZERO.
+        // Composed corr = covar_pop / (sd·sd) — but through try_divide,
+        // so a zero-variance group (constant measures: a mirrored or
+        // stuck producer) yields NULL like DuckDB/Postgres corr,
+        // instead of the built-in Corr's unguarded ANSI
+        // DIVIDE_BY_ZERO. The denominator stddevs are computed over
+        // the PAIRWISE-COMPLETE row set (x masked where y is null and
+        // vice versa): covar_pop only sees rows where both sides are
+        // non-null, so a bare stddev_pop(x) — which would include
+        // x-rows whose y is null — is a DIFFERENT moment state the
+        // instant nulls are asymmetric, diverging from both engines'
+        // built-in corr (NullInputSpec synthesizes exactly that).
         round(try_divide(
           covar_pop(col("l_quantity"), col("l_extendedprice")),
-          stddev_pop(col("l_quantity")) * stddev_pop(col("l_extendedprice"))), 6)
+          stddev_pop(when(col("l_extendedprice").isNotNull, col("l_quantity")))
+            * stddev_pop(when(col("l_quantity").isNotNull,
+                col("l_extendedprice")))), 6)
           .as("corr_qty_price"),
         round(try_divide(
           covar_pop(col("l_extendedprice"), col("l_discount")),
-          stddev_pop(col("l_extendedprice")) * stddev_pop(col("l_discount"))), 6)
+          stddev_pop(when(col("l_discount").isNotNull, col("l_extendedprice")))
+            * stddev_pop(when(col("l_extendedprice").isNotNull,
+                col("l_discount")))), 6)
           .as("corr_price_disc"),
         round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
           .as("covar_qty_price"),

@@ -154,7 +154,17 @@ object StreamOps {
     * routine at scale); it is not a session/transition INPUT (the
     * extractors read types and (ts, event_id) ordering; session totals
     * sum it, where 0.0 is the null-as-absent convention), so it is
-    * pinned here once rather than at each call site. */
+    * pinned here once rather than at each call site.
+    *
+    * DOCUMENTED DIVERGENCE: SQL `sum(value)` skips NULLs, so a group
+    * whose values are ALL null sums to NULL in the DataFrame-side
+    * session/aggregate queries, while this typed path's coalesce makes
+    * the same group total 0.0. The two forms agree whenever a group
+    * has at least one non-null value (null ≡ absent ≡ 0.0 under
+    * addition); only the all-null group distinguishes them. The typed
+    * sessionizer's totals are defined as the 0.0 convention — any
+    * stream≡batch comparison must compare typed against typed (as the
+    * specs do), not typed against a raw SQL sum. */
   def asEvents(df: org.apache.spark.sql.DataFrame): Dataset[Event] = {
     import df.sparkSession.implicits._
     df.select(col("event_id"), col("ts"), col("user_id"),

@@ -67,4 +67,56 @@ class MaterializeSpec extends AnyFunSuite {
     assert(SessionMemo.materialized(spark, memoKey)(
       sys.error("memo must not rebuild")).count() == 500)
   }
+
+  test("stableOwned reports exactly the blocks this materialization pinned") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (built, owned) = Materialize.stableOwned(
+      spark.range(2000).select(col("id"), (col("id") * 2).as("v")))
+    assert(built.count() == 2000)
+    assert(owned.nonEmpty, "a localCheckpoint must pin at least one block")
+    assert(owned.forall(!before.contains(_)), "owned ids must be NEW blocks")
+    assert(owned.forall(sc.getPersistentRDDs.contains),
+      "owned ids must still be persisted right after the build")
+  }
+
+  test("concurrent materialized + releaseTransient never breaks a memo frame") {
+    // The round-8 ADVICE race: (a) a sweep between checkpoint and
+    // registration unpersists the about-to-be-memoized blocks
+    // (lineage-truncated → later reads THROW); (b) a lost-race loser
+    // unpersists a concurrent query's blocks swept into its delta.
+    // Hammer N builder threads per key against a sweeper thread; every
+    // returned frame must stay readable afterwards.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val sweeper = scala.concurrent.Future {
+        while (!stop.get()) Materialize.releaseTransient(spark)
+      }
+      val rounds = (1 to 6).map { r =>
+        val key = s"materialize-race-$r-${System.nanoTime()}"
+        val builders = (1 to 4).map { _ =>
+          scala.concurrent.Future {
+            SessionMemo.materialized(spark, key)(
+              spark.range(300L * r).select(col("id"), (col("id") + r).as("w")))
+          }
+        }
+        (r, builders)
+      }
+      val frames = rounds.map { case (r, fs) =>
+        (r, fs.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration(120, "s"))))
+      }
+      stop.set(true)
+      scala.concurrent.Await.result(sweeper,
+        scala.concurrent.duration.Duration(120, "s"))
+      // One more sweep AFTER the dust settles, then read every frame:
+      // a block the bookkeeping failed to protect makes count() throw.
+      Materialize.releaseTransient(spark)
+      frames.foreach { case (r, built) =>
+        built.foreach(df => assert(df.count() == 300L * r)) }
+    } finally pool.shutdownNow()
+  }
 }

@@ -310,4 +310,44 @@ class StatOpsSpec extends AnyFunSuite {
       assert(math.abs(got(flag) - e) < 1e-4, s"corr($flag): got ${got(flag)}, want $e")
     }
   }
+
+  test("composed corr matches built-in corr under asymmetric nulls") {
+    // covar_pop sees only pairwise-complete rows, so the composed
+    // denominator must mask each side by the OTHER side's nullness —
+    // a bare stddev_pop(x) would include x-rows whose y is null and
+    // diverge from both Spark's and DuckDB's built-in corr the moment
+    // nulls are asymmetric. This fixture nulls the three measures on
+    // different moduli so every pairwise-complete set differs from
+    // every single-column non-null set.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrnull").toString
+    // Real lineitem schema (the table boundary validates it), with the
+    // three measures nulled on DIFFERENT moduli of the row identity.
+    val rowId = col("l_orderkey") * 8 + col("l_linenumber")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("l_quantity",
+        when(rowId % 3 =!= 0, col("l_quantity")))
+      .withColumn("l_extendedprice",
+        when(rowId % 5 =!= 0, col("l_extendedprice")))
+      .withColumn("l_discount",
+        when(rowId % 7 =!= 0, col("l_discount")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = StatOps.measureCorr(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("corr_qty_price"), r.getAs[Double]("corr_price_disc")))
+      .toMap
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c1"),
+        corr(col("l_extendedprice"), col("l_discount")).as("c2"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (flag, (c1, c2)) =>
+      assert(math.abs(got(flag)._1 - c1) <= 1e-6,
+        s"corr_qty_price($flag): got ${got(flag)._1}, want $c1")
+      assert(math.abs(got(flag)._2 - c2) <= 1e-6,
+        s"corr_price_disc($flag): got ${got(flag)._2}, want $c2")
+    }
+  }
 }
