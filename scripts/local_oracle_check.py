@@ -33,11 +33,10 @@ def canon(v):
     if hasattr(v, "isoformat"):
         # normalize tz-awareness: a Spark TimestampType dump reads back
         # tz-aware (UTC) while DuckDB oracle SQL yields naive values —
-        # compare both as naive UTC. SOUND ONLY because the dump harness
-        # pins spark.sql.session.timeZone=UTC (Verify.scala:18, Bench
-        # likewise) — under a non-UTC session a constant-offset mismatch
-        # could hide behind this normalization. If the pin ever moves,
-        # assert it here instead of stripping tzinfo blindly.
+        # compare both as naive UTC. SOUND ONLY under a UTC session —
+        # which main() ASSERTS from the dump's session_conf.json before
+        # any comparison runs (a non-UTC session would let a
+        # constant-offset mismatch hide behind this normalization).
         if getattr(v, "tzinfo", None) is not None:
             from datetime import timezone
             v = v.astimezone(timezone.utc).replace(tzinfo=None)
@@ -58,6 +57,21 @@ def rows_of(con, sql):
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    # The canon() timestamp normalization (strip tzinfo after converting
+    # to UTC) is sound only when the DUMPING session ran in UTC. Assert
+    # it from the dump's recorded config; a missing file means a stale
+    # pre-round-9 dump — re-run graft.Verify rather than compare
+    # un-attested timestamps.
+    try:
+        conf = json.load(open(f"{outdir}/session_conf.json"))
+    except FileNotFoundError:
+        sys.exit(f"{outdir}/session_conf.json missing — re-run graft.Verify "
+                 "(the dump must attest its session timezone)")
+    tz = conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        sys.exit(f"dump was written under session timeZone={tz!r}, not UTC — "
+                 "timestamp comparison would be unsound; re-dump with a UTC "
+                 "session")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:

@@ -32,6 +32,7 @@ object Bench {
         graft.llm.BandIndex.Boundary.all)
       graft.llm.PostingIndex.ensure(spark, sfDir)
       graft.llm.SemDedupIndex.ensure(spark, sfDir)
+      graft.ops.GraphIndex.ensure(spark, sfDir)
     } catch { case _: Throwable => () }
     // noop sink materializes EVERY column — count() would let Catalyst
     // prune projection-only work (e.g. a fingerprint column that nothing

@@ -46,6 +46,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Session config the oracle checkers depend on: the timestamp
+    // normalization in scripts/local_oracle_check.py is sound ONLY
+    // under a UTC session, so the dump records the actual timezone and
+    // the checker ASSERTS it instead of trusting a comment.
+    Files.writeString(Paths.get(s"$outDir/session_conf.json"),
+      s"""{"spark.sql.session.timeZone": ${q(
+        spark.conf.get("spark.sql.session.timeZone"))}}""")
     spark.stop()
   }
 }

@@ -7,12 +7,22 @@ import org.apache.spark.sql.functions._
   * SemDeDup maintenance path (q171), mirroring [[BandIndex]]'s
   * offline-build/online-probe split and atomic-publish discipline.
   *
-  * Staged table:
+  * Staged tables:
   *   - `components/` — (vec_id, component) for every corpus-side vector
   *     that belongs to a multi-member semantic cluster (component = min
   *     member id, the q90 representative rule). Singletons are absent —
   *     the probe coalesces them to themselves, so the table is
   *     proportional to the semantic dup rate, not the corpus.
+  *   - `corpus/` — the PREPARED corpus side (label, vec_id, v, norm):
+  *     vectors clustered by cluster key with their norms precomputed,
+  *     so the per-ingest probe never recomputes corpus-side norms (a
+  *     corpus-constant quantity) and never rescans the raw embeddings
+  *     table for the join side — the per-ingest plan reads batch rows
+  *     plus this parquet, full stop. Written `repartition(label)` +
+  *     sorted within partitions, so the batch×corpus cluster join
+  *     reads colocated runs per cluster key. Norms are the same IEEE
+  *     doubles the inline form computes (one fused dot product per
+  *     row at build time), so staged sims are bit-identical to q90's.
   *
   * The per-ingest probe then needs ONLY batch-touching cosine work:
   * star edges reconstructed from this table (member → representative)
@@ -29,7 +39,7 @@ import org.apache.spark.sql.functions._
   * completeness keyed on `components/_SUCCESS`. */
 object SemDedupIndex {
 
-  private val LayoutVersion = 1
+  private val LayoutVersion = 2
   private val SimThreshold = 0.35
 
   def indexDir(s: SparkSession, dir: String): String = {
@@ -66,6 +76,9 @@ object SemDedupIndex {
     Graphs.connectedComponents(edges)
       .select(col("id").as("vec_id"), col("component"))
       .write.mode("overwrite").parquet(s"$tmp/components")
+    old.repartition(col("label"))
+      .sortWithinPartitions("label", "vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/corpus")
     graft.StagedAsset.publish(s, tmp, idx, "components/_SUCCESS",
       "semdedup index")
     idx
@@ -80,4 +93,9 @@ object SemDedupIndex {
   /** The staged component partition as a DataFrame (build-if-absent). */
   def components(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${ensure(s, dir)}/components")
+
+  /** The staged prepared corpus side (label, vec_id, v, norm) — the
+    * probe's join side, norms precomputed at build time. */
+  def corpus(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensure(s, dir)}/corpus")
 }

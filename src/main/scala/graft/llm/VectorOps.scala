@@ -226,6 +226,48 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id")))
   }
 
+  /** q46 — the hyperplane-LSH ANN probe in its PLANTED-RECALL catalog
+    * form: the q48 "planted exact twins" recipe applied to retrieval,
+    * which turns an approximate operator's output into a deterministic
+    * function of its input and therefore into a full DuckDB-oracle row
+    * (the round-8 allowlist shrink). Each query vector (vec_id < 25)
+    * gets an exact twin planted at id + 1,000,000; the probe then runs
+    * the REAL production plan — 8-bit hyperplane bucketing over
+    * corpus ∪ twins, bucket-restricted candidates, the shared
+    * [[rankTop10]] tail — and emits the TOP-1 neighbor per query.
+    *
+    * Why the top-1 row is provably exact (not just empirically): an
+    * identical vector produces identical hyperplane signs, so the twin
+    * is ALWAYS in its query's bucket, with cosine exactly 1.0 — the
+    * maximum — and the oracle's brute-force argmax picks the same row
+    * under the same (sim DESC, vec_id) order. An exact natural
+    * duplicate would shift both sides identically (it too shares the
+    * bucket); the only input that could split them is a NEAR-duplicate
+    * at rounded cosine 1.0 (≥ 0.99995) that flips a hyperplane sign —
+    * the fixtures' max natural cosine is ~0.60, and the boundary is
+    * documented here rather than silently assumed. Recall for
+    * perturbed (near-identical) vectors stays pinned in
+    * VectorFunctionsSpec; general top-10 soundness in AnnSoundnessSpec;
+    * the exact full-probe twin is q86. */
+  def annPlantedRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, hyperplane_bucket}
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") < 25)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val e = base.unionByName(twins)
+      .select(col("vec_id"), col("embedding").as("v"),
+        hyperplane_bucket(col("embedding"), 8).as("bucket"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val q = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("bucket"), col("norm").as("qnorm"))
+    rankTop10(e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id")))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("nn_id"), col("sim"))
+      .orderBy("query_id")
+  }
+
   /** Exact full probe through the ANN plan (bits = 0 ⇒ one bucket ⇒
     * every vector is a candidate): output is exact cosine top-10, so
     * the bucket-join + shared ranking tail that q46 runs is fully
@@ -398,6 +440,53 @@ object VectorOps {
       .filter(col("query_id") < 5)
     rankTop10(lists.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id")))
+  }
+
+  /** q57 — the IVF probe in its PLANTED-RECALL catalog form (the same
+    * allowlist-shrink recipe as [[annPlantedRecall]], applied to the
+    * staged [[IvfIndex]]): plant an exact twin (id + 1,000,000) of each
+    * query vector (vec_id < 25), ingest the twins through the REAL
+    * frozen-centroid add path (q106's argmin assignment, verbatim — the
+    * cell-placement ≡ trainer equivalence is pinned in
+    * VectorFunctionsSpec), then run the production single-probe plan
+    * (query's home cell only) over the merged lists and emit the TOP-1
+    * neighbor per query.
+    *
+    * Provably exact: an identical vector has identical centroid
+    * distances, so the argmin (ties broken by cell id, same rule as the
+    * trainer) lands the twin in its query's OWN cell — the exact cell
+    * a single-probe query scores — with cosine exactly 1.0, the global
+    * argmax the brute-force oracle computes. Same documented boundary
+    * as q46: only a near-duplicate at rounded cosine 1.0 assigned to a
+    * different cell could split probe from oracle; fixtures top out
+    * near 0.60. The exact full-probe twin (every cell scored ≡ brute
+    * force) remains q67. */
+  def ivfPlantedRecall(s: SparkSession, dir: String): DataFrame = {
+    val idx = IvfIndex.ensure(s, dir)
+    val lists = s.read.parquet(s"$idx/lists")
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val twins = lists.filter(col("vec_id") < 25)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("v"), col("norm"))
+    val dist = aggregate(
+      zip_with(col("v").cast("array<double>"), col("centroid"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    val assigned = twins.crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cell", "v", "norm")
+    val merged = lists.select("vec_id", "cell", "v", "norm")
+      .unionByName(assigned)
+    val q = lists.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cell"), col("norm").as("qnorm"))
+    rankTop10(merged.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id")))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("nn_id"), col("sim"))
+      .orderBy("query_id")
   }
 
   /** Multi-probe IVF: score the `nprobe` nearest cells per query (by
@@ -644,19 +733,27 @@ object VectorOps {
   }
 
   /** q171 — [[semanticDedupAddBatch]]'s production form: the staged
-    * component partition comes from the [[SemDedupIndex]] parquet
-    * (built offline per corpus version, atomic publish), so the
-    * per-ingest plan contains ONLY the batch-touching cosine work and
-    * the small component graph. Same oracle as q90/q170;
+    * component partition AND the prepared corpus side (label, vec_id,
+    * vector, norm) come from the [[SemDedupIndex]] parquet (built
+    * offline per corpus version, atomic publish), so the per-ingest
+    * plan reads batch rows plus the staged parquet and nothing else —
+    * in particular, corpus-side norms (a corpus-constant quantity the
+    * inline form recomputes per ingest) are read, not recomputed, and
+    * the raw embeddings table is scanned only for the batch filter and
+    * the 2-column membership pass. Same oracle as q90/q170 (staged
+    * norms are the same IEEE doubles, so sims are bit-identical);
     * SemanticOpsSpec pins staged-parquet ≡ inline ≡ fresh. */
   def semanticDedupStaged(s: SparkSession, dir: String): DataFrame =
-    semDedupProbe(s, dir, SemDedupIndex.components(s, dir))
+    semDedupProbe(s, dir, SemDedupIndex.components(s, dir),
+      Some(SemDedupIndex.corpus(s, dir)))
 
   /** The shared add-batch probe: batch × same-cluster-key sims, then
     * components over the staged partition's star edges + the new
-    * edges. O(batch · cluster width) similarity work, never old×old. */
+    * edges. O(batch · cluster width) similarity work, never old×old.
+    * `stagedCorpus`, when given, replaces the corpus side of the join
+    * (and its norm computation) with the prepared staged frame. */
   private def semDedupProbe(s: SparkSession, dir: String,
-      staged: DataFrame): DataFrame = {
+      staged: DataFrame, stagedCorpus: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
     val isNew = pmod(col("vec_id"), lit(10)) === 7
     val e = t(s, dir, "embeddings")
@@ -665,7 +762,15 @@ object VectorOps {
     val batch = e.filter(isNew)
     val ba = batch.select(col("label"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
-    val all = e.select(col("label"), col("vec_id").as("id_b"),
+    // id_b side = batch ∪ corpus (batch×batch edges matter: two new
+    // near-dup vectors must land in one cluster). The corpus half is
+    // the staged prepared frame when available — same rows, norms
+    // precomputed at build time.
+    val allSide = stagedCorpus match {
+      case Some(c) => batch.unionByName(c.select("label", "vec_id", "v", "norm"))
+      case None    => e
+    }
+    val all = allSide.select(col("label"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("norm").as("nb"))
     val newEdges = ba.join(all, Seq("label"))
       .filter(col("id_a") =!= col("id_b"))
@@ -865,7 +970,7 @@ object VectorOps {
     "q91_centroid_outliers" -> centroidOutliers,
     "q134_centroid_drift" -> centroidDrift,
     "q74_int8_quantize"   -> int8Quantize,
-    "q57_ivf_topk"        -> ivfTopK,
+    "q57_ivf_topk"        -> ivfPlantedRecall,
     // probing every cell must reproduce brute force bit-for-bit — an
     // oracle-backed integrity check that no vector was lost or
     // mis-assigned in the materialized inverted lists (q57 itself stays
@@ -875,23 +980,42 @@ object VectorOps {
     "q40_cosine_topk"     -> cosineTopK,
     "q41_cosine_near_dup" -> cosineNearDup,
     "q42_label_centroids" -> labelCentroids,
-    "q46_ann_topk"        -> annTopK,
+    "q46_ann_topk"        -> annPlantedRecall,
     "q48_embed_neardup_lsh" -> embedNearDupLsh,
     "q86_ann_full_probe"  -> annFullProbe,
     "q96_knn_label"       -> knnLabel)
 
-  // q46 stays rows-only by necessity: its output is the top-10 of an
-  // approximate (bucket-restricted) candidate set, and "which candidates
-  // the single 8-bit table surfaced" has no closed-form SQL — unlike the
-  // thresholded near-dup ops (q48 here, q43/q49 in NearDupOps) whose
-  // exact-rescored outputs are deterministic functions of the input.
-  // q57's IVF probe is approximate for the same reason (cell membership
-  // comes from the k-means fit). Both are value-pinned in
-  // VectorFunctionsSpec instead — and each has an exact full-probe twin
-  // under a real DuckDB oracle (q67 for IVF, q86 for the hyperplane
-  // path), plus a one-sided soundness gate (AnnSoundnessSpec: every row
-  // q46 returns carries the exact cosine for its ids).
+  // q46/q57 carry FULL oracles since round 9 (the allowlist shrink):
+  // their catalog forms are the planted-recall probes, whose top-1
+  // output is a deterministic function of the input (see
+  // annPlantedRecall/ivfPlantedRecall for the proof sketch and its
+  // documented boundary), checked against brute-force exact top-1 in
+  // DuckDB — the two oracles are the SAME SQL on purpose: the exact
+  // answer does not depend on which index structure the engine probed.
+  // The general top-10 probes stay value-pinned in VectorFunctionsSpec
+  // + AnnSoundnessSpec with exact full-probe twins (q67 IVF, q86
+  // hyperplane). Only q27's HLL register sketch remains rows-only.
+  private val plantedTop1OracleSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |             FROM embeddings),
+      |allv AS (SELECT vec_id, v FROM base UNION ALL
+      |         SELECT vec_id + 1000000, v FROM base WHERE vec_id < 25),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 25),
+      |sims AS (
+      |  SELECT query_id, a.vec_id,
+      |    ROUND(list_dot_product(qv, v)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS sim
+      |  FROM q JOIN allv a ON a.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      |  FROM sims)
+      |SELECT query_id, vec_id AS nn_id, sim FROM ranked WHERE rn = 1
+      |ORDER BY query_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q46_ann_topk" -> plantedTop1OracleSql,
+    "q57_ivf_topk" -> plantedTop1OracleSql,
     "q160_pair_cosine_calibration" ->
       """WITH docsh AS (
         |  SELECT doc_id,

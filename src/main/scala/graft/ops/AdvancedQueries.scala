@@ -210,9 +210,16 @@ object AdvancedQueries {
     // ONE corpus aggregation; everything downstream (n, both medians,
     // the outlier count) runs on the distinct-value histogram — the
     // deviation histogram is a regroup of the value histogram, not a
-    // second corpus pass.
-    val hist = o.groupBy(col("event_type"), col("x"))
-      .agg(count(lit(1)).as("cnt"))
+    // second corpus pass. MATERIALIZED: the histogram feeds four plan
+    // branches (n, the median scan, and devHist which itself feeds the
+    // MAD scan and the final report), and without the checkpoint each
+    // branch re-scans and re-aggregates the events CORPUS (the
+    // formatted plan showed five parquet scans); with it the corpus is
+    // read once and every branch reads the distinct-value frame, which
+    // is bounded by the value grid, not the event count.
+    val hist = graft.Materialize.stable(
+      o.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("cnt")))
     val n = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
     def medianOf(h: DataFrame, v: String, out: String): DataFrame =
       graft.ops.Prefix
@@ -223,10 +230,13 @@ object AdvancedQueries {
         .filter(col("cnt_cum") >= floor((col("n") + 1) / 2))
         .groupBy("event_type").agg(min(col(v)).as(out))
     val med = medianOf(hist, "x", "median_value")
-    val devHist = hist.join(broadcast(med), Seq("event_type"))
-      .withColumn("dv", abs(col("x") - col("median_value")))
-      .groupBy(col("event_type"), col("dv"))
-      .agg(sum(col("cnt")).as("cnt"))
+    // Materialized for the same reason: consumed by both the MAD scan
+    // and the final report.
+    val devHist = graft.Materialize.stable(
+      hist.join(broadcast(med), Seq("event_type"))
+        .withColumn("dv", abs(col("x") - col("median_value")))
+        .groupBy(col("event_type"), col("dv"))
+        .agg(sum(col("cnt")).as("cnt")))
     val mad = medianOf(devHist, "dv", "mad")
     devHist.join(broadcast(mad), Seq("event_type"))
       .join(broadcast(med), Seq("event_type"))

