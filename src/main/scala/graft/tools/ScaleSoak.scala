@@ -118,6 +118,25 @@ object ScaleSoak {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
+    // Co-purchase graph fixture (round-9 GraphIndex soak): replicate
+    // lineitem with BOTH keys shifted per replica — reps disjoint
+    // copies of the graph. Edges/triangles then grow linearly with the
+    // corpus, so a super-linear graph_index_build or triangle slope is
+    // a plan bug, not a data artifact. (A fixed part keyspace would
+    // instead densify the graph quadratically — a different, valid
+    // stress, but not a clean scaling readout.)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val (maxOrd, maxPart) = {
+      val r = li.agg(max("l_orderkey"), max("l_partkey")).head()
+      (r.getLong(0) + 1, r.getLong(1) + 1)
+    }
+    li.crossJoin(spark.range(reps.toLong).select(col("id").as("rep")))
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOrd)
+      .withColumn("l_partkey", col("l_partkey") + col("rep") * maxPart)
+      .drop("rep")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
     // Optional third arg: comma-separated op names — time only those
     // (fresh-JVM single-op timings, for separating an op's own cost
     // from session state accumulated by the ops before it).
@@ -268,6 +287,19 @@ object ScaleSoak {
     // and the explode fan-out linear as the token stream grows.
     time("sequence_chunks") {
       graft.llm.SamplingOps.sequenceChunks(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // Graph family (round-9): the staged build is the once-per-corpus
+    // pipeline stage (fact scan + two shuffles); the triangle probe
+    // rides the staged oriented edges. Disjoint-replica fixture ⇒ both
+    // lines must scale ~linearly with the decade; the probe's memory is
+    // bounded by the O(√m) orientation regardless.
+    time("graph_index_build") {
+      graft.ops.GraphIndex.ensure(spark, dir)
+      ()
+    }
+    time("triangle_counts") {
+      graft.ops.GraphOps.triangleCounts(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
     // Interchange (round-8): each export is one corpus pass; ingest

@@ -51,6 +51,14 @@ class StagedAssetSpec extends AnyFunSuite {
     StagedAsset.ensure(spark, out, "data/_SUCCESS")(buildInto(out, 7))
     assert(StagedAsset.isComplete(spark, out, "data/_SUCCESS"))
     assert(spark.read.parquet(s"$out/data").count() == 100)
+    // The round-9 recovery moves the crashed leftover aside via an
+    // atomic rename before deleting; neither the trash dir nor any tmp
+    // staging dir may survive the republish.
+    val parent = new org.apache.hadoop.fs.Path(out).getParent
+    val leftovers = fs.listStatus(parent).map(_.getPath.getName)
+      .filter(n => n.startsWith(new org.apache.hadoop.fs.Path(out).getName + ".trash-")
+        || n.startsWith(new org.apache.hadoop.fs.Path(out).getName + ".tmp-"))
+    assert(leftovers.isEmpty, s"recovery left residue: ${leftovers.toSeq}")
   }
 
   test("ensure is a no-op once the marker exists") {

@@ -46,6 +46,20 @@ def cmp_frames(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Timestamp comparison is sound only when the dumping Spark session
+    # ran in UTC (TIMESTAMP_NTZ fixtures read back naive; a non-UTC
+    # session would shift session-typed timestamps by a constant offset
+    # that this comparison cannot see). graft.Verify attests its
+    # timezone in session_conf.json — assert it rather than assume it.
+    try:
+        conf = json.load(open(f"{out_dir}/session_conf.json"))
+        tz = conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            sys.exit(f"dump written under session timeZone={tz!r}, not UTC "
+                     "- re-dump with a UTC session")
+    except FileNotFoundError:
+        sys.exit(f"{out_dir}/session_conf.json missing - re-run graft.Verify "
+                 "(the dump must attest its session timezone)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
