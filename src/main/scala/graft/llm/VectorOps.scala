@@ -832,12 +832,19 @@ object VectorOps {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cv"))
-    val dist = e.join(broadcast(cent), Seq("label"))
-      .select(col("vec_id"), col("label"),
-        round(sqrt(aggregate(
-          zip_with(col("embedding"), col("cv"),
-            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, v) => acc + v)), 6).as("dist6"))
+    // MATERIALIZED (the q109 rule): the distance frame feeds four plan
+    // branches (n, the median scan, the deviation histogram → MAD scan,
+    // and the final report) — unmaterialized, each branch re-runs the
+    // posexplode centroid pass and the per-vector distance fold over
+    // the corpus. Three narrow columns per vector, so the checkpoint is
+    // small relative to what it saves.
+    val dist = graft.Materialize.stable(
+      e.join(broadcast(cent), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(sqrt(aggregate(
+            zip_with(col("embedding"), col("cv"),
+              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (acc, v) => acc + v)), 6).as("dist6")))
     val n = dist.agg(count(lit(1)).as("n"))
     // Median as an order statistic over the value histogram, with the
     // cumulative count on Prefix.cumSums rather than Window.orderBy —

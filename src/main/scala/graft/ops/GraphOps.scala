@@ -65,6 +65,23 @@ object GraphOps {
       GraphIndex.edges(s, dir)
     }
 
+  /** Symmetric (src, dst, outdeg) adjacency, src-partitioned — the
+    * traversal frame PageRank and BFS both start from, built ONCE per
+    * session instead of once per query. outdeg rides along from the
+    * staged degree table (for distinct undirected edges, the symmetric
+    * out-degree IS the undirected degree), so neither consumer re-runs
+    * the degree aggregation either. */
+  private def symEdgesWithDeg(s: SparkSession, dir: String): DataFrame =
+    memo(s, "symdeg", dir) {
+      val e = GraphIndex.edges(s, dir)
+      val deg = GraphIndex.degrees(s, dir)
+        .select(col("n").as("src"), col("deg").as("outdeg"))
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+        .join(deg, Seq("src"))
+        .repartition(col("src"))
+    }
+
   def triangleCounts(s: SparkSession, dir: String): DataFrame = {
     val deg = GraphIndex.degrees(s, dir)
     // Degree-oriented edges (lower-(deg, id) endpoint → higher), staged
@@ -123,16 +140,13 @@ object GraphOps {
     * node count and the teleport term are broadcast scalars. Symmetric
     * edges mean no dangling mass: every node has outdeg ≥ 1. */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(s, dir)
-    val sym = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val nodes = deg.select(col("src").as("n"), col("outdeg"))
+    // Session-shared symmetric adjacency (src-partitioned, outdeg
+    // attached): the five rank joins below exchange only the |V|-row
+    // rank frame, never the edge list.
+    val edgesWithDeg = symEdgesWithDeg(s, dir)
+    val nodes = GraphIndex.degrees(s, dir)
+      .select(col("n"), col("deg").as("outdeg"))
     val nStats = nodes.agg(count(lit(1)).as("n_nodes"))
-    // Partitioned by src before the lineage cut so the five rank joins
-    // below exchange only the |V|-row rank frame, never the edge list.
-    val edgesWithDeg = graft.Materialize.stable(
-      sym.join(deg, Seq("src")).repartition(col("src")))
     var r = nodes.crossJoin(broadcast(nStats))
       .select(col("n"),
         floor(lit(1.0) / col("n_nodes") * lit(1.0e10) + lit(0.5))
@@ -175,14 +189,13 @@ object GraphOps {
     * within the ball), not O(hops · edges). All integer arithmetic; the
     * oracle is a bounded recursive CTE with UNION dedup semantics. */
   def bfsProfile(s: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(s, dir)
-    // src-partitioned before the cut: each hop's frontier join then
-    // exchanges only the (small) frontier, not the symmetric edge list.
-    val sym = graft.Materialize.stable(
-      e.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
-        .repartition(col("src")))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Session-shared symmetric adjacency (src-partitioned): each hop's
+    // frontier join exchanges only the (small) frontier, never the
+    // symmetric edge list; the degree column comes from the staged
+    // table via the same frame.
+    val sym = symEdgesWithDeg(s, dir).select("src", "dst")
+    val deg = GraphIndex.degrees(s, dir)
+      .select(col("n").as("src"), col("deg"))
     val seed = deg
       .orderBy(col("deg").desc, col("src")).limit(1)
       .select(col("src").as("n"), lit(0L).as("dist"))
@@ -301,23 +314,34 @@ object GraphOps {
     * shape, materialized per the §8.12 rule); the normalizing max is a
     * broadcast 1-row frame. */
   def hitsRanking(s: SparkSession, dir: String): DataFrame = {
-    val it = incidence(s, dir)
-    var auth = it.select(col("p")).distinct()
+    // DUAL-PARTITIONED incidence: the hub step joins on p, the
+    // authority step on o. One session-memoized copy per join key
+    // means each of the six per-iteration joins reuses a layout and
+    // exchanges only the |O|- or |P|-row rank frame — the alternative
+    // re-exchanges the fact-scaled incidence by p every iteration
+    // (rank-frame broadcast would also work at fixture scale but not
+    // at 100 TB, where orders — and in TPC-H geometry even parts —
+    // outgrow a broadcast).
+    val itByO = incidence(s, dir)
+    val itByP = memo(s, "incidence_byp", dir) {
+      GraphIndex.incidence(s, dir).repartition(col("p"))
+    }
+    var auth = itByP.select(col("p")).distinct()
       .select(col("p"), lit(1000000L).as("a"))
     var hub: DataFrame = null
     for (_ <- 1 to 3) {
-      val hRaw = it.join(auth, Seq("p")).groupBy("o").agg(sum(col("a")).as("h"))
+      val hRaw = itByP.join(auth, Seq("p")).groupBy("o").agg(sum(col("a")).as("h"))
       val hMax = hRaw.agg(max(col("h")).as("hmax"))
       hub = graft.Materialize.stable(
         hRaw.crossJoin(broadcast(hMax))
           .select(col("o"), expr("(h * 1000000) div hmax").as("h")))
-      val aRaw = it.join(hub, Seq("o")).groupBy("p").agg(sum(col("h")).as("a"))
+      val aRaw = itByO.join(hub, Seq("o")).groupBy("p").agg(sum(col("h")).as("a"))
       val aMax = aRaw.agg(max(col("a")).as("amax"))
       auth = graft.Materialize.stable(
         aRaw.crossJoin(broadcast(aMax))
           .select(col("p"), expr("(a * 1000000) div amax").as("a")))
     }
-    val deg = it.groupBy("p").agg(count(lit(1)).as("n_orders"))
+    val deg = itByP.groupBy("p").agg(count(lit(1)).as("n_orders"))
     auth.join(deg, Seq("p"))
       .orderBy(col("a").desc, col("p"))
       .limit(20)

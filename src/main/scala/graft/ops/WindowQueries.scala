@@ -181,9 +181,13 @@ object WindowQueries {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("anchor"), col("last_od")).cast("long"))
-    val withNation = per.join(
+    // MATERIALIZED (the q109 rule): this customer-scaled frame feeds
+    // five plan branches (the per-nation counts, the three quintile
+    // scans, and the final join spine) — unmaterialized, each branch
+    // re-runs the orders aggregation and the customer join.
+    val withNation = graft.Materialize.stable(per.join(
       t(s, dir, "customer").select(col("c_custkey").as("custkey"),
-        col("c_nationkey").as("nationkey")), Seq("custkey"))
+        col("c_nationkey").as("nationkey")), Seq("custkey")))
     val n = withNation.groupBy("nationkey").agg(count(lit(1)).as("__n"))
     def tileOn(key: Column, out: String) =
       graft.ops.Prefix
