@@ -36,39 +36,49 @@ object Materialize {
   /** [[stable]], plus the EXACT set of persistent-RDD ids this
     * materialization pinned — the ownership primitive SessionMemo's
     * protected-set bookkeeping needs to be sound under concurrency.
-    * The checkpoint runs under a global lock bracketing a
-    * persistent-RDD snapshot diff, so the diff cannot pick up blocks
-    * persisted by a concurrent unrelated query (which the old
-    * memo-side bracket could: a lost-race loser would then unpersist a
-    * sibling query's live, lineage-truncated checkpoint). The lock
-    * serializes the checkpoint jobs themselves; materializations are
-    * once-per-(session, key) and their frames are small relative to
-    * their inputs (see class doc), so the serialization is paid rarely
-    * and briefly. Only persists routed through here are visible to the
-    * diff — the repo's invariant that this object is the one
-    * materialization site is what makes the ownership claim total. */
-  def stableOwned(df: DataFrame): (DataFrame, Set[Int]) =
-    persistLock.synchronized {
-      val sc = df.sparkSession.sparkContext
+    *
+    * The global lock brackets only the LAZY checkpoint call: an RDD
+    * registers in the context's persistent-RDD map synchronously at
+    * `persist()` time (inside `localCheckpoint(eager = false)`), so
+    * the before/after snapshot diff is exact without holding the lock
+    * through the materialization JOB — which runs afterwards, outside
+    * the lock, so concurrent sessions' materializations never
+    * serialize on each other's Spark jobs, only on the (microsecond)
+    * plan+persist registration. Without the lock, the diff could pick
+    * up blocks persisted by a concurrent unrelated query, and a
+    * lost-race memo loser would then unpersist a sibling query's
+    * live, lineage-truncated checkpoint. Only persists routed through
+    * here are visible to the diff — the repo's invariant that this
+    * object is the one materialization site is what makes the
+    * ownership claim total. */
+  def stableOwned(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val (built, owned) = persistLock.synchronized {
       val before = sc.getPersistentRDDs.keySet
-      val built = doStable(df)
-      val owned = sc.getPersistentRDDs.keySet.diff(before)
-      (built, owned.toSet)
+      val b = doStableLazy(df)
+      (b, sc.getPersistentRDDs.keySet.diff(before).toSet)
     }
+    // Eager materialization OUTSIDE the lock (the job both caches the
+    // blocks and finalizes the checkpoint). Callers rely on stable()
+    // being eager — that contract is unchanged, only the lock scope
+    // shrank.
+    built.count()
+    (built, owned)
+  }
 
   private[graft] val persistLock = new Object
 
-  private def doStable(df: DataFrame): DataFrame = {
+  private def doStableLazy(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val reliable = s.conf.getOption(ReliableFlag).exists(_.toBoolean)
-    if (!reliable) df.localCheckpoint()
+    if (!reliable) df.localCheckpoint(eager = false)
     else {
       if (s.sparkContext.getCheckpointDir.isEmpty) {
         val dir = s.conf.getOption(DirKey).getOrElse(
           sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-checkpoints")
         s.sparkContext.setCheckpointDir(dir)
       }
-      df.checkpoint()
+      df.checkpoint(eager = false)
     }
   }
 
