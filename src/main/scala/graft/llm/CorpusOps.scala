@@ -131,8 +131,11 @@ object CorpusOps {
     * The source dimension is tiny; everything after the one groupBy is
     * broadcast arithmetic. */
   def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
-    val counts = t(s, dir, "documents")
-      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    // Materialized (the q109 rule): consumed by the normalizer AND the
+    // final projection — unmaterialized, each consumer re-scans the
+    // corpus for a |sources|-row frame.
+    val counts = graft.Materialize.stable(t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs")))
     val tot = counts
       .agg(sum(col("n_docs")).as("total_docs"),
         sort_array(collect_list(sqrt(col("n_docs").cast("double")))).as("zs"))
@@ -220,15 +223,19 @@ object CorpusOps {
         size(tokens(col("text"))).cast("long").as("toks"),
         md5(lower(trim(col("text")))).as("digest"))
     val w = Window.partitionBy("digest")
-    val base = d.withColumn("rep", min(col("doc_id")).over(w))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("doc_id") =!= col("rep"), 1L).otherwise(0L)).as("n_dup_docs"),
-        sum(col("toks")).as("raw_tokens"),
-        sum(when(col("doc_id") === col("rep"), col("toks")).otherwise(lit(0L)))
-          .as("dedup_tokens"),
-        sum(col("n_chars")).as("total_chars"),
-        countDistinct(col("lang")).as("n_langs"))
+    // Materialized (the q109 rule): the normalizer and the final
+    // projection both consume this |sources|-row frame, and its
+    // derivation is a full tokenize + digest-window corpus pass.
+    val base = graft.Materialize.stable(
+      d.withColumn("rep", min(col("doc_id")).over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("rep"), 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(col("toks")).as("raw_tokens"),
+          sum(when(col("doc_id") === col("rep"), col("toks")).otherwise(lit(0L)))
+            .as("dedup_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs")))
     val z = base
       .agg(sort_array(collect_list(sqrt(col("n_docs").cast("double")))).as("zs"))
       .select(aggregate(col("zs"), lit(0.0), _ + _).as("z"))

@@ -162,11 +162,14 @@ object StatOps {
     *
     * Plan: per-row digit, one 9-row aggregate; counts partial map-side. */
   def benfordPrices(s: SparkSession, dir: String): DataFrame = {
-    val counts = t(s, dir, "lineitem")
+    // Materialized (the q109 rule): the total and the final projection
+    // both consume this 9-row frame — unmaterialized, each re-scans
+    // the fact table.
+    val counts = graft.Materialize.stable(t(s, dir, "lineitem")
       .filter(col("l_extendedprice") > 0)
       .select(substring(round(col("l_extendedprice") * 100)
         .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .groupBy("digit").agg(count(lit(1)).as("n")))
     val tot = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),

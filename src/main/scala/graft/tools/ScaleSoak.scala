@@ -15,10 +15,14 @@ object ScaleSoak {
     // this soak exists to validate): at reps=1000 the BM25 posting
     // aggregation is ~300M rows — 8 partitions put ~37M hash-agg groups
     // in one task and the 8g soak JVM dies with AGGREGATE_OUT_OF_MEMORY
-    // (observed at the 5M-doc point); 64 partitions keep every task's
-    // group state spillable. On a real cluster this is
+    // (observed at the 5M-doc point). Round-9 re-measure: the reps/8
+    // rule still under-partitioned the graph family at reps=100 (12
+    // partitions × 5M lineitem rows/task → spill-dominated:
+    // graph_index_build showed a 25×/decade slope that linear work
+    // cannot produce); partitions now track reps directly, capped at
+    // 256 for local[8] task-overhead sanity. On a real cluster this is
     // spark.sql.shuffle.partitions ∝ input bytes — the same knob.
-    val shufflePartitions = math.max(8, math.min(64, reps / 8))
+    val shufflePartitions = math.max(8, math.min(256, reps))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
