@@ -11,9 +11,14 @@ values (floats rounded to 6 decimals). Exit 1 on any mismatch.
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), os.pardir, "tools"))
+import attest  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -58,20 +63,9 @@ def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     # The canon() timestamp normalization (strip tzinfo after converting
-    # to UTC) is sound only when the DUMPING session ran in UTC. Assert
-    # it from the dump's recorded config; a missing file means a stale
-    # pre-round-9 dump — re-run graft.Verify rather than compare
-    # un-attested timestamps.
-    try:
-        conf = json.load(open(f"{outdir}/session_conf.json"))
-    except FileNotFoundError:
-        sys.exit(f"{outdir}/session_conf.json missing — re-run graft.Verify "
-                 "(the dump must attest its session timezone)")
-    tz = conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        sys.exit(f"dump was written under session timeZone={tz!r}, not UTC — "
-                 "timestamp comparison would be unsound; re-dump with a UTC "
-                 "session")
+    # to UTC) is sound only when the DUMPING session ran in UTC —
+    # asserted by the shared gate (tools/attest.py).
+    attest.assert_utc_session(outdir)
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:

@@ -10,9 +10,20 @@
 # Defaults: SF_DIR=/root/testdata/sf0.1, OUT_DIR=/tmp/verify_<sfname>.
 # The optional third arg restricts to a comma-separated query list.
 set -euo pipefail
-SF_DIR=${1:-/root/testdata/sf0.1}
+# Resolve paths BEFORE the cd to the repo root, or caller-relative
+# paths would silently re-resolve against the repo (worst case: a
+# stale same-named fixture dir under the repo root verifies the wrong
+# corpus). sbt's runMain splits its argument string on whitespace, so
+# paths with spaces cannot be passed through it — reject them loudly.
+SF_DIR=$(realpath "${1:-/root/testdata/sf0.1}")
 OUT_DIR=${2:-/tmp/verify_$(basename "$SF_DIR")}
+mkdir -p "$OUT_DIR"
+OUT_DIR=$(realpath "$OUT_DIR")
 ONLY=${3:-}
+case "$SF_DIR$OUT_DIR$ONLY" in (*[[:space:]]*)
+  echo "verify_sf.sh: paths/query lists must not contain whitespace" >&2
+  exit 2 ;;
+esac
 cd "$(dirname "$0")/.."
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
   sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $ONLY"

@@ -37,36 +37,31 @@ object Materialize {
     * materialization pinned — the ownership primitive SessionMemo's
     * protected-set bookkeeping needs to be sound under concurrency.
     *
-    * The global lock brackets only the LAZY checkpoint call: an RDD
-    * registers in the context's persistent-RDD map synchronously at
-    * `persist()` time (inside `localCheckpoint(eager = false)`), so
-    * the before/after snapshot diff is exact without holding the lock
-    * through the materialization JOB — which runs afterwards, outside
-    * the lock, so concurrent sessions' materializations never
-    * serialize on each other's Spark jobs, only on the (microsecond)
-    * plan+persist registration. Without the lock, the diff could pick
-    * up blocks persisted by a concurrent unrelated query, and a
-    * lost-race memo loser would then unpersist a sibling query's
-    * live, lineage-truncated checkpoint. Only persists routed through
-    * here are visible to the diff — the repo's invariant that this
-    * object is the one materialization site is what makes the
-    * ownership claim total. */
+    * Ownership is read DIRECTLY off the checkpointed Dataset's plan:
+    * `Dataset.localCheckpoint` persists one internal RDD and returns a
+    * Dataset whose analyzed plan is a `LogicalRDD` wrapping exactly
+    * that RDD, so its id is the complete owned set — no global lock,
+    * no persistent-RDD snapshot diff. (The first round-9 version
+    * diffed the context-wide persistent-RDD map under a global lock;
+    * a snapshot diff cannot distinguish our persist from a concurrent
+    * query's, and the lock that made it exact also serialized every
+    * AQE shuffle stage of concurrent materializations, because
+    * `checkpoint(eager = false)` executes the plan — materializing
+    * all adaptive stages — before `persist()` registers. Reading the
+    * plan needs neither.) In reliable-checkpoint mode the wrapped RDD
+    * is not persisted; protecting its id is a harmless no-op, as is
+    * the lost-race unpersist. */
   def stableOwned(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val (built, owned) = persistLock.synchronized {
-      val before = sc.getPersistentRDDs.keySet
-      val b = doStableLazy(df)
-      (b, sc.getPersistentRDDs.keySet.diff(before).toSet)
-    }
-    // Eager materialization OUTSIDE the lock (the job both caches the
-    // blocks and finalizes the checkpoint). Callers rely on stable()
-    // being eager — that contract is unchanged, only the lock scope
-    // shrank.
+    val built = doStableLazy(df)
+    val owned = built.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    // Eager materialization (the job both caches the blocks and
+    // finalizes the checkpoint) — callers rely on stable() being
+    // eager; only the ownership observation changed.
     built.count()
     (built, owned)
   }
-
-  private[graft] val persistLock = new Object
 
   private def doStableLazy(df: DataFrame): DataFrame = {
     val s = df.sparkSession

@@ -81,12 +81,40 @@ object StagedAsset {
       if (!fs.exists(marker) && fs.rename(outPath, trash))
         fs.delete(trash, true)
     }
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), outPath)) {
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val renamed = fs.rename(tmpPath, outPath)
+    // Hadoop rename semantics when the destination exists (a
+    // concurrent publisher won the race): HDFS renames the source
+    // INTO the directory and RawLocalFileSystem falls through to a
+    // copy-as-child — in both cases the call returns TRUE and our
+    // complete staging copy lands NESTED inside the winner's
+    // published asset. A plain `if (!rename)` would declare victory
+    // and leave a full duplicate copy (TB-scale for a corpus table)
+    // polluting the asset forever. Probe for out/<tmp-basename> and
+    // treat the nested landing as the lost race it is.
+    val nested = new org.apache.hadoop.fs.Path(outPath, tmpPath.getName)
+    val lostNested = renamed && fs.exists(nested)
+    if (lostNested) fs.delete(nested, true)
+    if (!renamed || lostNested) {
+      if (!renamed) fs.delete(tmpPath, true)
       if (!fs.exists(marker))
         throw new IllegalStateException(
           s"$what publish failed and no complete asset exists at $out")
     }
+    // Best-effort sweep of crashed-recovery trash: a crash between the
+    // recovery's rename-aside and its delete strands
+    // <out>.trash-<uuid> in the cache root with nothing else ever
+    // looking at it. Trash dirs are garbage by construction (they only
+    // ever hold an incomplete crashed publish), so deleting a sibling
+    // publisher's in-flight trash merely completes that publisher's
+    // own next step.
+    try {
+      val base = outPath.getName
+      fs.listStatus(outPath.getParent).foreach { st =>
+        if (st.getPath.getName.startsWith(s"$base.trash-"))
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Build-if-absent: returns `out`, invoking `build` only when the

@@ -1002,9 +1002,15 @@ object VectorOps {
   // The general top-10 probes stay value-pinned in VectorFunctionsSpec
   // + AnnSoundnessSpec with exact full-probe twins (q67 IVF, q86
   // hyperplane). Only q27's HLL register sketch remains rows-only.
+  // base filters NULL embeddings to mirror the probes exactly: a
+  // null-vector query vanishes from the Spark side (null hyperplane
+  // bucket joins nothing; IvfIndex drops nulls at build), while an
+  // unfiltered oracle would still emit an rn=1 row with NULL sim for
+  // it (DuckDB ranks NULLs), failing the gate on any null-bearing
+  // corpus even though the probe is behaving correctly.
   private val plantedTop1OracleSql: String =
     """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      |             FROM embeddings),
+      |             FROM embeddings WHERE embedding IS NOT NULL),
       |allv AS (SELECT vec_id, v FROM base UNION ALL
       |         SELECT vec_id + 1000000, v FROM base WHERE vec_id < 25),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 25),

@@ -61,6 +61,43 @@ class StagedAssetSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"recovery left residue: ${leftovers.toSeq}")
   }
 
+  test("a lost publish race never nests the loser's copy inside the winner") {
+    // Hadoop rename(src, existingDir) moves src INTO the directory
+    // (RawLocalFileSystem falls through to copy-as-child) and returns
+    // TRUE — so a naive `if (!rename)` loser path is unreachable and
+    // the loser's full staging copy would silently pollute the
+    // winner's published asset. publish() must detect the nested
+    // landing, remove it, and keep the winner's rows.
+    val out = freshOut()
+    buildInto(out, 1) // the winner
+    assert(StagedAsset.isComplete(spark, out, "data/_SUCCESS"))
+    buildInto(out, 2) // the loser: publishes against an existing asset
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val children = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath.getName).toSet
+    assert(children == Set("data"),
+      s"loser's staging copy leaked into the published asset: $children")
+    // Winner's rows intact, readable, and attributed to builder 1.
+    val rows = spark.read.parquet(s"$out/data")
+    assert(rows.count() == 100)
+    assert(rows.select("builder").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("publish sweeps stranded crashed-recovery trash siblings") {
+    val out = freshOut()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Simulate a recovery that crashed between rename-aside and delete.
+    val strandedTrash = new org.apache.hadoop.fs.Path(
+      s"$out.trash-deadbeef-0000")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(strandedTrash, "data"))
+    buildInto(out, 3)
+    assert(!fs.exists(strandedTrash),
+      "publish must sweep stranded .trash- siblings of its asset")
+    assert(spark.read.parquet(s"$out/data").count() == 100)
+  }
+
   test("ensure is a no-op once the marker exists") {
     val out = freshOut()
     StagedAsset.ensure(spark, out, "data/_SUCCESS")(buildInto(out, 3))

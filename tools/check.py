@@ -9,9 +9,13 @@ parquet tables, sorts columns by name, and compares values.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import attest  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -46,20 +50,7 @@ def cmp_frames(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    # Timestamp comparison is sound only when the dumping Spark session
-    # ran in UTC (TIMESTAMP_NTZ fixtures read back naive; a non-UTC
-    # session would shift session-typed timestamps by a constant offset
-    # that this comparison cannot see). graft.Verify attests its
-    # timezone in session_conf.json — assert it rather than assume it.
-    try:
-        conf = json.load(open(f"{out_dir}/session_conf.json"))
-        tz = conf.get("spark.sql.session.timeZone")
-        if tz != "UTC":
-            sys.exit(f"dump written under session timeZone={tz!r}, not UTC "
-                     "- re-dump with a UTC session")
-    except FileNotFoundError:
-        sys.exit(f"{out_dir}/session_conf.json missing - re-run graft.Verify "
-                 "(the dump must attest its session timezone)")
+    attest.assert_utc_session(out_dir)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
