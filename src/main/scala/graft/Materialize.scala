@@ -77,6 +77,28 @@ object Materialize {
     }
   }
 
+  /** Run `body` with a tracked variant of [[stable]] and unpersist
+    * every block it pinned when `body` returns — the deterministic
+    * release for CONTINUOUS callers (streaming `foreachBatch`
+    * maintainers), whose per-batch checkpoints are dead the moment the
+    * batch's writes commit but would otherwise pile up across
+    * thousands of micro-batches until a JVM GC let ContextCleaner
+    * notice (the releaseTransient lesson, scoped to exactly the blocks
+    * this body created instead of a global idle-point sweep). */
+  def withTransient[A](body: (DataFrame => DataFrame) => A): A = {
+    val owned =
+      scala.collection.mutable.ArrayBuffer.empty[(org.apache.spark.SparkContext, Int)]
+    val st: DataFrame => DataFrame = { df =>
+      val (built, ids) = stableOwned(df)
+      ids.foreach(id => owned += ((df.sparkSession.sparkContext, id)))
+      built
+    }
+    try body(st)
+    finally owned.foreach { case (sc, id) =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Drop every persisted RDD that is NOT one of SessionMemo's
     * cross-query frames. Harness loops (Bench, Verify) call this
     * between catalog queries: a finished query's localCheckpoint blocks

@@ -177,17 +177,32 @@ object StreamOps {
 
   val SessionGapMs: Long = 30 * 60 * 1000L
 
-  /** Split a user's time-sorted (ts-millis, value) list into
-    * gap-separated sessions. */
-  private def assemble(userId: Long, sorted: Seq[(Long, Double)]): Seq[UserSession] = {
+  /** Spark's round() semantics for the session total: HALF_UP away
+    * from zero on the canonical decimal rendering — `math.round`
+    * (half toward +∞) would diverge from the DataFrame-side
+    * `round(sum(value), 2)` on NEGATIVE .005 boundaries. */
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Split a user's (ts-millis, event_id, value) list — sorted by
+    * (ts, event_id) — into gap-separated sessions. The event_id
+    * tie-break matters for DETERMINISM, not session shape: getTime
+    * truncates to milliseconds (manufacturing ties), double addition
+    * is non-associative, and an unordered tie would make total_value
+    * depend on shuffle-iterator order — differing between runs and
+    * between the batch and streaming paths (the q137/stepsOf ordering
+    * contract, applied to the sessionizer). */
+  private def assemble(userId: Long,
+      sorted: Seq[(Long, Long, Double)]): Seq[UserSession] = {
     if (sorted.isEmpty) return Nil
     val sessions = scala.collection.mutable.ArrayBuffer[UserSession]()
     var st = SessionState(sorted.head._1, sorted.head._1, 0L, 0.0)
-    sorted.foreach { case (t, value) =>
+    sorted.foreach { case (t, _, value) =>
       if (t - st.lastTs > SessionGapMs) {
         sessions += UserSession(userId,
           new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastTs),
-          st.n, math.round(st.total * 100) / 100.0)
+          st.n, round2(st.total))
         st = SessionState(t, t, 1L, value)
       } else {
         st = SessionState(t, st.start, st.n + 1, st.total + value)
@@ -195,7 +210,7 @@ object StreamOps {
     }
     sessions += UserSession(userId,
       new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.lastTs),
-      st.n, math.round(st.total * 100) / 100.0)
+      st.n, round2(st.total))
     sessions.toSeq
   }
 
@@ -211,12 +226,14 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], _: GroupState[SessionState]) =>
           assemble(userId,
-            it.map(e => (e.ts.getTime, e.value)).toSeq.sortBy(_._1)).iterator
+            it.map(e => (e.ts.getTime, e.event_id, e.value)).toSeq
+              .sortBy(t => (t._1, t._2))).iterator
       }
   }
 
-  /** Buffered events per user carried across micro-batches. */
-  case class SessionBuffer(events: List[(Long, Double)])
+  /** Buffered (ts-millis, event_id, value) events per user carried
+    * across micro-batches (event_id rides along as the tie-break). */
+  case class SessionBuffer(events: List[(Long, Long, Double)])
 
   /** Streaming per-user sessionizer with genuine cross-batch state.
     *
@@ -238,13 +255,13 @@ object StreamOps {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionBuffer]) =>
           if (state.hasTimedOut) {
             // watermark passed lastEvent + gap: everything left is closed
-            val buffered = state.get.events.sortBy(_._1)
+            val buffered = state.get.events.sortBy(t => (t._1, t._2))
             state.remove()
             assemble(userId, buffered).iterator
           } else {
-            val incoming = it.map(e => (e.ts.getTime, e.value)).toList
+            val incoming = it.map(e => (e.ts.getTime, e.event_id, e.value)).toList
             val merged = (state.getOption.map(_.events).getOrElse(Nil) ++ incoming)
-              .sortBy(_._1)
+              .sortBy(t => (t._1, t._2))
             val watermark = state.getCurrentWatermarkMs()
             val closed = assemble(userId, merged).filter(
               s => s.session_end.getTime + SessionGapMs < watermark)

@@ -88,34 +88,12 @@ object StreamingBandMaintenance {
     * STRICTLY BELOW `batchId` — the corpus side a replaying batch must
     * see (never its own failed attempt's segment). */
   def deltaSeg(s: SparkSession, deltaDir: String, sub: String,
-      batchId: Long = Long.MaxValue): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(deltaDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (fs.exists(p))
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(q => q.getName.matches("b\\d+") &&
-            q.getName.drop(1).toLong < batchId)
-          .map(q => s"$q/$sub")
-      else Nil
-    // Explicit schema: a batch with nothing first-seen writes an EMPTY
-    // segment (zero part files), which schema inference cannot read.
-    if (dirs.nonEmpty) s.read.schema(segSchema(sub)).parquet(dirs: _*)
-    else emptyOf(s, segSchema(sub))
-  }
+      batchId: Long = Long.MaxValue): DataFrame =
+    DeltaDirs.readSegs(s, deltaDir, sub, segSchema(sub), batchId)
 
   /** All flags emitted so far (union of per-batch listings). */
-  def flags(s: SparkSession, outDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(outDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (fs.exists(p))
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.matches("b\\d+")).map(_.toString)
-      else Nil
-    if (dirs.nonEmpty) s.read.schema(flagSchema).parquet(dirs: _*)
-    else emptyOf(s, flagSchema)
-  }
+  def flags(s: SparkSession, outDir: String): DataFrame =
+    DeltaDirs.readSegs(s, outDir, "", flagSchema)
 
   private def nShOf(text: org.apache.spark.sql.Column) =
     when(size(graft.functions.Tokenize.tokens(text)) >= 3,
@@ -147,11 +125,16 @@ object StreamingBandMaintenance {
     * document store for candidate verification. */
   def bandMaintain(baseIdx: String, corpusDocs: DataFrame,
       deltaDir: String, outDir: String)
-      (batch: DataFrame, batchId: Long): Unit = {
+      (batch: DataFrame, batchId: Long): Unit =
+      graft.Materialize.withTransient { stable =>
     val s = batch.sparkSession
     val st = Seq("n_inter", "n_union", "jaccard").map(col)
-    val probe = graft.Materialize.stable(
-      batch.select(col("doc_id"), col("text"), md5(col("text")).as("digest")))
+    // A NULL text is not a document body (the dedupMaintain rule): its
+    // NULL digest would null-reject out of the exact-match join yet
+    // survive the left_anti into the banding path as a phantom rep.
+    // Null bodies belong to the quarantine ingest path.
+    val probe = stable(batch.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("digest")))
     val corpusDigests = s.read.parquet(s"$baseIdx/digests")
       .select("digest", "rep_id", "n_sh")
       .unionByName(deltaSeg(s, deltaDir, "digests", batchId))
@@ -165,7 +148,7 @@ object StreamingBandMaintenance {
     // 1. exact path: matched batch docs pair with every member of their
     // group at jaccard 1 (unshingleable groups emit nothing — the
     // brute-force contract's nonempty rule).
-    val matched = graft.Materialize.stable(probe.select("doc_id", "digest")
+    val matched = stable(probe.select("doc_id", "digest")
       .join(corpusDigests, Seq("digest"))
       .select(col("doc_id").as("new_doc"), col("rep_id"), col("n_sh")))
     val exactPairs = matched.filter(col("n_sh") > 0)
@@ -181,17 +164,17 @@ object StreamingBandMaintenance {
       .join(corpusDigests.select("digest"), Seq("digest"), "left_anti")
     val batchGroups = unmatched.select("doc_id", "digest")
       .groupBy("digest").agg(min(col("doc_id")).as("rep_id"))
-    val batchDups = graft.Materialize.stable(unmatched.select("doc_id", "digest")
+    val batchDups = stable(unmatched.select("doc_id", "digest")
       .join(batchGroups, Seq("digest"))
       .filter(col("doc_id") =!= col("rep_id"))
       .select("rep_id", "doc_id"))
-    val batchReps = graft.Materialize.stable(unmatched
+    val batchReps = stable(unmatched
       .join(batchDups.select("doc_id"), Seq("doc_id"), "left_anti")
       .select("doc_id", "text", "digest"))
     val guardedOld = corpusBands
       .filter(col("band_n") <= NearDupOps.SaturatedBand
         || col("hub_rank") <= NearDupOps.StarHubs)
-    val batchBands = graft.Materialize.stable(
+    val batchBands = stable(
       NearDupOps.mhBandedFor(batchReps.select("doc_id", "text")))
     val candNewOld = batchBands
       .select(col("doc_id").as("doc_a"), col("band"))
@@ -213,7 +196,18 @@ object StreamingBandMaintenance {
 
     // 4. verify + member expansion, directed (new, old).
     val newSh = shinglesOf(batchReps)
-    val oldSh = shinglesOf(corpusDocs)
+    // Candidate-restricted old-side shingles — the module's own 100 TB
+    // contract (a point-lookup for candidate old docs' shingles), not
+    // the full-corpus tokenize per micro-batch that an unrestricted
+    // shinglesOf(corpusDocs) was paying on BOTH verify sides: left-semi
+    // to the ids the candidate pairs actually reference (AQE broadcasts
+    // the id sliver), so per-batch CPU is O(candidates), not O(corpus).
+    val candOldIds = candNewOld.select(col("doc_b").as("doc_id"))
+      .unionByName(candOldOld.select(col("doc_a").as("doc_id")))
+      .unionByName(candOldOld.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val oldSh = shinglesOf(
+      corpusDocs.join(candOldIds, Seq("doc_id"), "left_semi"))
     val verNO = verify(candNewOld, newSh, oldSh)
     val verOO = verify(candOldOld, oldSh, oldSh)
     val newSideDup = batchDups

@@ -39,35 +39,25 @@ object StreamingIndexMaintenance {
   def deltaDigests(s: SparkSession, deltaDir: String): DataFrame =
     deltaDigestsBefore(s, deltaDir, Long.MaxValue)
 
+  private val digestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("digest",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("rep_id",
+      org.apache.spark.sql.types.LongType)))
+
   /** Delta digests from batches with id STRICTLY BELOW `batchId` — the
     * known side a replaying batch must see. A `b*` glob would also pick
     * up `b<batchId>` left by a failed attempt of the SAME batch: the
     * batch's own digests would then look "known", firstSeen would come
     * out empty (overwriting the delta with nothing — first-seen digests
     * permanently lost), and every first-seen doc would flag as a dup of
-    * itself. Filtering by parsed batch id makes replay read exactly the
-    * state the first attempt saw. */
+    * itself. The shared [[DeltaDirs]] read also pins the EXPLICIT
+    * schema: a batch with nothing first-seen writes a zero-part-file
+    * segment that schema inference cannot read (the original inference
+    * read here crashed every batch after such a write). */
   def deltaDigestsBefore(s: SparkSession, deltaDir: String,
-      batchId: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(deltaDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (fs.exists(p))
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter { q =>
-            q.getName.matches("b\\d+") && q.getName.drop(1).toLong < batchId
-          }
-          .map(_.toString)
-      else Nil
-    if (dirs.nonEmpty) s.read.parquet(dirs: _*)
-    else
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("digest",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("rep_id",
-            org.apache.spark.sql.types.LongType))))
-  }
+      batchId: Long): DataFrame =
+    DeltaDirs.readSegs(s, deltaDir, "", digestSchema, batchId)
 
   /** The foreachBatch function. `baseDigests` is the staged corpus-side
     * digest table (narrow: digest, rep_id); `deltaDir`/`outDir` are the
@@ -75,7 +65,15 @@ object StreamingIndexMaintenance {
   def dedupMaintain(baseDigests: DataFrame, deltaDir: String, outDir: String)
       (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
-    val probe = batch.select(col("doc_id"), md5(col("text")).as("digest"))
+    // A NULL text is not a document body (the mediaTable rule): its
+    // md5 digest is NULL, which null-rejects out of the inner batchRep
+    // join — the row would silently VANISH from the flags output while
+    // its digest=NULL group polluted the delta with a row that can
+    // never match anything. Excluded here, loudly documented: null
+    // bodies belong to the quarantine ingest path, not the dedup
+    // index.
+    val probe = batch.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
     // Known side: base ∪ delta from STRICTLY EARLIER batches — never
     // this batch's own dir, which a failed prior attempt of the same
     // batch may have left behind (see deltaDigestsBefore). Narrow

@@ -36,20 +36,12 @@ object StreamingIvfMaintenance {
     StructField("v", ArrayType(FloatType)),
     StructField("norm", DoubleType)))
 
-  /** Delta inverted-list rows across all landed batches. */
-  def deltaLists(s: SparkSession, deltaDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(deltaDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (fs.exists(p))
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.matches("b\\d+"))
-          .map(q => s"$q/lists")
-      else Nil
-    if (dirs.nonEmpty) s.read.schema(listSchema).parquet(dirs: _*)
-    else s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], listSchema)
-  }
+  /** Delta inverted-list rows across all landed batches. (No batch-id
+    * bound: the maintain function never reads the delta — its append
+    * is self-idempotent via the `b<id>` overwrite — so this is a
+    * probe-time read over everything landed.) */
+  def deltaLists(s: SparkSession, deltaDir: String): DataFrame =
+    DeltaDirs.readSegs(s, deltaDir, "lists", listSchema)
 
   /** The foreachBatch function: nearest-frozen-centroid assignment of
     * the batch, appended as one delta segment. `centroids` is the

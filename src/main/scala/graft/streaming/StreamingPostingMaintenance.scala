@@ -54,19 +54,8 @@ object StreamingPostingMaintenance {
 
   /** One delta sub-table across ALL landed batches (additive segments
     * need no strictly-before filtering at probe time). */
-  def deltaSeg(s: SparkSession, deltaDir: String, sub: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(deltaDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (fs.exists(p))
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.matches("b\\d+"))
-          .map(q => s"$q/$sub")
-      else Nil
-    if (dirs.nonEmpty) s.read.schema(segSchema(sub)).parquet(dirs: _*)
-    else s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], segSchema(sub))
-  }
+  def deltaSeg(s: SparkSession, deltaDir: String, sub: String): DataFrame =
+    DeltaDirs.readSegs(s, deltaDir, sub, segSchema(sub))
 
   /** The foreachBatch function: tokenize the batch, append its posting
     * slice. Every frame derives from `batch` alone. */

@@ -51,20 +51,8 @@ object StreamingSemDedupMaintenance {
   }
 
   private def deltaSeg(s: SparkSession, deltaDir: String, sub: String,
-      batchId: Long = Long.MaxValue): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(deltaDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (fs.exists(p))
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(q => q.getName.matches("b\\d+") &&
-            q.getName.drop(1).toLong < batchId)
-          .map(q => s"$q/$sub")
-      else Nil
-    if (dirs.nonEmpty) s.read.schema(segSchema(sub)).parquet(dirs: _*)
-    else s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], segSchema(sub))
-  }
+      batchId: Long = Long.MaxValue): DataFrame =
+    DeltaDirs.readSegs(s, deltaDir, sub, segSchema(sub), batchId)
 
   private def withNorm(vecs: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
@@ -73,37 +61,51 @@ object StreamingSemDedupMaintenance {
       sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
   }
 
-  /** The foreachBatch function. `baseVecs` is the staged corpus side —
-    * (label, vec_id, embedding) of everything the offline
-    * SemDedupIndex build covered. */
-  def semDedupMaintain(baseVecs: DataFrame, deltaDir: String)
+  /** The foreachBatch function. `basePrepared` is the staged PREPARED
+    * corpus side — (label, vec_id, v, norm), i.e. the
+    * [[graft.llm.SemDedupIndex]] `corpus/` table — NOT raw embeddings:
+    * corpus-side norms are corpus-constant, and recomputing them per
+    * micro-batch is exactly the per-ingest waste q171's staging
+    * removed (this maintainer originally took raw vectors and paid a
+    * full-corpus norm pass every batch). Callers with only raw
+    * embeddings prepare them once via [[prepared]]. */
+  def semDedupMaintain(basePrepared: DataFrame, deltaDir: String)
       (batch: DataFrame, batchId: Long): Unit = {
     import graft.functions.VectorFunctions.dot_product
     val s = batch.sparkSession
-    val b = graft.Materialize.stable(withNorm(batch))
-    val seen = withNorm(baseVecs)
-      .unionByName(deltaSeg(s, deltaDir, "vecs", batchId))
-      .unionByName(b)
-    val ba = b.select(col("label"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("norm").as("na"))
-    val edges = ba.join(
-        seen.select(col("label"), col("vec_id").as("id_b"),
-          col("v").as("vb"), col("norm").as("nb")), Seq("label"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4)
-          .as("sim"))
-      .filter(col("sim") >= 0.35)
-      .select(col("id_a"), col("id_b")).distinct()
-    edges.write.mode("overwrite").parquet(s"$deltaDir/b$batchId/edges")
-    b.select("label", "vec_id", "v", "norm")
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/vecs")
+    graft.Materialize.withTransient { st =>
+      val b = st(withNorm(batch))
+      val seen = basePrepared.select("label", "vec_id", "v", "norm")
+        .unionByName(deltaSeg(s, deltaDir, "vecs", batchId))
+        .unionByName(b)
+      val ba = b.select(col("label"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("norm").as("na"))
+      val edges = ba.join(
+          seen.select(col("label"), col("vec_id").as("id_b"),
+            col("v").as("vb"), col("norm").as("nb")), Seq("label"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+            .as("sim"))
+        .filter(col("sim") >= 0.35)
+        .select(col("id_a"), col("id_b")).distinct()
+      edges.write.mode("overwrite").parquet(s"$deltaDir/b$batchId/edges")
+      b.select("label", "vec_id", "v", "norm")
+        .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/vecs")
+    }
   }
 
+  /** Prepare a raw (label, vec_id, embedding) corpus side ONCE for
+    * [[semDedupMaintain]] — the inline stand-in for reading the staged
+    * SemDedupIndex `corpus/` parquet. */
+  def prepared(baseVecs: DataFrame): DataFrame = withNorm(baseVecs)
+
   /** The q171-shaped cluster table over base ∪ streamed arrivals:
-    * components over the staged star edges plus every delta edge. */
-  def componentsWithDelta(s: SparkSession, baseVecs: DataFrame,
+    * components over the staged star edges plus every delta edge.
+    * `basePrepared` as in [[semDedupMaintain]] (only its 2-column
+    * (vec_id, label) projection is read here). */
+  def componentsWithDelta(s: SparkSession, basePrepared: DataFrame,
       stagedComponents: DataFrame, deltaDir: String): DataFrame = {
     val starEdges = stagedComponents
       .filter(col("vec_id") =!= col("component"))
@@ -111,7 +113,7 @@ object StreamingSemDedupMaintenance {
     val comp = graft.llm.Graphs.connectedComponents(
         starEdges.unionByName(deltaSeg(s, deltaDir, "edges")))
       .select(col("id").as("vec_id"), col("component"))
-    val e = withNorm(baseVecs).select("vec_id", "label")
+    val e = basePrepared.select("vec_id", "label")
       .unionByName(deltaSeg(s, deltaDir, "vecs").select("vec_id", "label"))
     val wc = Window.partitionBy("cluster_id")
     e.join(comp, Seq("vec_id"), "left")

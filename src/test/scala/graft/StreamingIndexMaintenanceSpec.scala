@@ -110,4 +110,47 @@ class StreamingIndexMaintenanceSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(f2 == Map(21L -> ((12L, true))), s"got $f2")
   }
+
+  test("a batch with nothing first-seen does not poison later batches") {
+    // An all-re-arrivals batch writes an EMPTY delta segment (zero
+    // parquet part files). The delta read must carry an explicit
+    // schema: inference over such a segment throws and would kill the
+    // stream on EVERY subsequent batch (and its replays) — the crash
+    // class the shared DeltaDirs read exists to prevent.
+    val root = java.nio.file.Files.createTempDirectory("simx-empty").toString
+    val delta = s"$root/delta"; val out = s"$root/out"
+    val base = Seq((100L, "known text"))
+      .toDF("rep_id", "text")
+      .select(md5(col("text")).as("digest"), col("rep_id"))
+    val fn = StreamingIndexMaintenance.dedupMaintain(base, delta, out) _
+    fn(Seq(10L -> "known text").toDF("doc_id", "text"), 0L) // re-arrival only
+    // b0's delta segment exists but holds no rows — now batch 1 reads it
+    fn(Seq(11L -> "fresh text").toDF("doc_id", "text"), 1L)
+    val f1 = spark.read.parquet(s"$out/b1").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(f1 == Map(11L -> false), s"got $f1")
+  }
+
+  test("null-text rows are excluded from the dedup index, not silently dropped mid-join") {
+    // md5(NULL) = NULL null-rejects out of the inner batchRep join, so
+    // an unfiltered null-text row would VANISH from the flags while
+    // appending an unmatchable digest=NULL row to the delta. The
+    // maintainer excludes null bodies at the boundary (they belong to
+    // the quarantine path); non-null rows in the same batch behave
+    // exactly as before.
+    val root = java.nio.file.Files.createTempDirectory("simx-null").toString
+    val delta = s"$root/delta"; val out = s"$root/out"
+    val base = Seq((100L, "known text"))
+      .toDF("rep_id", "text")
+      .select(md5(col("text")).as("digest"), col("rep_id"))
+    val fn = StreamingIndexMaintenance.dedupMaintain(base, delta, out) _
+    fn(Seq((20L, "known text"), (21L, null), (22L, "fresh"))
+      .toDF("doc_id", "text"), 0L)
+    val flags = spark.read.parquet(s"$out/b0").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags == Map(20L -> true, 22L -> false), s"got $flags")
+    val deltaRows = spark.read.parquet(s"$delta/b0").collect()
+    assert(deltaRows.forall(r => !r.isNullAt(0)),
+      "delta must never carry a NULL digest")
+  }
 }

@@ -123,17 +123,20 @@ class StreamingSemDedupMaintenanceSpec extends AnyFunSuite {
     SemDedupIndex.ensure(spark, dir)
     val staged = SemDedupIndex.components(spark, dir)
     val emb = graft.Tables.tSpread(spark, dir, "embeddings")
-    val baseVecs = emb.filter(pmod(col("vec_id"), lit(10)) =!= 7)
-      .select("label", "vec_id", "embedding")
+    // The maintainer takes the PREPARED corpus side — the staged
+    // SemDedupIndex corpus/ table (label, vec_id, v, norm) — so the
+    // spec exercises the exact production read path (and the
+    // per-batch full-corpus norm recompute stays gone).
+    val basePrepared = SemDedupIndex.corpus(spark, dir)
     val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
       .select("label", "vec_id", "embedding")
     val ids = batch.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
-    val fn = StreamingSemDedupMaintenance.semDedupMaintain(baseVecs, delta) _
+    val fn = StreamingSemDedupMaintenance.semDedupMaintain(basePrepared, delta) _
     ids.grouped((ids.length + 2) / 3).zipWithIndex.foreach { case (part, i) =>
       fn(batch.filter(col("vec_id").isin(part: _*)), i.toLong)
     }
     val got = StreamingSemDedupMaintenance
-      .componentsWithDelta(spark, baseVecs, staged, delta)
+      .componentsWithDelta(spark, basePrepared, staged, delta)
       .collect().map(_.toSeq)
     val want = VectorOps.semanticDedupStaged(spark, dir).collect().map(_.toSeq)
     assert(want.nonEmpty && got.toSeq == want.toSeq,

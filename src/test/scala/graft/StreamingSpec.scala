@@ -246,4 +246,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed,
       s"batch/stream session_window results differ: ${batch.size} vs ${streamed.size}")
   }
+
+  test("sessionizer totals are order-deterministic under millisecond ties") {
+    import spark.implicits._
+    // getTime truncates to ms, manufacturing ties; double addition is
+    // non-associative; so without the (ts, event_id) tie-break the
+    // total would depend on arrival order. Values chosen so the two
+    // accumulation orders differ in the last ulp pre-fix.
+    def ev(id: Long, v: Double) = StreamOps.Event(
+      id, new java.sql.Timestamp(1700000000000L), 1L, "click", v)
+    val a = Seq(ev(1, 0.1), ev(2, 0.2), ev(3, 0.025))
+    def totalOf(events: Seq[StreamOps.Event]): Double =
+      StreamOps.sessionize(events.toDS()).collect().head.total_value
+    assert(totalOf(a) == totalOf(a.reverse) && totalOf(a) == totalOf(
+      Seq(a(2), a(0), a(1))),
+      "session total must not depend on same-millisecond arrival order")
+  }
+
+  test("sessionizer rounds totals with Spark round semantics on negatives") {
+    import spark.implicits._
+    // -0.125 is exactly representable; HALF_UP away from zero gives
+    // -0.13 (what the DataFrame-side round(sum(value), 2) yields),
+    // while math.round's half-toward-+inf would give -0.12.
+    val events = Seq(StreamOps.Event(
+      1L, new java.sql.Timestamp(1700000000000L), 1L, "refund", -0.125))
+    val got = StreamOps.sessionize(events.toDS()).collect().head.total_value
+    assert(got == -0.13, s"got $got, want -0.13 (HALF_UP away from zero)")
+  }
 }
