@@ -103,7 +103,12 @@ object MediaHeaders {
           val csize = be32(b, c)
           if (csize < 8 || c + csize > o + size) return Bad
           if (ascii(b, c + 4, "mvhd")) {
-            if ((b(c + 8) & 0xff) != 0 || c + 28 > b.length) return Bad
+            // Bounds BEFORE the version-byte read: with csize == 8 a
+            // truncated mvhd can end exactly at the buffer, making
+            // b(c + 8) an out-of-bounds read — an exception where the
+            // contract is loud-by-VALUE (ok = false), and one corrupt
+            // asset would kill the whole mapPartitions extraction.
+            if (c + 28 > b.length || (b(c + 8) & 0xff) != 0) return Bad
             val timescale = be32(b, c + 20); val duration = be32(b, c + 24)
             return if (timescale <= 0) Bad
               else Parsed(ok = true, "mp4", timescale, duration, 0)

@@ -351,7 +351,7 @@ object NearDupOps {
   }
 
   /** MinHash-LSH near-duplicates, exact-verified: exact-dup collapse
-    * ([[dupMembers]]/[[repDocs]]), banding over representatives (subquadratic —
+    * ([[dupMembersOf]]/[[repDocs]]), banding over representatives (subquadratic —
     * shuffle volume is 16 band digests/rep), exact 3-gram Jaccard
     * re-scoring at ≥ 0.8, then member expansion. Fully oracle-checked
     * against brute-force DuckDB Jaccard: the emitted set equals the

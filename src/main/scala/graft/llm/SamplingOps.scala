@@ -243,9 +243,12 @@ object SamplingOps {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("toks"))
-    val cells = splits.join(toks, Seq("doc_id"))
+    // Materialized (the q109 rule): three downstream branches
+    // (perSource, global, the final join spine) each re-derive the
+    // split assignment + corpus tokenize without it.
+    val cells = graft.Materialize.stable(splits.join(toks, Seq("doc_id"))
       .groupBy("source", "split")
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens")))
     val perSource = cells.groupBy("source")
       .agg(sum(col("n_docs")).as("src_docs"))
     val global = cells.groupBy("split")
@@ -281,10 +284,13 @@ object SamplingOps {
     * partials — the per-row token count never leaves the scan stage);
     * everything downstream is |sources|-row broadcast arithmetic. */
   def tokenBudget(s: SparkSession, dir: String, budget: Long = 500000L): DataFrame = {
-    val avail = t(s, dir, "documents")
+    // Materialized (the q109 rule): the normalizer and the final
+    // projection both consume this |sources|-row frame; without the
+    // checkpoint the corpus is TOKENIZED once per branch.
+    val avail = graft.Materialize.stable(t(s, dir, "documents")
       .select(col("source"),
         size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("toks"))
-      .groupBy("source").agg(sum(col("toks")).as("avail_tokens"))
+      .groupBy("source").agg(sum(col("toks")).as("avail_tokens")))
     val z = avail
       .agg(sort_array(collect_list(sqrt(col("avail_tokens").cast("double")))).as("zs"))
       .select(aggregate(col("zs"), lit(0.0), _ + _).as("z"))
@@ -314,12 +320,15 @@ object SamplingOps {
   def effectiveBudget(s: SparkSession, dir: String, budget: Long = 500000L): DataFrame = {
     val labels = NearDupOps.dupClusters(s, dir)
       .select(col("doc_id"), col("cluster_id"))
-    val avail = t(s, dir, "documents")
+    // Materialized (the q109 rule, as in tokenBudget): both consumers
+    // would otherwise re-run the corpus tokenize AND the dup-cluster
+    // label join.
+    val avail = graft.Materialize.stable(t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("toks"))
       .join(labels, Seq("doc_id"), "left_outer")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-      .groupBy("source").agg(sum(col("toks")).as("eff_tokens"))
+      .groupBy("source").agg(sum(col("toks")).as("eff_tokens")))
     val z = avail
       .agg(sort_array(collect_list(sqrt(col("eff_tokens").cast("double")))).as("zs"))
       .select(aggregate(col("zs"), lit(0.0), _ + _).as("z"))

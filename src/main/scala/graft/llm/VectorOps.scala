@@ -139,7 +139,14 @@ object VectorOps {
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vectors"),
-        round(sum(col("norm")), 4).as("sum_norm"),
+        // Per-row round + exact DECIMAL sum (the q173 rule): a raw
+        // double SUM(norm) is partial-aggregation-order dependent, so
+        // near a .00005 boundary Spark's merge order vs DuckDB's
+        // sequential order could round to different 4th decimals —
+        // the non-associative-float-sum class this package hardens
+        // everywhere else. min/max are order-free and stay raw.
+        round(sum(round(col("norm"), 6).cast("decimal(28,6)"))
+          .cast("double"), 4).as("sum_norm"),
         round(min(col("norm")), 4).as("min_norm"),
         round(max(col("norm")), 4).as("max_norm"))
       .orderBy("label")
@@ -325,16 +332,17 @@ object VectorOps {
     val twins = base.filter(col("vec_id") < 25)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
     // Exact-dup collapse before banding, same as the document paths
-    // (NearDupOps.withRepIds): identical vectors share every band key,
+    // (NearDupOps.dupMembersOf): identical vectors share every band key,
     // so a large identical cluster would saturate all its bands and the
     // in-band guard would truncate the pair listing. Collapsed to one
     // representative per distinct vector, banding stays subquadratic
     // and the member pairs are reconstructed exactly below. md5 of the
     // element-wise decimal rendering — a 64-bit hash collision would
     // silently merge distinct vectors into a fake sim-1 pair.
-    // Same groupBy + join shape as NearDupOps.dupMembers/repDocs:
-    // only (digest, id) pairs ride the collapse shuffle, and AQE
-    // broadcasts the rep-id set so the vectors stay put.
+    // The collapse IS NearDupOps.dupMembersOf (one definition, id
+    // column renamed): only (digest, id) pairs ride the collapse
+    // shuffle, and AQE broadcasts the rep-id set so the vectors stay
+    // put.
     val keyed = base.unionByName(twins)
       .withColumn("digest",
         md5(concat_ws(",", col("embedding").cast("array<string>"))))
@@ -342,14 +350,10 @@ object VectorOps {
     // collapsedDups pattern): the frame is proportional to the dup
     // rate, every expansion branch references it, and without the
     // checkpoint each union branch would re-run the digest shuffle.
-    val dups = graft.Materialize.stable(keyed.select("vec_id", "digest")
-      .groupBy("digest")
-      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .select("digest", "rep_id")
-      .join(keyed.select("vec_id", "digest"), Seq("digest"))
-      .filter(col("vec_id") =!= col("rep_id"))
-      .select("rep_id", "vec_id"))
+    val dups = graft.Materialize.stable(
+      NearDupOps.dupMembersOf(
+          keyed.select(col("vec_id").as("doc_id"), col("digest")))
+        .select(col("rep_id"), col("doc_id").as("vec_id")))
     val reps = keyed
       .join(dups.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"))
@@ -1367,7 +1371,7 @@ object VectorOps {
       """WITH e AS (SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |    CAST(embedding AS DOUBLE[]))) AS norm FROM embeddings)
         |SELECT label, COUNT(*) AS n_vectors,
-        |  ROUND(SUM(norm), 4) AS sum_norm,
+        |  ROUND(CAST(SUM(CAST(ROUND(norm, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_norm,
         |  ROUND(MIN(norm), 4) AS min_norm,
         |  ROUND(MAX(norm), 4) AS max_norm
         |FROM e GROUP BY label ORDER BY label""".stripMargin)

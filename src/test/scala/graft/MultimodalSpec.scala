@@ -57,11 +57,22 @@ class MultimodalSpec extends AnyFunSuite {
     // case would silently depend on which row head() returns.
     val png = MultimodalOps.mediaDataset(spark, sfDir)
       .filter(r => r.doc_id % 4 == 1).head().payload
+    // mp4 whose mvhd box (size 8) ends EXACTLY at the buffer: every
+    // size guard passes, so a version-byte read before the c+28 bounds
+    // check indexes one past the array — the regression that violated
+    // the loud-by-value contract with an ArrayIndexOutOfBounds.
+    def be(i: Int) = Array[Byte](((i >> 24) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    val truncatedMvhd = be(8) ++ "ftyp".getBytes("US-ASCII") ++
+      be(24) ++ "moov".getBytes("US-ASCII") ++
+      be(8) ++ "free".getBytes("US-ASCII") ++
+      be(8) ++ "mvhd".getBytes("US-ASCII")
     val cases = Seq[Array[Byte]](
       null, Array.emptyByteArray, Array.fill(11)(0x41.toByte),
       png.take(9),                         // truncated mid-header
       "GARBAGEGARBAGE".getBytes("UTF-8"),  // wrong magic
-      { val c = png.clone(); c(0) = 0x00; c }) // corrupted magic
+      { val c = png.clone(); c(0) = 0x00; c }, // corrupted magic
+      truncatedMvhd)                       // mvhd ends at the buffer
     cases.foreach(c => assert(!MediaHeaders.parse(c).ok))
   }
 
