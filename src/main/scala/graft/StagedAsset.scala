@@ -78,8 +78,18 @@ object StagedAsset {
       // converges: the loser's re-publish below is byte-equivalent.
       val trash =
         new org.apache.hadoop.fs.Path(s"$out.trash-${java.util.UUID.randomUUID}")
-      if (!fs.exists(marker) && fs.rename(outPath, trash))
-        fs.delete(trash, true)
+      if (!fs.exists(marker)) {
+        if (fs.rename(outPath, trash)) fs.delete(trash, true)
+        // Rename-aside refused (open handles, an FS that won't rename a
+        // busy dir): fall back to in-place delete. Without it the
+        // marker-less leftover survives, the publish rename below lands
+        // our tmp NESTED inside it, the lostNested probe deletes the
+        // only complete staging copy, and we throw "no complete asset
+        // exists" despite having just built one. In-place delete loses
+        // the atomic-visibility nicety but only for a dir that is
+        // already unreadable garbage (no marker ⇒ no reader trusts it).
+        else if (!fs.exists(marker)) fs.delete(outPath, true)
+      }
     }
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val renamed = fs.rename(tmpPath, outPath)

@@ -145,6 +145,14 @@ object VectorOps {
         // sequential order could round to different 4th decimals —
         // the non-associative-float-sum class this package hardens
         // everywhere else. min/max are order-free and stay raw.
+        // Residual tie surface: the per-row round(norm, 6) itself must
+        // agree per engine — Spark rounds HALF_UP on the shortest
+        // decimal rendering (BigDecimal.valueOf) while DuckDB rounds
+        // the scaled binary double, so a norm landing exactly on a
+        // x.0000005 representation boundary could round apart. That set
+        // is measure-zero on sqrt-of-dot-product doubles (vs the
+        // ORDER-dependent surface this replaces, which any partial-agg
+        // schedule could hit), and no fixture row sits on one.
         round(sum(round(col("norm"), 6).cast("decimal(28,6)"))
           .cast("double"), 4).as("sum_norm"),
         round(min(col("norm")), 4).as("min_norm"),

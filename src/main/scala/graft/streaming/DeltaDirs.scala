@@ -34,7 +34,19 @@ object DeltaDirs {
         fs.listStatus(p).toSeq.map(_.getPath)
           .filter(q => q.getName.matches("b\\d+") &&
             q.getName.drop(1).toLong < batchId)
-          .map(q => if (sub.isEmpty) q.toString else s"$q/$sub")
+          .map(q => if (sub.isEmpty) q else new org.apache.hadoop.fs.Path(q, sub))
+          // A maintainer that crashed BETWEEN its two segment writes
+          // (e.g. semDedupMaintain lands b<N>/edges but not b<N>/vecs)
+          // leaves a half-written batch; an unbounded probe-time read
+          // (batchId = MaxValue, which no replay ever heals) would then
+          // throw path-does-not-exist forever. Skip missing sub paths
+          // so the half batch degrades to missing rows — exactly what a
+          // replay of that batch will overwrite — instead of an
+          // AnalysisException. exists() per landed batch is one
+          // namenode RTT each; batch dirs are compacted/bounded, and
+          // correctness of a crash window beats the listing cost.
+          .filter(q => sub.isEmpty || fs.exists(q))
+          .map(_.toString)
       else Nil
     if (dirs.nonEmpty) s.read.schema(schema).parquet(dirs: _*)
     else s.createDataFrame(

@@ -232,7 +232,16 @@ object StreamOps {
   }
 
   /** Buffered (ts-millis, event_id, value) events per user carried
-    * across micro-batches (event_id rides along as the tie-break). */
+    * across micro-batches (event_id rides along as the tie-break).
+    *
+    * STATE-SCHEMA BREAK (round 9): the encoding changed from
+    * List[(Long, Double)] to List[(Long, Long, Double)] when event_id
+    * joined as the tie-break. flatMapGroupsWithState state is decoded
+    * with THIS encoder — a streaming query resuming from a checkpoint
+    * written by the pre-change build will fail to decode its state.
+    * Upgrading across that commit requires a fresh checkpoint dir
+    * (drain the old query, start clean); there is no in-place state
+    * migration for case-class encoders. */
   case class SessionBuffer(events: List[(Long, Long, Double)])
 
   /** Streaming per-user sessionizer with genuine cross-batch state.

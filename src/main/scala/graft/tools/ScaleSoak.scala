@@ -226,6 +226,17 @@ object ScaleSoak {
       graft.llm.NearDupOps.simhash(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    // ExactSubstr (q85) — the steepest inherent curve in the catalog:
+    // the sampled-gram digest shuffle is O(corpus bytes / 16) by
+    // construction, so its soak slope must stay ~linear per decade and
+    // the boilerplate cap (≤50 reps/gram) must keep the digest
+    // self-join sparse EVEN on dup-dense corpora (run this in `rep` /
+    // `skew` modes as well as synthetic — exact clones collapse before
+    // gram sampling, so replica density must NOT appear in the slope).
+    time("substring_overlap") {
+      graft.llm.NearDupOps.substringOverlap(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("dup_clusters") {
       graft.llm.NearDupOps.dupClusters(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-maintainer soak: drive a maintainer with a REAL rate
+  * source for thousands of micro-batches and watch the two claims the
+  * file-source specs can't see at their 3-batch scale:
+  *
+  *   1. **storage-memory flat** — every maintainer runs inside
+  *      [[graft.Materialize.withTransient]], whose contract is that a
+  *      batch's localCheckpoint blocks are released when the batch
+  *      returns. A leak of even one block per batch is invisible over 3
+  *      batches and fatal over a week of continuous ingest; over
+  *      thousands of batches it shows up as a monotone persistent-RDD /
+  *      storage-bytes ramp in the soak lines.
+  *   2. **per-batch work O(batch), creep bounded by compaction cadence**
+  *      — the corpus side unions delta segments from all earlier
+  *      batches, so segment COUNT (not corpus size) adds a listing +
+  *      planning cost per batch that grows with batch index. The soak
+  *      prints the trigger-duration trend so the creep is a measured
+  *      number against which the offline-rebuild/compaction cadence
+  *      (the BandIndex contract) can be sized, not a guess.
+  *
+  * Usage: runMain graft.tools.StreamSoak [digest|band] [nBatches]
+  *   [rowsPerSecond] [reportEvery]
+  *
+  * The stream maps rate-source values onto a bounded doc-id pool
+  * (default 200k ids 10M-offset from the fixture space), so re-arrivals
+  * become exact dups of earlier arrivals — the realistic steady state of
+  * a crawl stream, and the path (digest join) that must stay cheap
+  * forever. Text is a pure hash of doc_id (the ScaleSoak recipe), which
+  * makes the band maintainer's document store a VIRTUAL frame: a range
+  * + the same text expression serves the candidate point-lookups without
+  * any persisted corpus.
+  */
+object StreamSoak {
+
+  /** Deterministic synthetic text from an id column (ScaleSoak's
+    * vocabulary recipe): 40-79 words drawn by xxhash from w0..w999. */
+  def synthText(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val vocabArr = array((0 until 1000).map(i => lit(s"w$i")): _*)
+    concat_ws(" ", transform(
+      sequence(lit(1), lit(40) + pmod(xxhash64(id), lit(40)).cast("int")),
+      i => element_at(vocabArr,
+        (pmod(xxhash64(id, i), lit(1000)) + 1).cast("int"))))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("digest")
+    val targetBatches = args.lift(1).map(_.toInt).getOrElse(2000)
+    val rowsPerSecond = args.lift(2).map(_.toInt).getOrElse(2000)
+    val reportEvery = args.lift(3).map(_.toInt).getOrElse(100)
+    val poolSize = 200000L
+    val idOffset = 10000000L
+
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("streamsoak").toString
+    val delta = s"$root/delta"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+
+    val arrivals = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select((lit(idOffset) + pmod(col("value"), lit(poolSize))).as("doc_id"))
+      .withColumn("text", synthText(col("doc_id")))
+
+    val fn: (DataFrame, Long) => Unit = which match {
+      case "digest" =>
+        // Base side: the fixture corpus's exact-dup digest directory
+        // (one row per distinct text, min-id rep) — what a staged
+        // BandIndex digests table carries.
+        val base = spark.read.parquet(s"$sfDir/documents.parquet")
+          .groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("doc_id")).as("rep_id"))
+        graft.streaming.StreamingIndexMaintenance.dedupMaintain(base, delta, out) _
+      case "band" =>
+        val idx = graft.llm.BandIndex.ensure(spark, sfDir,
+          graft.llm.BandIndex.Boundary.all)
+        // Virtual document store: fixture docs ∪ the full synthetic id
+        // pool with the SAME text function the stream uses — candidate
+        // old-doc lookups rematerialize text on demand, nothing stored.
+        val store = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .unionByName(spark.range(idOffset, idOffset + poolSize)
+            .select(col("id").as("doc_id"), synthText(col("id")).as("text")))
+        graft.streaming.StreamingBandMaintenance.bandMaintain(
+          idx, store, delta, out) _
+      case other => sys.error(s"unknown maintainer: $other (digest|band)")
+    }
+
+    def loadavg: String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ").head
+      catch { case _: Throwable => "?" }
+    def storage: (Int, Long, Long) = {
+      val sc = spark.sparkContext
+      val infos = sc.getRDDStorageInfo
+      (sc.getPersistentRDDs.size, infos.map(_.memSize).sum,
+        infos.map(_.diskSize).sum)
+    }
+
+    val t0 = System.nanoTime()
+    val q = arrivals.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(fn)
+      .start()
+    var nextReport = reportEvery.toLong
+    var lastBatch = -1L
+    try {
+      while (q.isActive && lastBatch < targetBatches) {
+        Thread.sleep(500)
+        val p = q.lastProgress
+        if (p != null && p.batchId > lastBatch) {
+          lastBatch = p.batchId
+          if (lastBatch >= nextReport) {
+            nextReport += reportEvery
+            val (nRdd, mem, disk) = storage
+            val trig = Option(p.durationMs.get("triggerExecution"))
+              .map(_.toString).getOrElse("?")
+            println(f"[stream-soak] $which batch=$lastBatch%5d " +
+              f"rows=${p.numInputRows}%6d trigger_ms=$trig%-6s " +
+              f"persistent_rdds=$nRdd%3d storage_mem=${mem / 1024 / 1024}%5dMB " +
+              f"storage_disk=${disk / 1024 / 1024}%5dMB load=$loadavg " +
+              f"elapsed=${(System.nanoTime() - t0) / 1e9}%.0fs")
+          }
+        }
+        // The query only errors between our polls; surface it.
+        q.exception.foreach(e => throw e)
+      }
+    } finally q.stop()
+    val (nRdd, mem, disk) = storage
+    println(f"[stream-soak] DONE $which batches=$lastBatch " +
+      f"persistent_rdds=$nRdd storage_mem=${mem / 1024 / 1024}MB " +
+      f"storage_disk=${disk / 1024 / 1024}MB " +
+      f"total=${(System.nanoTime() - t0) / 1e9}%.0fs dir=$root")
+    spark.stop()
+  }
+}

@@ -66,11 +66,11 @@ class AdvancedSpec extends AnyFunSuite {
     assert(islands == stateful)
   }
 
-  test("approx profile tracks exact distincts within HLL error bounds") {
+  test("approx profile: every accuracy-contract flag holds and n_rows matches exact") {
     val exact = AdvancedQueries.distinctProfile(spark, sfDir).head
     val approx = AdvancedQueries.approxProfile(spark, sfDir).head
-    def rel(a: Long, b: Long) = math.abs(a - b).toDouble / b
-    assert(rel(approx.getAs[Long]("n_orders_approx"), exact.getAs[Long]("n_orders")) < 0.1)
-    assert(rel(approx.getAs[Long]("n_parts_approx"), exact.getAs[Long]("n_parts")) < 0.1)
+    assert(approx.getAs[Long]("n_rows") == exact.getAs[Long]("n_rows"))
+    for (flag <- Seq("orders_ok", "parts_ok", "suppliers_ok", "p50_ok", "p99_ok"))
+      assert(approx.getAs[Long](flag) == 1L, s"accuracy flag $flag failed")
   }
 }

@@ -23,9 +23,12 @@ class ContractSpec extends AnyFunSuite {
     // q46/q57 left in round 9: their catalog forms are now the
     // planted-recall probes (annPlantedRecall/ivfPlantedRecall), whose
     // top-1 output is provably the brute-force exact answer and hence
-    // fully DuckDB-oracle-checked.
-    val rowsOnly = Set(
-      "q27_approx_profile")     // HLL sketch (engine-specific registers)
+    // fully DuckDB-oracle-checked; q27 left in round 10: the catalog
+    // form now emits the engine-independent ACCURACY CONTRACT
+    // (|approx − exact| ≤ tol·exact as 0/1 flags, each engine judging
+    // its own sketch) instead of engine-specific HLL registers.
+    // The list is now EMPTY — every catalog query is hash-oracled.
+    val rowsOnly = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly,
       s"oracle coverage drift: unexpected rows-only=${(missing -- rowsOnly).toSeq.sorted} " +
