@@ -330,16 +330,25 @@ object GraphOps {
       .select(col("p"), lit(1000000L).as("a"))
     var hub: DataFrame = null
     for (_ <- 1 to 3) {
-      val hRaw = itByP.join(auth, Seq("p")).groupBy("o").agg(sum(col("a")).as("h"))
+      // Materialize the RAW per-half-step sums, not the normalized
+      // frames: the max and the normalize both consume the sum frame,
+      // so checkpointing after the join+agg runs the incidence join
+      // ONCE per half-step where stabilizing the normalized frame ran
+      // it twice (once under the max agg's plan, once under the
+      // normalize's) — measured 3.97 s → ~2.5 s at sf0.1. The
+      // normalize itself stays a lazy projection over the cached sums
+      // (+ a broadcast 1-row max), so the next half-step's join input
+      // is still lineage-bounded.
+      val hRaw = graft.Materialize.stable(
+        itByP.join(auth, Seq("p")).groupBy("o").agg(sum(col("a")).as("h")))
       val hMax = hRaw.agg(max(col("h")).as("hmax"))
-      hub = graft.Materialize.stable(
-        hRaw.crossJoin(broadcast(hMax))
-          .select(col("o"), expr("(h * 1000000) div hmax").as("h")))
-      val aRaw = itByO.join(hub, Seq("o")).groupBy("p").agg(sum(col("h")).as("a"))
+      hub = hRaw.crossJoin(broadcast(hMax))
+        .select(col("o"), expr("(h * 1000000) div hmax").as("h"))
+      val aRaw = graft.Materialize.stable(
+        itByO.join(hub, Seq("o")).groupBy("p").agg(sum(col("h")).as("a")))
       val aMax = aRaw.agg(max(col("a")).as("amax"))
-      auth = graft.Materialize.stable(
-        aRaw.crossJoin(broadcast(aMax))
-          .select(col("p"), expr("(a * 1000000) div amax").as("a")))
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("p"), expr("(a * 1000000) div amax").as("a"))
     }
     val deg = itByP.groupBy("p").agg(count(lit(1)).as("n_orders"))
     auth.join(deg, Seq("p"))
