@@ -31,6 +31,7 @@ object SparkEntry {
     llm.CorpusOps.queries ++
     llm.CorpusAudit.queries ++
     llm.SamplingOps.queries ++
+    llm.SelectionOps.queries ++
     llm.MultimodalOps.queries ++
     sources.Interchange.queries ++
     streaming.StreamOps.queries
@@ -55,6 +56,7 @@ object SparkEntry {
     llm.CorpusOps.oracleSql ++
     llm.CorpusAudit.oracleSql ++
     llm.SamplingOps.oracleSql ++
+    llm.SelectionOps.oracleSql ++
     llm.MultimodalOps.oracleSql ++
     sources.Interchange.oracleSql ++
     streaming.StreamOps.oracleSql

@@ -1,0 +1,215 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.HashKernels.shingle_array
+
+/** Target-distribution data selection (DSIR-style importance weighting,
+  * Xie et al. 2023, "Data Selection for Language Models via Importance
+  * Resampling"): score each candidate document by how much its hashed
+  * n-gram profile looks like a curated TARGET corpus rather than the
+  * raw pool, then select the candidates whose likelihood ratio favors
+  * the target. This is the data-SELECTION complement of the dedup /
+  * quality / decontamination families: those remove bad rows, this
+  * ranks the survivors against the distribution you actually want to
+  * train on.
+  *
+  * Feature model (the paper's hashed n-gram bag, binary per-doc
+  * variant): a doc's features are its DISTINCT word unigrams and
+  * bigrams, each hashed into one of B = 65536 buckets. Bucket unigram
+  * and bigram models are fit with add-1 smoothing on the target side
+  * (`ct`, total `Nt`) and the candidate side (`cr`, total `Nr`); a
+  * doc's weight is the summed per-bucket log likelihood ratio
+  *
+  *   w(d) = Σ_{g ∈ grams(d)}  ln p_t(b(g)) − ln p_r(b(g))
+  *        = Σ  ln(ct+1) − ln(cr+1) + ln(Nr+B) − ln(Nt+B)
+  *
+  * Engine-portability discipline (the q95/q152 lessons, taken one step
+  * further): the four-ln per-bucket term is rounded ONCE to fixed point
+  * — `floor(x·10⁶ + 0.5)` is the midpoint rule both engines agree on —
+  * and everything after that is exact BIGINT arithmetic: per-doc
+  * weights are integer sums (order-free, unlike the sorted-float-sum
+  * dance q95 needs), the q180 selection test `weight > 0` is an exact
+  * integer comparison, and the report rates are integer divisions. The
+  * only cross-engine tie surface is a bucket's ln landing within one
+  * ulp of a .5 fixed-point boundary — ≤ B = 65536 chances, the same
+  * accepted measure-zero class as the round(sim,4) cosine oracles.
+  *
+  * Hashing is md5-prefix (`substring(md5(gram),1,4)` → 16-bit bucket
+  * key as fixed-width hex), the repo's standard DuckDB-reproducible
+  * hash; the per-row tokenize/shingle path is the fused
+  * [[graft.functions.ShingleArray]] kernel per the round-4
+  * interpreted-lambda rule.
+  *
+  * Scale shape (100 TB): the bucket-stat passes are corpus-scale
+  * aggregations keyed on a 4-char digest with map-side combine — at
+  * most B rows per task leave any partition, and the published stat
+  * frame is ≤ B = 65536 rows, broadcast to the scoring pass. Scoring
+  * is explode → broadcast-join → per-doc partial sum: a doc's grams
+  * never leave its input partition before the combine, so the only
+  * corpus-scale shuffle carries one pre-aggregated row per doc. The
+  * q180 selector is threshold-based (likelihood ratio > 1), NOT a
+  * global top-fraction rank — a corpus-sized sort-window is exactly
+  * the q110/q115 scale-killer class PlanAuditSpec bans; when a fixed
+  * budget k is wanted, q179's orderBy+limit (TakeOrderedAndProject)
+  * is the scale-safe form.
+  *
+  * Reference scope note: the reference engine has no selection surface
+  * (its corpus is game telemetry, `/root/reference/src/
+  * bronze_generator.py`); this family is part of the mandated
+  * beyond-parity training-data-pipeline surface.
+  */
+object SelectionOps {
+
+  /** The curated target domain: four sources play the role of the
+    * high-quality corpus the selection should steer toward. */
+  val targetSources: Seq[String] = Seq("src1", "src2", "src3", "src4")
+
+  private val B = 65536
+
+  /** (doc_id, source, bucket) — one row per distinct unigram/bigram
+    * per doc, bucketed by md5 prefix. Unigrams and bigrams cannot
+    * collide pre-hash (bigrams contain a space, split tokens cannot),
+    * so the concat is a disjoint union of the two distinct sets. */
+  private def gramBuckets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(concat(shingle_array(col("text"), 1),
+          shingle_array(col("text"), 2))).as("gram"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("gram")), 1, 4).as("bucket"))
+
+  private def isTarget = col("source").isin(targetSources: _*)
+
+  /** Per-bucket fixed-point log likelihood ratio (micro-nats). Both
+    * sides' counts AND their totals come from ONE explode of the
+    * corpus: a single conditional aggregation keyed on the bucket
+    * digest yields (ct, cr) per bucket, and the totals (Nt, Nr) are a
+    * second aggregation over that ≤ B-row frame — not another corpus
+    * pass. (The naive per-side count/total formulation scans and
+    * shingles the corpus four times; at 100 TB the shingle explode IS
+    * the cost, so stats must be fit in exactly one pass.) */
+  private def bucketStats(s: SparkSession, dir: String): DataFrame = {
+    // Materialized so the totals aggregation below reads the ≤ B-row
+    // count frame instead of re-running the corpus explode (lazily the
+    // perBucket subtree would appear twice in the plan — a third
+    // corpus pass).
+    val perBucket = graft.Materialize.stable(
+      gramBuckets(t(s, dir, "documents"))
+        .groupBy("bucket")
+        .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+          sum(when(!isTarget, 1L).otherwise(0L)).as("cr")))
+    val totals = perBucket
+      .agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      .select(coalesce(col("nt"), lit(0L)).as("nt"),
+        coalesce(col("nr"), lit(0L)).as("nr"))
+    perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor((log(col("ct").cast("double") + 1.0)
+          - log(col("cr").cast("double") + 1.0)
+          + log(col("nr").cast("double") + B.toDouble)
+          - log(col("nt").cast("double") + B.toDouble)) * 1e6 + 0.5)
+          .cast("long").as("microlog"))
+  }
+
+  /** Per-candidate-doc importance weight: exact BIGINT sum of the
+    * broadcast per-bucket micro-nat ratios over the doc's grams. */
+  private def candidateWeights(s: SparkSession, dir: String): DataFrame =
+    gramBuckets(t(s, dir, "documents")).filter(!isTarget)
+      .join(broadcast(bucketStats(s, dir)), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("microlog")).as("weight_micro"))
+
+  /** q179 — the k candidate docs whose hashed-ngram profile is most
+    * target-like (fixed-budget selection; TakeOrderedAndProject). */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    candidateWeights(s, dir)
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("weight_micro"))
+
+  /** q180 — threshold selection report: a candidate is selected iff its
+    * likelihood ratio favors the target (weight > 0 micro-nats; docs
+    * with no grams are unselected). Per-source counts, the selection
+    * rate in exact basis points, and the selected mass — all BIGINT. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    // Both sides aggregate to ≤ |sources| rows BEFORE the join — a
+    // corpus-scale doc_id join (documents ⋈ weights) would shuffle the
+    // whole candidate pool just to count it. Docs with no grams exist
+    // only in the denominator side, which is why the join is on the
+    // tiny per-source frames, not per doc.
+    val selPerSrc = candidateWeights(s, dir)
+      .filter(col("weight_micro") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("weight_micro")).as("sel_weight_micro"))
+    t(s, dir, "documents").filter(!isTarget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(selPerSrc), Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        expr("(coalesce(n_selected, 0L) * 10000) div n_docs")
+          .as("sel_rate_bp"),
+        coalesce(col("sel_weight_micro"), lit(0L)).as("sel_weight_micro"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_dsir_weights" -> dsirWeights,
+    "q180_dsir_select" -> dsirSelect)
+
+  private val gramsSql =
+    """tkv AS (SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id, source,
+      |    unnest(list_concat(list_distinct(tk),
+      |      list_distinct(CASE WHEN len(tk) < 2 THEN []
+      |        ELSE list_transform(generate_series(1, len(tk) - 1),
+      |             i -> tk[i] || ' ' || tk[i+1]) END))) AS gram
+      |  FROM tkv),
+      |gb AS (SELECT doc_id, source, substring(md5(gram), 1, 4) AS bucket,
+      |    source IN ('src1','src2','src3','src4') AS is_t
+      |  FROM g),
+      |ctq AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+      |        FROM gb WHERE is_t GROUP BY bucket),
+      |crq AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr
+      |        FROM gb WHERE NOT is_t GROUP BY bucket),
+      |ntq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM gb WHERE is_t),
+      |nrq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM gb WHERE NOT is_t),
+      |stats AS (SELECT bucket,
+      |    CAST(floor((ln(CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0)
+      |      - ln(CAST(COALESCE(cr, 0) AS DOUBLE) + 1.0)
+      |      + ln(CAST(nr AS DOUBLE) + 65536.0)
+      |      - ln(CAST(nt AS DOUBLE) + 65536.0)) * 1e6 + 0.5) AS BIGINT)
+      |      AS microlog
+      |  FROM ctq FULL OUTER JOIN crq USING (bucket)
+      |  CROSS JOIN ntq CROSS JOIN nrq),
+      |w AS (SELECT doc_id, ANY_VALUE(source) AS source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(SUM(microlog) AS BIGINT) AS weight_micro
+      |  FROM gb JOIN stats USING (bucket)
+      |  WHERE NOT is_t GROUP BY doc_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q179_dsir_weights" ->
+      s"""WITH $gramsSql
+         |SELECT doc_id, source, n_grams, weight_micro
+         |FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100""".stripMargin,
+    "q180_dsir_select" ->
+      s"""WITH $gramsSql
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(CASE WHEN w.weight_micro > 0 THEN 1 END) AS BIGINT)
+         |    AS n_selected,
+         |  COUNT(CASE WHEN w.weight_micro > 0 THEN 1 END) * 10000
+         |    // COUNT(*) AS sel_rate_bp,
+         |  CAST(COALESCE(SUM(CASE WHEN w.weight_micro > 0
+         |    THEN w.weight_micro END), 0) AS BIGINT) AS sel_weight_micro
+         |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+         |WHERE d.source NOT IN ('src1','src2','src3','src4')
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)
+}

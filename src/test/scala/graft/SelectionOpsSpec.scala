@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.SelectionOps
+
+/** DSIR-style selection: value-level correctness is the DuckDB gate
+  * (q179/q180 carry full hash oracles); these pin the structural
+  * properties the gate can't see — exact-integer determinism under
+  * repartitioning, an independent recomputation of the weight math
+  * around the fused kernel, report self-consistency, and the
+  * one-side-empty corpus. */
+class SelectionOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def copyDocs(transform: org.apache.spark.sql.DataFrame
+      => org.apache.spark.sql.DataFrame): String = {
+    val d = java.nio.file.Files.createTempDirectory("dsir").toString
+    transform(Tables.t(spark, sfDir, "documents"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("dsir weights: exact-integer results are repartition-invariant") {
+    val base = SelectionOps.dsirWeights(spark, sfDir).collect().toSeq
+    val d = copyDocs(_.repartition(7))
+    val re = SelectionOps.dsirWeights(spark, d).collect().toSeq
+    assert(re == base)
+  }
+
+  test("dsir weights: independent recomputation around the fused kernel") {
+    // Bucket stats recomputed with built-in split/array ops (the
+    // interpreted path the kernel replaced) and the weight summed on
+    // the driver for a handful of docs — a full differential of the
+    // explode→broadcast-join→sum pipeline.
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        filter(split(col("text"), " "), w => w =!= "").as("tk"))
+    val bigrams = when(size(col("tk")) < 2, array().cast("array<string>"))
+      .otherwise(expr("transform(sequence(1, size(tk)-1), " +
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1)))"))
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(concat(array_distinct(col("tk")),
+        array_distinct(bigrams))).as("gram"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("gram")), 1, 4).as("bucket"))
+    val isT = col("source").isin(SelectionOps.targetSources: _*)
+    val stats = grams.groupBy("bucket")
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+        sum(when(!isT, 1L).otherwise(0L)).as("cr"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val nt = stats.valuesIterator.map(_._1).sum
+    val nr = stats.valuesIterator.map(_._2).sum
+    def microlog(b: String): Long = {
+      val (ct, cr) = stats(b)
+      math.floor((math.log(ct + 1.0) - math.log(cr + 1.0)
+        + math.log(nr + 65536.0) - math.log(nt + 65536.0)) * 1e6 + 0.5).toLong
+    }
+    val got = SelectionOps.dsirWeights(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val bucketsByDoc = grams.filter(!isT)
+      .filter(col("doc_id").isin(got.keys.toSeq.take(5).map(Long.box): _*))
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    assert(bucketsByDoc.nonEmpty)
+    bucketsByDoc.groupBy(_._1).foreach { case (docId, bs) =>
+      val want = (bs.length.toLong, bs.map(b => microlog(b._2)).sum)
+      assert(got(docId) == want, s"doc $docId: got ${got(docId)} want $want")
+    }
+  }
+
+  test("dsir select: report is self-consistent and target-free") {
+    val rows = SelectionOps.dsirSelect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nDocs, nSel, bp, mass) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(!SelectionOps.targetSources.contains(src))
+      assert(nSel <= nDocs)
+      assert(bp == nSel * 10000 / nDocs)
+      assert((nSel == 0) == (mass == 0L))
+      if (nSel > 0) assert(mass > 0L, s"$src: selected mass must be positive")
+    }
+    val top = SelectionOps.dsirWeights(spark, sfDir).collect()
+    assert(top.forall(r => !SelectionOps.targetSources.contains(r.getString(1))))
+    // top-100 is weight-sorted with the doc_id tiebreak
+    val keys = top.map(r => (-r.getLong(3), r.getLong(0))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("dsir: an all-target corpus yields empty selections, no errors") {
+    val d = copyDocs(_.withColumn("source", lit("src1")))
+    assert(SelectionOps.dsirWeights(spark, d).collect().isEmpty)
+    assert(SelectionOps.dsirSelect(spark, d).collect().isEmpty)
+  }
+}
