@@ -158,9 +158,63 @@ object SelectionOps {
       .orderBy("source")
   }
 
+  /** q181 — temperature-based multilingual mixture planning (the
+    * exponentiated-share rebalancing of Conneau & Lample 2019 §3.1 /
+    * UniMax's motivating baseline, Chung et al. 2023): sampling weight
+    * ∝ (token share)^α with α = 0.3, which up-weights low-resource
+    * strata relative to proportional sampling; then, under a fixed
+    * 10⁹-token draw budget, the per-stratum epoch count — the number
+    * that tells you which languages the budget forces into repetition
+    * (the data-constrained regime of Muennighoff et al. 2023).
+    *
+    * This PLANS the mixture q63's `hashSample` executes: q63 applies
+    * fixed per-stratum keep-rates; q181 derives rates from the corpus.
+    *
+    * Numeric discipline: one `pow(share, 0.3)` per stratum rounded
+    * once to micro fixed point (midpoint rule; ≤ |langs| tie chances),
+    * then rates, drawn tokens, and milli-epochs are exact BIGINT
+    * products and divisions of those integers. Plan: one partial-agg
+    * pass over documents (per-doc token count → per-lang sums), then
+    * arithmetic over a |langs|-row frame against a broadcast 1-row
+    * totals frame. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    // One corpus pass: the per-lang sums are materialized (≤ |langs|
+    // rows) so the totals / weight-sum aggregates below reread them
+    // instead of re-planning the corpus aggregation. All-empty-text
+    // strata (tot_tokens = 0) short-circuit to zero rates rather than
+    // ANSI div-by-zero / NaN-cast errors.
+    val perLang = graft.Materialize.stable(
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(graft.functions.Tokenize.tokens(col("text"))).cast("long")
+            .as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens")))
+    val totals = perLang.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val weighted = perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("CASE WHEN tot_tokens > 0 THEN (n_tokens * 10000) div tot_tokens "
+          + "ELSE 0L END").as("share_bp"),
+        when(col("tot_tokens") > 0,
+          floor(pow(col("n_tokens").cast("double")
+            / col("tot_tokens").cast("double"), 0.3) * 1e6 + 0.5)
+            .cast("long")).otherwise(lit(0L)).as("w_micro"))
+    val wSum = weighted.agg(sum(col("w_micro")).as("w_sum"))
+    weighted.crossJoin(broadcast(wSum))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("share_bp"),
+        expr("CASE WHEN w_sum > 0 THEN (w_micro * 10000) div w_sum "
+          + "ELSE 0L END").as("rate_bp"))
+      .withColumn("drawn_tokens", expr("rate_bp * 100000"))
+      .withColumn("epochs_milli",
+        expr("CASE WHEN n_tokens > 0 THEN (drawn_tokens * 1000) div n_tokens "
+          + "ELSE 0L END"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_dsir_weights" -> dsirWeights,
-    "q180_dsir_select" -> dsirSelect)
+    "q180_dsir_select" -> dsirSelect,
+    "q181_temperature_mix" -> temperatureMix)
 
   private val gramsSql =
     """tkv AS (SELECT doc_id, source,
@@ -211,5 +265,29 @@ object SelectionOps {
          |    THEN w.weight_micro END), 0) AS BIGINT) AS sel_weight_micro
          |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
          |WHERE d.source NOT IN ('src1','src2','src3','src4')
-         |GROUP BY d.source ORDER BY d.source""".stripMargin)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q181_temperature_mix" ->
+      """WITH pl AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM pl),
+        |wt AS (SELECT lang, n_docs, n_tokens,
+        |    CASE WHEN tot_tokens > 0 THEN (n_tokens * 10000) // tot_tokens
+        |      ELSE 0 END AS share_bp,
+        |    CASE WHEN tot_tokens > 0 THEN CAST(floor(
+        |      pow(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 0.3)
+        |        * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS w_micro
+        |  FROM pl CROSS JOIN tot),
+        |ws AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum FROM wt),
+        |r AS (SELECT lang, n_docs, n_tokens, share_bp,
+        |    CASE WHEN w_sum > 0 THEN (w_micro * 10000) // w_sum
+        |      ELSE 0 END AS rate_bp
+        |  FROM wt CROSS JOIN ws)
+        |SELECT lang, n_docs, n_tokens, share_bp, rate_bp,
+        |  rate_bp * 100000 AS drawn_tokens,
+        |  CASE WHEN n_tokens > 0 THEN (rate_bp * 100000 * 1000) // n_tokens
+        |    ELSE 0 END AS epochs_milli
+        |FROM r ORDER BY lang""".stripMargin)
 }

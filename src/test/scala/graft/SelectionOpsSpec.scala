@@ -88,6 +88,29 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(keys == keys.sorted)
   }
 
+  test("temperature mix: flattens toward uniform, internally consistent") {
+    val rows = SelectionOps.temperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length > 1)
+    // α < 1 strictly flattens: any stratum under the mean share is
+    // up-weighted, any stratum over it is down-weighted.
+    val meanShare = 10000L / rows.length
+    rows.foreach { case (lang, _, _, share, rate, drawn, epochs) =>
+      if (share < meanShare) assert(rate > share, s"$lang must be up-weighted")
+      if (share > meanShare) assert(rate < share, s"$lang must be down-weighted")
+      assert(drawn == rate * 100000)
+      assert(epochs == drawn * 1000 / rows.find(_._1 == lang).get._3)
+    }
+    // integer-division rates sum to ≤ 10000 with bounded truncation loss
+    val rateSum = rows.map(_._5).sum
+    assert(rateSum <= 10000 && rateSum >= 10000 - rows.length)
+    // exact-integer output is repartition-invariant
+    val d = copyDocs(_.repartition(5))
+    assert(SelectionOps.temperatureMix(spark, d).collect().toSeq ==
+      SelectionOps.temperatureMix(spark, sfDir).collect().toSeq)
+  }
+
   test("dsir: an all-target corpus yields empty selections, no errors") {
     val d = copyDocs(_.withColumn("source", lit("src1")))
     assert(SelectionOps.dsirWeights(spark, d).collect().isEmpty)
