@@ -169,6 +169,16 @@ object SelectionOps {
     *
     * This PLANS the mixture q63's `hashSample` executes: q63 applies
     * fixed per-stratum keep-rates; q181 derives rates from the corpus.
+    * Relation to q82 (`CorpusOps.mixtureWeights`): q82 reports the
+    * classic doc-count weights w_s ∝ n_docs^0.5 per SOURCE as rounded
+    * floats; q181 budgets per LANGUAGE on TOKEN shares (epochs are a
+    * token-denominated quantity — doc counts misprice strata whose
+    * documents differ in length), adds the budget/epoch arithmetic
+    * q82 stops short of, and shows the fixed-point discipline that
+    * keeps a general non-sqrt `pow` oracle-stable (q82 pinned α at
+    * 0.5 precisely because sqrt is correctly rounded — rounding the
+    * pow ONCE to an integer then summing integers lifts that
+    * restriction).
     *
     * Numeric discipline: one `pow(share, 0.3)` per stratum rounded
     * once to micro fixed point (midpoint rule; ≤ |langs| tie chances),
