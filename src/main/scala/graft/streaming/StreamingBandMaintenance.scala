@@ -124,7 +124,7 @@ object StreamingBandMaintenance {
     * directory (the frozen corpus side); `corpusDocs` the (doc_id, text)
     * document store for candidate verification. */
   def bandMaintain(baseIdx: String, corpusDocs: DataFrame,
-      deltaDir: String, outDir: String)
+      deltaDir: String, outDir: String, compactEvery: Int = 500)
       (batch: DataFrame, batchId: Long): Unit =
       graft.Materialize.withTransient { stable =>
     val s = batch.sparkSession
@@ -135,15 +135,26 @@ object StreamingBandMaintenance {
     // Null bodies belong to the quarantine ingest path.
     val probe = stable(batch.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), md5(col("text")).as("digest")))
+    // Each delta family is referenced by SEVERAL joins below (dups by
+    // four, bands by three); without materialization every reference
+    // re-scans every accumulated segment file — the measured cause of
+    // the round-10 ~25 rows/s throughput ceiling. One localCheckpoint
+    // per family per batch caps that at one segment read each; the
+    // base-index sides stay plain parquet scans (corpus-scale, columnar
+    // on disk — checkpointing THOSE per batch would cost more than the
+    // rescan).
+    val dDigests = stable(deltaSeg(s, deltaDir, "digests", batchId))
+    val dDups = stable(deltaSeg(s, deltaDir, "dups", batchId))
+    val dBands = stable(deltaSeg(s, deltaDir, "bands", batchId))
     val corpusDigests = s.read.parquet(s"$baseIdx/digests")
       .select("digest", "rep_id", "n_sh")
-      .unionByName(deltaSeg(s, deltaDir, "digests", batchId))
+      .unionByName(dDigests)
     val corpusDups = s.read.parquet(s"$baseIdx/dups")
       .select("rep_id", "doc_id")
-      .unionByName(deltaSeg(s, deltaDir, "dups", batchId))
+      .unionByName(dDups)
     val corpusBands = s.read.parquet(s"$baseIdx/bands")
       .select("band", "doc_id", "band_n", "hub_rank")
-      .unionByName(deltaSeg(s, deltaDir, "bands", batchId))
+      .unionByName(dBands)
 
     // 1. exact path: matched batch docs pair with every member of their
     // group at jaccard 1 (unshingleable groups emit nothing — the
@@ -258,5 +269,13 @@ object StreamingBandMaintenance {
       .withColumn("hub_rank",
         row_number().over(w.orderBy(col("doc_id"))).cast("long"))
       .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/bands")
+    // Fold segments strictly before the in-flight batch; bounds the
+    // per-batch listing + segment-read cost by the cadence
+    // ([[DeltaDirs.compact]]). Per-SEGMENT band stats stay per-segment
+    // rows through the row-preserving fold — the saturation guard's
+    // conservative direction is unchanged.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      DeltaDirs.compact(s, deltaDir,
+        Seq("digests", "dups", "bands").map(x => x -> segSchema(x)), batchId)
   }
 }

@@ -61,8 +61,12 @@ object StreamingIndexMaintenance {
 
   /** The foreachBatch function. `baseDigests` is the staged corpus-side
     * digest table (narrow: digest, rep_id); `deltaDir`/`outDir` are the
-    * growing index side and the flag sink. */
-  def dedupMaintain(baseDigests: DataFrame, deltaDir: String, outDir: String)
+    * growing index side and the flag sink. Every `compactEvery` batches
+    * the accumulated delta segments fold into one compacted dir
+    * ([[DeltaDirs.compact]]) so the per-batch listing cost is bounded
+    * by the cadence, not the stream's age (0 disables). */
+  def dedupMaintain(baseDigests: DataFrame, deltaDir: String, outDir: String,
+      compactEvery: Int = 500)
       (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     // A NULL text is not a document body (the mediaTable rule): its
@@ -101,5 +105,10 @@ object StreamingIndexMaintenance {
       .join(known.select(col("digest")), Seq("digest"), "left_anti")
       .groupBy("digest").agg(min(col("doc_id")).as("rep_id"))
     firstSeen.write.mode("overwrite").parquet(s"$deltaDir/b$batchId")
+    // After this batch's writes land: fold segments STRICTLY BEFORE the
+    // in-flight (uncommitted, possibly-replayed) batch — replay then
+    // reads the same rows through c<W> that it read through b dirs.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      DeltaDirs.compact(s, deltaDir, Seq("" -> digestSchema), batchId)
   }
 }

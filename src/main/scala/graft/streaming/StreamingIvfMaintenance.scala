@@ -46,7 +46,8 @@ object StreamingIvfMaintenance {
   /** The foreachBatch function: nearest-frozen-centroid assignment of
     * the batch, appended as one delta segment. `centroids` is the
     * staged (cell, centroid) table of the published index. */
-  def ivfMaintain(centroids: DataFrame, deltaDir: String)
+  def ivfMaintain(centroids: DataFrame, deltaDir: String,
+      compactEvery: Int = 500)
       (batch: DataFrame, batchId: Long): Unit = {
     import graft.functions.VectorFunctions.dot_product
     val dist = aggregate(
@@ -62,6 +63,11 @@ object StreamingIvfMaintenance {
       .filter(col("rk") === 1)
       .select("vec_id", "cell", "v", "norm")
       .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/lists")
+    // Fold landed segments so probe-time listing stays bounded by the
+    // cadence, not the stream's age ([[DeltaDirs.compact]]).
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      DeltaDirs.compact(batch.sparkSession, deltaDir,
+        Seq("lists" -> listSchema), batchId)
   }
 
   /** Full probe (every vector with vec_id < 5 queries all cells, the

@@ -58,8 +58,12 @@ object StreamingPostingMaintenance {
     DeltaDirs.readSegs(s, deltaDir, sub, segSchema(sub))
 
   /** The foreachBatch function: tokenize the batch, append its posting
-    * slice. Every frame derives from `batch` alone. */
-  def postingMaintain(deltaDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    * slice. Every frame derives from `batch` alone. Every
+    * `compactEvery` batches the accumulated segments fold into one
+    * compacted dir ([[DeltaDirs.compact]]) so probe-time listing cost
+    * is bounded by the cadence, not the stream's age (0 disables). */
+  def postingMaintain(deltaDir: String, compactEvery: Int = 500)
+      (batch: DataFrame, batchId: Long): Unit = {
     val tf = graft.Materialize.stable(
       batch.select(col("doc_id"),
         explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))
@@ -73,6 +77,10 @@ object StreamingPostingMaintenance {
     dl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("tot"))
       .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/stats")
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      DeltaDirs.compact(batch.sparkSession, deltaDir,
+        Seq("postings", "doclen", "df", "stats").map(x => x -> segSchema(x)),
+        batchId)
   }
 
   /** BM25 ranking over base index ∪ streamed delta — q130's staged

@@ -69,7 +69,8 @@ object StreamingSemDedupMaintenance {
     * removed (this maintainer originally took raw vectors and paid a
     * full-corpus norm pass every batch). Callers with only raw
     * embeddings prepare them once via [[prepared]]. */
-  def semDedupMaintain(basePrepared: DataFrame, deltaDir: String)
+  def semDedupMaintain(basePrepared: DataFrame, deltaDir: String,
+      compactEvery: Int = 500)
       (batch: DataFrame, batchId: Long): Unit = {
     import graft.functions.VectorFunctions.dot_product
     val s = batch.sparkSession
@@ -93,6 +94,12 @@ object StreamingSemDedupMaintenance {
       edges.write.mode("overwrite").parquet(s"$deltaDir/b$batchId/edges")
       b.select("label", "vec_id", "v", "norm")
         .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/vecs")
+      // Fold segments strictly before the in-flight batch; bounds the
+      // per-batch listing + union cost by the cadence
+      // ([[DeltaDirs.compact]]).
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        DeltaDirs.compact(s, deltaDir,
+          Seq("vecs", "edges").map(x => x -> segSchema(x)), batchId)
     }
   }
 

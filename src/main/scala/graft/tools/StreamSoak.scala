@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   *      (the BandIndex contract) can be sized, not a guess.
   *
   * Usage: runMain graft.tools.StreamSoak [digest|band] [nBatches]
-  *   [rowsPerSecond] [reportEvery]
+  *   [rowsPerSecond] [reportEvery] [compactEvery]
+  *
+  * `compactEvery` (default 500, 0 = off) is the maintainer's
+  * delta-segment compaction cadence; a run with it on should show the
+  * per-batch trigger time RESETTING at each fold point instead of the
+  * round-10 monotone listing creep.
   *
   * The stream maps rate-source values onto a bounded doc-id pool
   * (default 200k ids 10M-offset from the fixture space), so re-arrivals
@@ -51,6 +56,7 @@ object StreamSoak {
     val targetBatches = args.lift(1).map(_.toInt).getOrElse(2000)
     val rowsPerSecond = args.lift(2).map(_.toInt).getOrElse(2000)
     val reportEvery = args.lift(3).map(_.toInt).getOrElse(100)
+    val compactEvery = args.lift(4).map(_.toInt).getOrElse(500)
     val poolSize = 200000L
     val idOffset = 10000000L
 
@@ -78,7 +84,8 @@ object StreamSoak {
         val base = spark.read.parquet(s"$sfDir/documents.parquet")
           .groupBy(md5(col("text")).as("digest"))
           .agg(min(col("doc_id")).as("rep_id"))
-        graft.streaming.StreamingIndexMaintenance.dedupMaintain(base, delta, out) _
+        graft.streaming.StreamingIndexMaintenance.dedupMaintain(
+          base, delta, out, compactEvery) _
       case "band" =>
         val idx = graft.llm.BandIndex.ensure(spark, sfDir,
           graft.llm.BandIndex.Boundary.all)
@@ -90,7 +97,7 @@ object StreamSoak {
           .unionByName(spark.range(idOffset, idOffset + poolSize)
             .select(col("id").as("doc_id"), synthText(col("id")).as("text")))
         graft.streaming.StreamingBandMaintenance.bandMaintain(
-          idx, store, delta, out) _
+          idx, store, delta, out, compactEvery) _
       case other => sys.error(s"unknown maintainer: $other (digest|band)")
     }
 

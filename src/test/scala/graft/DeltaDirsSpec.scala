@@ -45,4 +45,68 @@ class DeltaDirsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(all == Seq(1L, 2L))
   }
+
+  private def rows(root: String, sub: String, batchId: Long = Long.MaxValue) =
+    DeltaDirs.readSegs(spark, root, sub, schema, batchId)
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  private def dirNames(root: String) =
+    new java.io.File(root).listFiles().map(_.getName).sorted.toSeq
+
+  test("compaction is row-preserving, prunes covered dirs, " +
+      "half-written covered batch still degrades to missing rows") {
+    val root = java.nio.file.Files.createTempDirectory("deltadirs3").toString
+    Seq(10L).toDF("x").write.parquet(s"$root/b0/edges")
+    Seq(11L).toDF("x").write.parquet(s"$root/b0/vecs")
+    // b1 crashed between writes: edges landed, vecs did not.
+    Seq(20L).toDF("x").write.parquet(s"$root/b1/edges")
+    Seq(30L).toDF("x").write.parquet(s"$root/b2/edges")
+    Seq(31L).toDF("x").write.parquet(s"$root/b2/vecs")
+    val subs = Seq("edges" -> schema, "vecs" -> schema)
+    val before = (rows(root, "edges"), rows(root, "vecs"))
+    // fold strictly below batch 2 (the in-flight batch keeps its dir)
+    assert(DeltaDirs.compact(spark, root, subs, 2L))
+    assert(dirNames(root) == Seq("b2", "c1"),
+      "b0/b1 folded into c1; in-flight b2 untouched")
+    assert((rows(root, "edges"), rows(root, "vecs")) == before,
+      "compacted read must equal the uncompacted read row-for-row")
+    // nothing new landed: no new watermark, state unchanged
+    assert(!DeltaDirs.compact(spark, root, subs, 2L))
+    assert(dirNames(root) == Seq("b2", "c1"))
+  }
+
+  test("replay across compaction sees identical rows") {
+    val root = java.nio.file.Files.createTempDirectory("deltadirs4").toString
+    (0L to 4L).foreach(i => Seq(i * 10).toDF("x").write.parquet(s"$root/b$i"))
+    val subs = Seq("" -> schema)
+    // batch 5 is replaying: its strictly-before read, then the
+    // compaction batch 5 performed before the crash, then the re-read.
+    val before = rows(root, "", 5L)
+    assert(DeltaDirs.compact(spark, root, subs, 5L))
+    assert(rows(root, "", 5L) == before)
+    assert(before == Seq(0L, 10L, 20L, 30L, 40L))
+  }
+
+  test("crash windows: markerless fold is invisible; published fold " +
+      "with unpruned inputs never double-counts; next compact prunes") {
+    val root = java.nio.file.Files.createTempDirectory("deltadirs5").toString
+    (0L to 2L).foreach(i => Seq(i).toDF("x").write.parquet(s"$root/b$i"))
+    val subs = Seq("" -> schema)
+    // window 1: fold written but rename never happened (stale tmp) —
+    // and a markerless c dir (non-atomic-FS crash during rename)
+    Seq(99L).toDF("x").write.parquet(s"$root/c1.tmp-deadbeef")
+    Seq(98L).toDF("x").write.parquet(s"$root/c0")
+    assert(rows(root, "") == Seq(0L, 1L, 2L),
+      "stale tmp and markerless c dir must be invisible to readers")
+    // window 2: a complete fold landed but the prune crashed — simulate
+    // by compacting, then re-creating a covered b dir as the leftover
+    assert(DeltaDirs.compact(spark, root, subs, 3L))
+    Seq(0L).toDF("x").write.parquet(s"$root/b0")
+    assert(rows(root, "") == Seq(0L, 1L, 2L),
+      "covered b dir below the watermark must not double-count")
+    // the next compact call (even with nothing new) finishes the prune
+    assert(!DeltaDirs.compact(spark, root, subs, 3L))
+    assert(dirNames(root) == Seq("c2"))
+    assert(rows(root, "") == Seq(0L, 1L, 2L))
+  }
 }
