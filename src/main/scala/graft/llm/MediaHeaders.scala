@@ -47,6 +47,59 @@ object MediaHeaders {
     else Bad
   }
 
+  /** Byte offset where the container's SIGNAL data starts — the walk a
+    * perceptual-hash pass performs before touching content bytes (the
+    * decode stand-in: hash what the container CARRIES, never its
+    * doc-id-derived header metadata). Per format:
+    *   - png:  after the signature + IHDR chunk (8 + 12 + IHDR length);
+    *   - jpeg: after the start-of-frame segment the header walk ends on;
+    *   - wav:  the `data` chunk's payload (RIFF chunk walk from 12);
+    *   - mp4:  the `mdat` box payload (top-level box walk).
+    * -1 on any malformed/truncated container — loud-by-value like
+    * [[parse]], one corrupt asset cannot fail a corpus-wide job. */
+  def bodyOffset(b: Array[Byte]): Int = {
+    if (b == null || b.length < 12) -1
+    else if ((b(0) & 0xff) == 0x89 && ascii(b, 1, "PNG")) {
+      if (b.length < 25 || !ascii(b, 12, "IHDR")) -1
+      else {
+        val off = 8 + 12 + be32(b, 8)
+        if (off < 0 || off > b.length) -1 else off
+      }
+    } else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return -1
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          val off = i + 2 + be16(b, i + 2)
+          return if (off > b.length) -1 else off
+        } else if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else i += 2 + be16(b, i + 2)
+      }
+      -1
+    } else if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
+      var c = 12
+      while (c + 8 <= b.length) {
+        val size = le32(b, c + 4)
+        if (ascii(b, c, "data"))
+          return if (size < 0 || c + 8 + size > b.length) -1 else c + 8
+        if (size < 0) return -1
+        c += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      -1
+    } else if (ascii(b, 4, "ftyp")) {
+      var o = 0
+      while (o + 8 <= b.length) {
+        val size = be32(b, o)
+        if (size < 8 || o + size > b.length) return -1
+        if (ascii(b, o + 4, "mdat")) return o + 8
+        o += size
+      }
+      -1
+    } else -1
+  }
+
   /** PNG: 8-byte signature, then the IHDR chunk (must be first):
     * length(4) "IHDR" width(4 BE) height(4 BE) bitdepth(1) … */
   private def parsePng(b: Array[Byte]): Parsed = {

@@ -80,13 +80,21 @@ object MultimodalOps {
   /** Synthesize the media table: binary payload with a REAL container
     * header + typed metadata. Every header field is doc_id arithmetic
     * (oracle-expressible); the document text is the container body. */
-  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    mediaTableOf(t(s, dir, "documents"))
+
+  /** [[mediaTable]] over an explicit documents frame — the seam that
+    * lets per-byte passes (q182's hash) take the SPREAD read
+    * ([[graft.Tables.tSpread]]): a small fixture parquet is one split,
+    * and a single-split scan serializes the whole kernel pass onto one
+    * core (measured 2.9 s → 0.9 s at sf0.1). */
+  private def mediaTableOf(docs: DataFrame): DataFrame = {
     val w = (pmod(col("doc_id") * 37, lit(1024)) + 256).cast("int")
     val h = (pmod(col("doc_id") * 53, lit(768)) + 144).cast("int")
     val ch = (col("doc_id") % 2 + 1).cast("int")
     val rate = (lit(8000) * (col("doc_id") % 5 + 1)).cast("int")
     val dur = (lit(1500) * (col("doc_id") % 5 + 2)).cast("int")
-    t(s, dir, "documents")
+    docs
       // No text, no asset: a NULL body would null-propagate through
       // concat into a NULL payload, which is not a media row — every
       // downstream consumer (parser, feature batch, byte accounting)
@@ -211,11 +219,71 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** q182: perceptual near-dup over media payloads — the multimodal
+    * member of the dedup family (text has MinHash/SimHash/substring,
+    * embeddings have LSH/SemDeDup; this covers the media payload bytes
+    * themselves). Pipeline shape is the perceptual-hash classic:
+    * locate each container's signal bytes (real byte walk,
+    * [[MediaHeaders.bodyOffset]]), fingerprint them with the codegen'd
+    * 60-bit gram-SimHash kernel ([[graft.functions.MediaHashKernel]]), band
+    * the fingerprint into four 15-bit quarters, pair within buckets,
+    * verify by exact Hamming distance ≤ 3. By pigeonhole (4 bands,
+    * ≤ 3 differing bits) banding is EXACT retrieval, so the DuckDB
+    * brute-force oracle matches pair-for-pair.
+    *
+    * 100 TB posture: identical payloads collapse to one fingerprint
+    * BEFORE banding (the exact-dup-collapse-before-banding rule — a
+    * crawl's million-clone asset costs one banded row, not a 10^12-pair
+    * bucket); only DISTINCT fingerprints ride the band shuffle (8-byte
+    * keys, never payload bytes); within-group and cross-group pairs are
+    * reconstructed by id joins, so every stage is candidate- or
+    * output-sized, never all-pairs. */
+  def mediaPerceptualNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaHashKernel.media_phash
+    // Four plan references below (distinct, both expansion sides, the
+    // same-fp self-join) — without pinning, Catalyst re-runs container
+    // synthesis + the md5-per-window kernel per reference (~5× the
+    // corpus hash work, measured 8 s → 1 s at sf0.1). The pinned frame
+    // is (id, long) — bytes never survive past this line.
+    val fps = graft.Materialize.stable(
+      mediaTableOf(graft.Tables.tSpread(s, dir, "documents"))
+        .select(col("doc_id"), media_phash(col("payload")).as("fp"))
+        .filter(col("fp") =!= -1L))
+    val distinctFp = fps.select("fp").distinct()
+    val bandArr = array((0 until 4).map(b =>
+      struct(lit(b).as("bno"),
+        shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7FFFL)).as("bval"))): _*)
+    val bands = distinctFp.select(col("fp"), explode(bandArr).as("bd"))
+      .select(col("fp"), col("bd.bno").as("bno"), col("bd.bval").as("bval"))
+    val closeFp = bands.as("a")
+      .join(bands.as("b"), col("a.bno") === col("b.bno") &&
+        col("a.bval") === col("b.bval") && col("a.fp") < col("b.fp"))
+      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .dropDuplicates("fp_a", "fp_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+    // member expansion: cross-group pairs via id joins; identical-
+    // fingerprint members pair at distance 0 (the collapsed groups)
+    val cross = closeFp
+      .join(fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("fp_a"))
+      .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("fp_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    val same = fps.as("x")
+      .join(fps.as("y"), col("x.fp") === col("y.fp") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(same).orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_media_catalog" -> mediaCatalog,
     "q51_media_features" -> mediaFeatures,
     "q52_frame_sample"  -> frameSamplePlan,
-    "q53_resize_plan"   -> resizePlan)
+    "q53_resize_plan"   -> resizePlan,
+    "q182_media_neardup" -> mediaPerceptualNearDup)
 
   // payload length = UTF-8 body + the per-format container header
   // (png 33 B, jpeg 39 B, wav 44 B, mp4 144 B — see the synth fns above)
@@ -269,5 +337,39 @@ object MultimodalOps {
         |  CASE WHEN height >= width THEN 224
         |       ELSE CAST(FLOOR(height * 224.0 / width) AS INTEGER) END AS out_height
         |FROM m WHERE format IN ('jpeg', 'png')
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // Brute-force twin of the banded Spark plan: recompute the 60-bit
+    // gram-SimHash from the same body bytes — gram w is the uppercase
+    // hex of bytes w..w+7 (`substr(hex(body), 2w+1, 16)`), its 60-bit
+    // key the leading 15 hex chars of md5(gram) (bit i lives in hex
+    // char 15 - i//4 at nibble bit i%4 — the q45 mapping shifted one
+    // nibble), per-bit ±1 votes, positive vote ⇒ bit set — then
+    // ALL-PAIRS Hamming ≤ 3. Banding is pigeonhole-exact, so the sets
+    // must match pair-for-pair.
+    "q182_media_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) >= 8),
+        |grams AS (
+        |  SELECT doc_id, substr(md5(substr(hx, 2 * w + 1, 16)), 1, 15) AS h
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, len - 8)) AS w)),
+        |bits AS (
+        |  SELECT doc_id, g.i AS i,
+        |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(h, CAST(15 - (g.i // 4) AS INT), 1)) - 1)
+        |        >> (g.i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM grams, unnest(generate_series(0, 59)) AS g(i)
+        |  GROUP BY doc_id, g.i),
+        |fp AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN vote > 0
+        |      THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END)
+        |    AS BIGINT) AS fp
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)
 }

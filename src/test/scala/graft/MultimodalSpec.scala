@@ -93,4 +93,83 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("count") =!= col("n"))
     assert(joined.count() == 0)
   }
+
+  // ---- perceptual payload near-dup (q182) --------------------------------
+
+  import graft.functions.MediaHashKernel.payloadPhash
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  private def be32(i: Int) = Array(((i >> 24) & 0xff).toByte,
+    ((i >> 16) & 0xff).toByte, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+  private def le32(i: Int) = be32(i).reverse
+  private def le16(i: Int) = Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte)
+
+  private def pngWrap(body: Array[Byte]): Array[Byte] =
+    hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452") ++
+      be32(100) ++ be32(50) ++ hexBytes("080200000000000000") ++ body
+  private def wavWrap(body: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes ++ le32(body.length + 36) ++ "WAVEfmt ".getBytes ++
+      le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+      le16(2) ++ le16(16) ++ "data".getBytes ++ le32(body.length) ++ body
+
+  test("body offset walks every synthesized container to its signal bytes") {
+    MultimodalOps.mediaDataset(spark, sfDir).collect().foreach { r =>
+      val off = MediaHeaders.bodyOffset(r.payload)
+      assert(off >= 0, s"walk failed for doc ${r.doc_id}")
+      val expectedHdr = (r.doc_id % 4) match {
+        case 0 => 39; case 1 => 33; case 2 => 44; case _ => 144
+      }
+      assert(off == expectedHdr, s"doc ${r.doc_id}: offset $off")
+    }
+  }
+
+  test("perceptual hash is a content fingerprint: container metadata never leaks in") {
+    val body = ("the quick brown fox jumps over the lazy dog " * 7).getBytes("UTF-8")
+    val asPng = payloadPhash(pngWrap(body))
+    val asWav = payloadPhash(wavWrap(body))
+    assert(asPng >= 0 && asPng == asWav,
+      "same signal in different containers must fingerprint identically")
+  }
+
+  test("planted near-identical payloads land within the Hamming-3 verify " +
+      "threshold; unrelated payloads far outside") {
+    val base = ("a scan batch order big spark join group stream data vector " +
+      "query column window table hash slow small sort merge value " * 5).getBytes("UTF-8")
+    // the fixture's planted-clone shape: a small tail edit
+    val tailEdit = base.clone()
+    ("drop " + "x").getBytes.copyToArray(tailEdit, tailEdit.length - 6)
+    val unrelated = ("entirely different words about completely other topics " +
+      "nothing shared with the base document at all " * 6).getBytes("UTF-8")
+    val hBase = payloadPhash(pngWrap(base))
+    val hEdit = payloadPhash(pngWrap(tailEdit))
+    val hOther = payloadPhash(pngWrap(unrelated))
+    val near = java.lang.Long.bitCount(hBase ^ hEdit)
+    val far = java.lang.Long.bitCount(hBase ^ hOther)
+    assert(near <= 3, s"tail-edited clone at hamming $near")
+    assert(far > 3, s"unrelated payloads at hamming $far")
+    // exact clone pairs at distance 0 by construction
+    assert(payloadPhash(wavWrap(base.clone())) == payloadPhash(wavWrap(base)))
+  }
+
+  test("perceptual hash sentinels: malformed container and sub-gram body") {
+    assert(payloadPhash("not a container at all".getBytes) == -1L)
+    assert(payloadPhash(pngWrap("tiny".getBytes)) == -1L,
+      "body below one 8-byte gram cannot fingerprint")
+    assert(payloadPhash(null) == -1L)
+  }
+
+  test("banded near-dup retrieval equals spec-side brute force (pigeonhole exactness)") {
+    val fps = MultimodalOps.mediaDataset(spark, sfDir).collect()
+      .map(r => r.doc_id -> payloadPhash(r.payload))
+      .filter(_._2 != -1L)
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = MultimodalOps.mediaPerceptualNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+  }
 }
