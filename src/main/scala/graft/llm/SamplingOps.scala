@@ -39,6 +39,12 @@ object SamplingOps {
     case ((lang, hex), acc) => when(col("lang") === lang, lit(hex)).otherwise(acc)
   }
 
+  /** The q63 deterministic mixture filter over any frame carrying
+    * (doc_id, lang) — exposed so composed pipelines (q65's sibling
+    * q184) apply the exact same salted-md5 keep-rule. */
+  def mixtureFilter(df: DataFrame): DataFrame =
+    df.filter(mixBucket < mixThreshold)
+
   def hashSample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("hash_bucket", mixBucket)

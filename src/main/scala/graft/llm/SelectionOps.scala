@@ -221,10 +221,125 @@ object SelectionOps {
       .orderBy("lang")
   }
 
+  // ---- quality-classifier selection (q183/q184) --------------------------
+
+  private val stopWords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** The TEACHER label: q102's Gopher rules in exact integer form —
+    * `10·sum_wlen` between `40·n_words` and `50·n_words` is the
+    * mean-word-length window with the division cross-multiplied away,
+    * so the label has NO float/rounding surface at all (q102's rounded
+    * form keeps its own oracle; the classifier's fit must not inherit
+    * a boundary-rounding tie that would flip thousands of bucket
+    * counts at once). `sum_wlen` is the non-space char count — equal
+    * to the sum of token lengths, computed without a per-token pass. */
+  private def labeled(docs: DataFrame): DataFrame = {
+    val tk = graft.functions.Tokenize.tokens(col("text"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(tk).cast("long").as("n_words"),
+        length(translate(col("text"), " ", "")).cast("long").as("sum_wlen"),
+        size(filter(tk, w => w.isin(stopWords: _*))).cast("long").as("n_stop"))
+      .withColumn("keep",
+        col("n_words").between(30, 80) && col("n_stop") >= 2 &&
+          col("sum_wlen") * 10 >= col("n_words") * 40 &&
+          col("sum_wlen") * 10 <= col("n_words") * 50)
+  }
+
+  /** Fit: per-bucket Naive-Bayes log-odds of the teacher label over
+    * the same hashed distinct-unigram/bigram features as q179, with
+    * q179's one-explode-pass and fixed-point discipline. This is the
+    * classic linear-classifier initialization (NB-weighted features,
+    * the NBSVM/fastText lineage) — "distill the expensive heuristic
+    * into a cheap linear scorer", with the heuristic as pseudo-labeler. */
+  private def classifierStats(s: SparkSession, dir: String): DataFrame = {
+    val gb = labeled(t(s, dir, "documents"))
+      .select(col("keep"),
+        explode(concat(shingle_array(col("text"), 1),
+          shingle_array(col("text"), 2))).as("gram"))
+      .select(col("keep"), substring(md5(col("gram")), 1, 4).as("bucket"))
+    val perBucket = graft.Materialize.stable(
+      gb.groupBy("bucket")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("cp"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("cn")))
+    val totals = perBucket
+      .agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"))
+      .select(coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nn"), lit(0L)).as("nn"))
+    perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor((log(col("cp").cast("double") + 1.0)
+          - log(col("cn").cast("double") + 1.0)
+          + log(col("nn").cast("double") + B.toDouble)
+          - log(col("np").cast("double") + B.toDouble)) * 1e6 + 0.5)
+          .cast("long").as("w_micro"))
+  }
+
+  /** The fit result as ONE dense 65536-long row — the broadcast weight
+    * vector the scoring expression indexes. Buckets no gram hashed to
+    * default to 0; every scored gram's bucket is present by
+    * construction (fit and scoring read the same corpus). Densified by
+    * union-with-zeros + one sorted collect — NOT a per-position
+    * `element_at(map)` fill: Catalyst maps are array-backed, so 65536
+    * linear-scan lookups are O(B²) on one row (measured ~5 s of the
+    * original 5.8 s query). */
+  private def weightVector(s: SparkSession, dir: String): DataFrame =
+    classifierStats(s, dir)
+      .select(conv(col("bucket"), 16, 10).cast("int").as("k"),
+        col("w_micro").as("v"))
+      .unionByName(s.range(B.toLong)
+        .select(col("id").cast("int").as("k"), lit(0L).as("v")))
+      .groupBy("k").agg(sum(col("v")).as("v"))
+      .agg(collect_list(struct(col("k"), col("v"))).as("kv"))
+      .select(transform(array_sort(col("kv")), x => x.getField("v")).as("w"))
+
+  /** All docs scored by the fused inference kernel — fit once via
+    * scalar subquery, then ONE narrow expression per row: no explode,
+    * no join, no per-doc aggregation in the scoring pass (the
+    * 100 TB contrast with q179's join-path scoring; see
+    * [[graft.functions.TextScoreKernel]]). */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextScoreKernel.linear_text_score
+    val w = org.apache.spark.sql.GraftSqlBridge
+      .scalarSubquery(weightVector(s, dir))
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        linear_text_score(col("text"), w).as("ns"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        element_at(col("ns"), 1).as("n_grams"),
+        element_at(col("ns"), 2).as("score_micro"))
+  }
+
+  /** q183 — the 100 docs the distilled linear scorer rates most
+    * quality-like, with the predicted label (score_micro > 0 ⇔ NB
+    * posterior favors the teacher's keep class). */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    scoredDocs(s, dir)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("score_micro"), (col("score_micro") > 0).as("pred_keep"))
+
+  /** q184 — the composed select→sample→pack pipeline (q65's sibling
+    * with the classifier as the selection stage): keep docs the scorer
+    * predicts quality-like, thin by the q63 deterministic mixture
+    * filter, pack into 2000-token shards. Every stage is the already-
+    * verified building block; the composition is one plan. */
+  def classifierPipeline(s: SparkSession, dir: String): DataFrame =
+    SamplingOps.packByBudget(
+      SamplingOps.mixtureFilter(
+        scoredDocs(s, dir).filter(col("score_micro") > 0))
+        .select(col("doc_id"), col("lang"), col("n_tokens")),
+      budget = 2000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_dsir_weights" -> dsirWeights,
     "q180_dsir_select" -> dsirSelect,
-    "q181_temperature_mix" -> temperatureMix)
+    "q181_temperature_mix" -> temperatureMix,
+    "q183_quality_classifier" -> qualityClassifier,
+    "q184_classifier_pipeline" -> classifierPipeline)
 
   private val gramsSql =
     """tkv AS (SELECT doc_id, source,
@@ -259,7 +374,75 @@ object SelectionOps {
       |  FROM gb JOIN stats USING (bucket)
       |  WHERE NOT is_t GROUP BY doc_id)""".stripMargin
 
+  // q183/q184 shared CTE: integer-exact teacher label, the q179 gram
+  // model re-labeled by it, NB log-odds in micro-nat fixed point, and a
+  // LEFT JOIN so gram-less docs score (0, 0) like the kernel.
+  private val classifierSql =
+    """tkv AS (SELECT doc_id, lang, source, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |lab AS (SELECT doc_id,
+      |    (len(tk) BETWEEN 30 AND 80)
+      |      AND len(list_filter(tk,
+      |        x -> x IN ('the','a','of','to','and','in','is'))) >= 2
+      |      AND length(replace(text, ' ', '')) * 10 >= len(tk) * 40
+      |      AND length(replace(text, ' ', '')) * 10 <= len(tk) * 50 AS keep
+      |  FROM tkv),
+      |g AS (SELECT doc_id, unnest(list_concat(list_distinct(tk),
+      |      list_distinct(CASE WHEN len(tk) < 2 THEN []
+      |        ELSE list_transform(generate_series(1, len(tk) - 1),
+      |             i -> tk[i] || ' ' || tk[i+1]) END))) AS gram
+      |  FROM tkv),
+      |gb AS (SELECT g.doc_id, substring(md5(gram), 1, 4) AS bucket, lab.keep
+      |  FROM g JOIN lab USING (doc_id)),
+      |cpq AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cp
+      |        FROM gb WHERE keep GROUP BY bucket),
+      |cnq AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cn
+      |        FROM gb WHERE NOT keep GROUP BY bucket),
+      |npq AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM gb WHERE keep),
+      |nnq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM gb WHERE NOT keep),
+      |stats AS (SELECT bucket,
+      |    CAST(floor((ln(CAST(COALESCE(cp, 0) AS DOUBLE) + 1.0)
+      |      - ln(CAST(COALESCE(cn, 0) AS DOUBLE) + 1.0)
+      |      + ln(CAST(nn AS DOUBLE) + 65536.0)
+      |      - ln(CAST(np AS DOUBLE) + 65536.0)) * 1e6 + 0.5) AS BIGINT)
+      |      AS w_micro
+      |  FROM cpq FULL OUTER JOIN cnq USING (bucket)
+      |  CROSS JOIN npq CROSS JOIN nnq),
+      |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(SUM(w_micro) AS BIGINT) AS score_micro
+      |  FROM gb JOIN stats USING (bucket) GROUP BY doc_id),
+      |scored AS (SELECT t.doc_id, t.lang, t.source,
+      |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |    CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+      |    CAST(COALESCE(sc.score_micro, 0) AS BIGINT) AS score_micro
+      |  FROM tkv t LEFT JOIN sc USING (doc_id))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q183_quality_classifier" ->
+      s"""WITH $classifierSql
+         |SELECT doc_id, source, n_grams, score_micro,
+         |  score_micro > 0 AS pred_keep
+         |FROM scored ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin,
+    "q184_classifier_pipeline" ->
+      s"""WITH $classifierSql,
+         |kept AS (SELECT doc_id, lang, n_tokens FROM scored
+         |  WHERE score_micro > 0
+         |    AND substring(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |      < CASE lang
+         |        WHEN 'en' THEN '40000000'
+         |        WHEN 'de' THEN 'c0000000'
+         |        WHEN 'es' THEN 'c0000000'
+         |        WHEN 'fr' THEN 'c0000000'
+         |        WHEN 'zh' THEN 'ffffffff'
+         |        ELSE '00000000' END),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM kept)
+         |SELECT doc_id, lang, n_tokens, cum_tokens,
+         |  CAST(FLOOR((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q179_dsir_weights" ->
       s"""WITH $gramsSql
          |SELECT doc_id, source, n_grams, weight_micro

@@ -116,4 +116,51 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(SelectionOps.dsirWeights(spark, d).collect().isEmpty)
     assert(SelectionOps.dsirSelect(spark, d).collect().isEmpty)
   }
+
+  test("quality classifier: exact-integer scores are repartition-invariant") {
+    val base = SelectionOps.qualityClassifier(spark, sfDir).collect().toSeq
+    val d = copyDocs(_.repartition(7))
+    assert(SelectionOps.qualityClassifier(spark, d).collect().toSeq == base)
+    val pipeBase = SelectionOps.classifierPipeline(spark, sfDir).collect().toSeq
+    assert(SelectionOps.classifierPipeline(spark, d).collect().toSeq == pipeBase)
+  }
+
+  test("quality classifier: the distilled scorer actually tracks its teacher") {
+    // The NB linear scorer is fit on the integer-exact Gopher label; on
+    // the corpus it was fit on, prediction (score > 0) must agree with
+    // the teacher far better than the majority-class baseline — the
+    // distillation working at all. Teacher recomputed independently
+    // from raw tokens, not through the fitted path.
+    val docs = Tables.t(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(col("text"), " ").as("tk0"))
+      .select(col("doc_id"),
+        size(filter(col("tk0"), x => x =!= "")).cast("long").as("n_words"),
+        size(filter(col("tk0"),
+          x => x.isin("the", "a", "of", "to", "and", "in", "is")))
+          .cast("long").as("n_stop"),
+        aggregate(transform(filter(col("tk0"), x => x =!= ""),
+          w => length(w).cast("long")), lit(0L), (a, x) => a + x).as("sum_wlen"))
+      .select(col("doc_id"),
+        (col("n_words").between(30, 80) && col("n_stop") >= 2 &&
+          col("sum_wlen") * 10 >= col("n_words") * 40 &&
+          col("sum_wlen") * 10 <= col("n_words") * 50).as("teacher"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // score EVERY doc through the pipeline path (classifierPipeline
+    // keeps score>0; the top-100 view is truncated) — rebuild from the
+    // ops' own scored frame via the public queries: predicted-keep set
+    // = pipeline's pre-mixture selection. Easiest faithful probe: docs
+    // in q183's top-100 with score>0 must be teacher-keeps far above
+    // the corpus base rate.
+    val top = SelectionOps.qualityClassifier(spark, sfDir).collect()
+      .filter(_.getLong(3) > 0).map(_.getLong(0))
+    assert(top.nonEmpty, "no positive-scoring docs — vacuous fixture")
+    val topAgree = top.count(docs(_)).toDouble / top.length
+    val baseRate = docs.values.count(identity).toDouble / docs.size
+    assert(topAgree >= 0.9,
+      f"top-scored docs only $topAgree%.2f teacher-keep")
+    assert(topAgree > baseRate + 0.2,
+      f"no lift over base rate $baseRate%.2f")
+  }
 }
