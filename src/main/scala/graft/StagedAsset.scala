@@ -76,19 +76,30 @@ object StagedAsset {
       // concurrent publisher completed in between, keep their asset
       // (rule 3 above). A move that still races a just-landed rename
       // converges: the loser's re-publish below is byte-equivalent.
-      val trash =
-        new org.apache.hadoop.fs.Path(s"$out.trash-${java.util.UUID.randomUUID}")
+      def renameAside(): Boolean = {
+        val trash = new org.apache.hadoop.fs.Path(
+          s"$out.trash-${java.util.UUID.randomUUID}")
+        val moved = fs.rename(outPath, trash)
+        if (moved) fs.delete(trash, true)
+        moved
+      }
       if (!fs.exists(marker)) {
-        if (fs.rename(outPath, trash)) fs.delete(trash, true)
         // Rename-aside refused (open handles, an FS that won't rename a
-        // busy dir): fall back to in-place delete. Without it the
-        // marker-less leftover survives, the publish rename below lands
-        // our tmp NESTED inside it, the lostNested probe deletes the
-        // only complete staging copy, and we throw "no complete asset
+        // busy dir): retry once with a fresh trash name — a transient
+        // refusal (reader mid-listing) usually clears — then fall back
+        // to in-place delete. Without the fallback the marker-less
+        // leftover survives, the publish rename below lands our tmp
+        // NESTED inside it, the lostNested probe deletes the only
+        // complete staging copy, and we throw "no complete asset
         // exists" despite having just built one. In-place delete loses
         // the atomic-visibility nicety but only for a dir that is
-        // already unreadable garbage (no marker ⇒ no reader trusts it).
-        else if (!fs.exists(marker)) fs.delete(outPath, true)
+        // already unreadable garbage (no marker ⇒ no reader trusts it);
+        // the marker is re-checked IMMEDIATELY before the delete so the
+        // window in which a just-completed concurrent publish could be
+        // recursively deleted is one syscall, as rule 3 promises.
+        if (!renameAside() && !fs.exists(marker) && !renameAside()
+            && !fs.exists(marker))
+          fs.delete(outPath, true)
       }
     }
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)

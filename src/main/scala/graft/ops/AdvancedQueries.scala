@@ -88,13 +88,18 @@ object AdvancedQueries {
     //      value-side percentile would buffer every distinct double
     //      (measured +3 s at sf0.1, and an OOM shape at 100 TB);
     //   3. exact-distinct pass — q26's Expand aggregate, the HLL truth.
-    val sketch = li.agg(
+    // Materialized: the sketch subtree is referenced by BOTH the rank
+    // pass and the final crossJoin — unpinned, each reference re-runs
+    // the full lineitem sketch aggregation (making it four passes, and
+    // the rank flags would validate a second, independently-evaluated
+    // percentile_approx rather than the one that produced n_rows).
+    val sketch = graft.Materialize.stable(li.agg(
       count(lit(1)).as("n_rows"),
       approx_count_distinct(col("l_orderkey")).as("ao"),
       approx_count_distinct(col("l_partkey")).as("ap"),
       approx_count_distinct(col("l_suppkey")).as("asup"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
-      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99a"))
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99a")))
     val ranks = li.select(col("l_extendedprice"))
       .crossJoin(broadcast(sketch.select(col("p50a"), col("p99a"))))
       .agg(

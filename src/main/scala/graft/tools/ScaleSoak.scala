@@ -50,9 +50,24 @@ object ScaleSoak {
     //    q79/q83 digest exchanges and the q72 source rollup under
     //    provenance skew, and the collapse path under a real dup rate.
     val mode = args.lift(1).getOrElse("synthetic")
+    // Optional third arg: comma-separated op names — time only those
+    // (fresh-JVM single-op timings, for separating an op's own cost
+    // from session state accumulated by the ops before it). Hoisted
+    // above the fixture writes so a filtered run also SKIPS the table
+    // replications nothing selected reads: the 20M-vector semdedup
+    // decade (round-11) would otherwise pay a 6-billion-row lineitem
+    // replication it never touches.
+    val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
+    val embStages = Set("semdedup_index_build", "semdedup_staged_probe",
+      "fixed_batch_semdedup_probe", "embed_neardup_lsh")
+    val liStages = Set("graph_index_build", "triangle_counts")
+    val needEmb = only.forall(_.exists(embStages.contains))
+    val needLi = only.forall(_.exists(liStages.contains))
+    val needDocs = only.forall(_.exists(n => !embStages.contains(n) && !liStages.contains(n)))
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
-    if (mode == "rep" || mode == "exact") {
+    if (!needDocs) ()
+    else if (mode == "rep" || mode == "exact") {
       docs.crossJoin(spark.range(reps.toLong).select(col("id").as("rep")))
         .select(
           (col("doc_id") + col("rep") * nDocs).as("doc_id"),
@@ -96,7 +111,11 @@ object ScaleSoak {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nEmb = emb.count()
-    if (mode == "rep") {
+    // Cluster-key cardinality rule shared by the replication and the
+    // fixed-batch probe below (k ≈ n/1000 — see the else-branch note).
+    val labelMod = math.max(10L, nEmb * reps / 1000L)
+    if (!needEmb) ()
+    else if (mode == "rep") {
       emb.crossJoin(spark.range(reps.toLong).select(col("id").as("rep")))
         .select(
           (col("vec_id") + col("rep") * nEmb).as("vec_id"),
@@ -111,7 +130,6 @@ object ScaleSoak {
       // 10-label fixture shape at 1000× would be a ~10¹¹-pair
       // quadratic, which no deployment would run — k∝n is the
       // published recipe, not a soak convenience.
-      val labelMod = math.max(10L, nEmb * reps / 1000L)
       spark.range(nEmb * reps).select(col("id").as("vec_id"))
         .select(col("vec_id"),
           transform(sequence(lit(0), lit(63)), i =>
@@ -129,22 +147,19 @@ object ScaleSoak {
     // a plan bug, not a data artifact. (A fixed part keyspace would
     // instead densify the graph quadratically — a different, valid
     // stress, but not a clean scaling readout.)
-    val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val (maxOrd, maxPart) = {
-      val r = li.agg(max("l_orderkey"), max("l_partkey")).head()
-      (r.getLong(0) + 1, r.getLong(1) + 1)
+    if (needLi) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val (maxOrd, maxPart) = {
+        val r = li.agg(max("l_orderkey"), max("l_partkey")).head()
+        (r.getLong(0) + 1, r.getLong(1) + 1)
+      }
+      li.crossJoin(spark.range(reps.toLong).select(col("id").as("rep")))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOrd)
+        .withColumn("l_partkey", col("l_partkey") + col("rep") * maxPart)
+        .drop("rep")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     }
-    li.crossJoin(spark.range(reps.toLong).select(col("id").as("rep")))
-      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOrd)
-      .withColumn("l_partkey", col("l_partkey") + col("rep") * maxPart)
-      .drop("rep")
-      .repartition(8)
-      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-
-    // Optional third arg: comma-separated op names — time only those
-    // (fresh-JVM single-op timings, for separating an op's own cost
-    // from session state accumulated by the ops before it).
-    val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
     // This VM shows phantom load (loadavg 4-8 with zero local processes)
     // in bursts that slow whatever op they land on 3-7x — annotate every
     // timing with the loadavg so a slow line can be attributed to the
@@ -197,6 +212,39 @@ object ScaleSoak {
         graft.llm.VectorOps.semanticDedupStaged(spark, dir)
           .write.format("noop").mode("overwrite").save()
       }
+    }
+    // FIXED-batch probes (round-11): the staged-probe lines above grow
+    // their batch WITH the corpus (the mod-10 split), so their decade
+    // slope mixes batch growth into the reading. These two probe a
+    // fixed 2000-row batch through the streaming maintainers against
+    // the staged corpus state — the O(batch) claim in its pure form:
+    // each line must stay ~FLAT as reps grows 10×. Batch ids sit far
+    // above any replica id, so the batch is all-novel (the worst case
+    // for the banding path: nothing exact-collapses away).
+    val fixedIdBase = 4000000000000L
+    time("fixed_batch_band_probe") {
+      val root = java.nio.file.Files.createTempDirectory("fb-band").toString
+      val idx = graft.llm.BandIndex.ensure(spark, dir,
+        graft.llm.BandIndex.Boundary.all)
+      val store = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val batch = spark.range(fixedIdBase, fixedIdBase + 2000L)
+        .select(col("id").as("doc_id"),
+          StreamSoak.synthText(col("id")).as("text"))
+      graft.streaming.StreamingBandMaintenance.bandMaintain(
+        idx, store, s"$root/delta", s"$root/out")(batch, 0L)
+    }
+    if (mode != "rep") time("fixed_batch_semdedup_probe") {
+      val root = java.nio.file.Files.createTempDirectory("fb-sem").toString
+      graft.llm.SemDedupIndex.ensure(spark, dir)
+      val batch = spark.range(fixedIdBase, fixedIdBase + 2000L)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            ((pmod(xxhash64(col("vec_id"), i), lit(2001)) - 1000) / 1000.0)
+              .cast("float")).as("embedding"),
+          pmod(col("vec_id"), lit(labelMod)).cast("int").as("label"))
+      graft.streaming.StreamingSemDedupMaintenance.semDedupMaintain(
+        graft.llm.SemDedupIndex.corpus(spark, dir), s"$root/delta")(batch, 0L)
     }
     time("posting_index_build") {
       graft.llm.PostingIndex.ensure(spark, dir)
