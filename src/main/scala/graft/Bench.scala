@@ -62,6 +62,11 @@ object Bench {
     // hot machine is visible in the artifact rather than inferred.
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3)
     var failures = List.empty[String]
+    // A start-only loadavg sample missed the r11 failure mode: the run
+    // began at 3.1 (flag clean) and ended at 7.4 with ~70% uniform
+    // inflation. Track the MAX across the whole run — sampled after
+    // every query — and let hot_machine trip on it.
+    var loadavgMax = loadavgStart
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
     def medianOf(xs: Seq[Double]): Double = {
@@ -89,15 +94,17 @@ object Bench {
           Materialize.releaseTransient(spark)
         }
       }
+      loadavgMax = math.max(loadavgMax, loadavgNow)
       name -> (if (times.nonEmpty) medianOf(times) else 0.0)
     }
     val loadavg = loadavgNow
+    loadavgMax = math.max(loadavgMax, loadavg)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fails = failures.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failures":${failures.reverse.distinct.size},"failures":$fails,"repeats":$repeats,"loadavg_1m":$loadavg,"loadavg_start":$loadavgStart,"hot_machine":${loadavgStart > 5.0}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failures":${failures.reverse.distinct.size},"failures":$fails,"repeats":$repeats,"loadavg_1m":$loadavg,"loadavg_start":$loadavgStart,"loadavg_max":$loadavgMax,"hot_machine":${loadavgMax > 5.0}}"""
     // The driver greps a 2000-char stdout tail where sbt/log4j noise can
     // interleave with (or truncate) the metric line, so ALSO persist it
     // to a file and make the line itself the final stdout output.

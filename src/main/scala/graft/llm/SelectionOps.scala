@@ -235,8 +235,11 @@ object SelectionOps {
     * to the sum of token lengths, computed without a per-token pass. */
   private def labeled(docs: DataFrame): DataFrame = {
     val tk = graft.functions.Tokenize.tokens(col("text"))
+    // only `text` is required of the input: the streaming counts
+    // maintainer feeds bare (doc_id, text) arrival batches through the
+    // same label + count path the batch fit uses
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+      .select(col("text"),
         size(tk).cast("long").as("n_words"),
         length(translate(col("text"), " ", "")).cast("long").as("sum_wlen"),
         size(filter(tk, w => w.isin(stopWords: _*))).cast("long").as("n_stop"))
@@ -246,22 +249,28 @@ object SelectionOps {
           col("sum_wlen") * 10 <= col("n_words") * 50)
   }
 
-  /** Fit: per-bucket Naive-Bayes log-odds of the teacher label over
-    * the same hashed distinct-unigram/bigram features as q179, with
-    * q179's one-explode-pass and fixed-point discipline. This is the
-    * classic linear-classifier initialization (NB-weighted features,
-    * the NBSVM/fastText lineage) — "distill the expensive heuristic
-    * into a cheap linear scorer", with the heuristic as pseudo-labeler. */
-  private def classifierStats(s: SparkSession, dir: String): DataFrame = {
-    val gb = labeled(t(s, dir, "documents"))
+  /** The fit's MERGEABLE state: per-bucket teacher-label counts
+    * (cp, cn) over `docs`. Counts from disjoint doc sets union-and-sum
+    * to exactly the full-corpus counts — plain BIGINTs, no float
+    * surface — which is what makes the fit incrementally maintainable
+    * (q185's add-batch refit, the streaming counts maintainer). The
+    * log-odds transform must run AFTER any merge: weights are not
+    * mergeable, counts are. */
+  private[graft] def classifierCounts(docs: DataFrame): DataFrame =
+    labeled(docs)
       .select(col("keep"),
         explode(concat(shingle_array(col("text"), 1),
           shingle_array(col("text"), 2))).as("gram"))
       .select(col("keep"), substring(md5(col("gram")), 1, 4).as("bucket"))
-    val perBucket = graft.Materialize.stable(
-      gb.groupBy("bucket")
-        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("cp"),
-          sum(when(!col("keep"), 1L).otherwise(0L)).as("cn")))
+      .groupBy("bucket")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("cn"))
+
+  /** Counts → per-bucket micro-nat NB log-odds (q179's fixed-point
+    * discipline). The input is materialized: the totals aggregation
+    * below would otherwise re-plan the whole counts subtree. */
+  private[graft] def countsToWeights(perBucketRaw: DataFrame): DataFrame = {
+    val perBucket = graft.Materialize.stable(perBucketRaw)
     val totals = perBucket
       .agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"))
       .select(coalesce(col("np"), lit(0L)).as("np"),
@@ -275,6 +284,15 @@ object SelectionOps {
           .cast("long").as("w_micro"))
   }
 
+  /** Fit: per-bucket Naive-Bayes log-odds of the teacher label over
+    * the same hashed distinct-unigram/bigram features as q179, with
+    * q179's one-explode-pass and fixed-point discipline. This is the
+    * classic linear-classifier initialization (NB-weighted features,
+    * the NBSVM/fastText lineage) — "distill the expensive heuristic
+    * into a cheap linear scorer", with the heuristic as pseudo-labeler. */
+  private def classifierStats(s: SparkSession, dir: String): DataFrame =
+    countsToWeights(classifierCounts(t(s, dir, "documents")))
+
   /** The fit result as ONE dense 65536-long row — the broadcast weight
     * vector the scoring expression indexes. Buckets no gram hashed to
     * default to 0; every scored gram's bucket is present by
@@ -283,8 +301,9 @@ object SelectionOps {
     * `element_at(map)` fill: Catalyst maps are array-backed, so 65536
     * linear-scan lookups are O(B²) on one row (measured ~5 s of the
     * original 5.8 s query). */
-  private def weightVector(s: SparkSession, dir: String): DataFrame =
-    classifierStats(s, dir)
+  private[graft] def weightVectorOf(s: SparkSession,
+      stats: DataFrame): DataFrame =
+    stats
       .select(conv(col("bucket"), 16, 10).cast("int").as("k"),
         col("w_micro").as("v"))
       .unionByName(s.range(B.toLong)
@@ -293,15 +312,17 @@ object SelectionOps {
       .agg(collect_list(struct(col("k"), col("v"))).as("kv"))
       .select(transform(array_sort(col("kv")), x => x.getField("v")).as("w"))
 
-  /** All docs scored by the fused inference kernel — fit once via
-    * scalar subquery, then ONE narrow expression per row: no explode,
-    * no join, no per-doc aggregation in the scoring pass (the
-    * 100 TB contrast with q179's join-path scoring; see
-    * [[graft.functions.TextScoreKernel]]). */
-  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+  private def weightVector(s: SparkSession, dir: String): DataFrame =
+    weightVectorOf(s, classifierStats(s, dir))
+
+  /** All docs scored by the fused inference kernel with the given fit —
+    * ONE narrow expression per row: no explode, no join, no per-doc
+    * aggregation in the scoring pass (the 100 TB contrast with q179's
+    * join-path scoring; see [[graft.functions.TextScoreKernel]]). */
+  private[graft] def scoredDocsWith(s: SparkSession, dir: String,
+      weights: DataFrame): DataFrame = {
     import graft.functions.TextScoreKernel.linear_text_score
-    val w = org.apache.spark.sql.GraftSqlBridge
-      .scalarSubquery(weightVector(s, dir))
+    val w = org.apache.spark.sql.GraftSqlBridge.scalarSubquery(weights)
     t(s, dir, "documents").filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), col("source"),
         size(graft.functions.Tokenize.tokens(col("text"))).cast("long")
@@ -312,6 +333,11 @@ object SelectionOps {
         element_at(col("ns"), 2).as("score_micro"))
   }
 
+  /** Fit once over the whole corpus, score everything — the q183/q184
+    * shared scoring frame. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    scoredDocsWith(s, dir, weightVector(s, dir))
+
   /** q183 — the 100 docs the distilled linear scorer rates most
     * quality-like, with the predicted label (score_micro > 0 ⇔ NB
     * posterior favors the teacher's keep class). */
@@ -321,6 +347,38 @@ object SelectionOps {
       .limit(100)
       .select(col("doc_id"), col("source"), col("n_grams"),
         col("score_micro"), (col("score_micro") > 0).as("pred_keep"))
+
+  /** q185 — incremental classifier refit: a real curation stack refits
+    * as ingest batches land, and the fit's state makes that exact — the
+    * per-bucket (cp, cn) counts are plain BIGINTs, so a staged base fit
+    * plus an O(batch) count pass over ONLY the batch docs union-and-sums
+    * into precisely the full-corpus counts, and the log-odds transform
+    * runs once over the merged ≤ B-row frame. Same output as q183 BY
+    * CONSTRUCTION, so it shares q183's full-hash oracle (the q132/q170
+    * add-batch contract: a count lost or double-merged anywhere in the
+    * merge is a hash mismatch against the from-scratch fit).
+    *
+    * Staging form is q170's inline staged state (Materialize.stable on
+    * the base counts — at scale the offline fit publishes them as a
+    * ≤ 65536-row parquet, which is what the streaming counts maintainer
+    * appends deltas to); the batch side's explode touches batch docs
+    * only, so per-refit cost is O(batch) + a B-row merge, never a
+    * second corpus pass. */
+  def classifierAddBatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val baseCounts = graft.Materialize.stable(
+      classifierCounts(docs.filter(!NearDupOps.isNewDoc(col("doc_id")))))
+    val batchCounts =
+      classifierCounts(docs.filter(NearDupOps.isNewDoc(col("doc_id"))))
+    val merged = baseCounts.unionByName(batchCounts)
+      .groupBy("bucket")
+      .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+    scoredDocsWith(s, dir, weightVectorOf(s, countsToWeights(merged)))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("score_micro"), (col("score_micro") > 0).as("pred_keep"))
+  }
 
   /** q184 — the composed select→sample→pack pipeline (q65's sibling
     * with the classifier as the selection stage): keep docs the scorer
@@ -339,7 +397,8 @@ object SelectionOps {
     "q180_dsir_select" -> dsirSelect,
     "q181_temperature_mix" -> temperatureMix,
     "q183_quality_classifier" -> qualityClassifier,
-    "q184_classifier_pipeline" -> classifierPipeline)
+    "q184_classifier_pipeline" -> classifierPipeline,
+    "q185_classifier_add_batch" -> classifierAddBatch)
 
   private val gramsSql =
     """tkv AS (SELECT doc_id, source,
@@ -420,6 +479,15 @@ object SelectionOps {
 
   val oracleSql: Map[String, String] = Map(
     "q183_quality_classifier" ->
+      s"""WITH $classifierSql
+         |SELECT doc_id, source, n_grams, score_micro,
+         |  score_micro > 0 AS pred_keep
+         |FROM scored ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin,
+    // q185 shares q183's full-corpus oracle BY DESIGN (the q132/q170
+    // add-batch contract): the staged-base + batch-count merge must
+    // reproduce the from-scratch fit bit-for-bit — any count the merge
+    // loses or double-adds flips bucket weights and the hash.
+    "q185_classifier_add_batch" ->
       s"""WITH $classifierSql
          |SELECT doc_id, source, n_grams, score_micro,
          |  score_micro > 0 AS pred_keep

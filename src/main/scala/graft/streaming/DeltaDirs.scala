@@ -141,16 +141,32 @@ object DeltaDirs {
     val (w, bs) = layout(fs, p, upTo)
     // finish a crashed predecessor's prune: anything at or below the
     // complete watermark is covered garbage, as are stale fold tmps
+    // and ANY marker-less `c<id>` dir at ANY watermark — a complete
+    // publish carries the marker (written into the tmp BEFORE the
+    // rename), so a marker-less one is by definition a crashed
+    // non-atomic publish. It must be deleted here, not merely skipped:
+    // Hadoop's rename-onto-existing-dir contract NESTS the source
+    // inside the destination, so a leftover marker-less `c<W>` would
+    // swallow the next fold's tmp (marker ends up nested, readers keep
+    // skipping the dir) while prune deletes the fold's inputs — silent
+    // row loss. Readers skipping it (in `layout`) handles the read
+    // path; this handles liveness of the write path.
     def prune(through: Long): Unit =
       if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath).foreach { q =>
         val n = q.getName
         val covered =
           (n.matches("b\\d+") && n.drop(1).toLong <= through) ||
           (n.matches("c\\d+") && n.drop(1).toLong < through) ||
+          (n.matches("c\\d+") &&
+            !fs.exists(new org.apache.hadoop.fs.Path(q, Marker))) ||
           n.matches("c\\d+\\.tmp-.*")
         if (covered) fs.delete(q, true)
       }
-    if (bs.isEmpty) { prune(w); return false }
+    // heal crashed publishes BEFORE folding, so the rename target is
+    // guaranteed free (layout already ignored marker-less dirs, so the
+    // watermark/live-set computation is unaffected by this delete)
+    prune(w)
+    if (bs.isEmpty) return false
     val newW = bs.max
     val tmp = s"$deltaDir/c$newW.tmp-${java.util.UUID.randomUUID}"
     subs.foreach { case (sub, schema) =>
@@ -162,6 +178,19 @@ object DeltaDirs {
     val markerTmp = new org.apache.hadoop.fs.Path(s"$tmp/$Marker")
     val mo = fs.create(markerTmp, true); mo.close()
     val outPath = new org.apache.hadoop.fs.Path(s"$deltaDir/c$newW")
+    // never rename onto an occupied path (it would NEST, not replace):
+    // a marker-less occupant is a crash that landed after the up-front
+    // heal — delete it; a markered one means this exact watermark was
+    // published since our listing (a replay finishing first) — our
+    // fold is redundant, keep theirs.
+    if (fs.exists(outPath)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(outPath, Marker))) {
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        prune(newW)
+        return true
+      }
+      fs.delete(outPath, true)
+    }
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), outPath)) {
       // single-writer discipline makes this unreachable in a correct
       // deployment; degrade loudly rather than double-count

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Streaming maintenance of the media perceptual-fingerprint state —
+  * the multimodal member of the streaming-maintenance matrix. Per
+  * micro-batch of (doc_id, text) arrivals (the fixture's media corpus
+  * synthesizes container payloads from documents rows, so arrivals are
+  * document rows; a production stream would carry raw payload bytes)
+  * the maintainer runs the expensive per-payload work for ONLY the
+  * batch — container synthesis, byte walk, codegen'd gram-SimHash
+  * ([[graft.llm.MultimodalOps.mediaFps]]) — and appends one `fps/`
+  * segment of (doc_id, fp) under `delta/b<id>/`. Purely additive, like
+  * the posting family: the segment depends on nothing but the batch,
+  * so replay of an unacknowledged batch is idempotent by construction
+  * (batch-id-keyed overwrite), with no earlier-segment read to get
+  * wrong. Payload bytes never enter a segment — two longs per asset.
+  *
+  * [[pairsProbe]] is the query path: staged base fingerprints
+  * ([[graft.llm.MediaFpIndex]]) ∪ delta segments, then the SAME
+  * collapse-then-band pair tail as q182/q186
+  * ([[graft.llm.MultimodalOps.fpPairs]]: distinct → 3-of-6
+  * combinatorial band keys → bucket join → exact Hamming ≤ 3 verify →
+  * member expansion) — so the integrity contract carries over
+  * verbatim: the streamed state must pair EXACTLY like a fresh
+  * full-corpus run, which StreamingMediaMaintenanceSpec pins against
+  * oracle-checked q182 over three file arrivals.
+  *
+  * 100 TB posture: per batch the work is one O(batch) narrow hash pass
+  * (no shuffle at all — the segment write is the only materialization);
+  * probe-time banding explodes DISTINCT fingerprints only, and
+  * [[DeltaDirs.compact]] bounds the probe's segment-listing cost by
+  * the compaction cadence, not the stream's age. */
+object StreamingMediaMaintenance {
+
+  private val fpsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fp", LongType)))
+
+  /** The accumulated delta fingerprints across all landed batches
+    * (additive segments need no strictly-before filtering at probe
+    * time). */
+  def deltaFps(s: SparkSession, deltaDir: String): DataFrame =
+    DeltaDirs.readSegs(s, deltaDir, "fps", fpsSchema)
+
+  /** The foreachBatch function: fingerprint the batch's payloads,
+    * append its (doc_id, fp) segment. Every frame derives from `batch`
+    * alone. Every `compactEvery` batches the accumulated segments fold
+    * into one compacted dir (0 disables). */
+  def mediaMaintain(deltaDir: String, compactEvery: Int = 500)
+      (batch: DataFrame, batchId: Long): Unit = {
+    graft.llm.MultimodalOps.mediaFps(batch)
+      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/fps")
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      DeltaDirs.compact(batch.sparkSession, deltaDir,
+        Seq("fps" -> fpsSchema), batchId)
+  }
+
+  /** Near-dup pairs over staged base ∪ streamed delta fingerprints —
+    * q186's probe with the delta unioned in. Must pair exactly like a
+    * fresh full-corpus run (the q182 contract). */
+  def pairsProbe(s: SparkSession, baseFps: DataFrame,
+      deltaDir: String): DataFrame =
+    graft.llm.MultimodalOps.fpPairs(graft.Materialize.stable(
+      baseFps.unionByName(deltaFps(s, deltaDir))))
+}

@@ -274,6 +274,34 @@ object ScaleSoak {
       graft.llm.NearDupOps.simhash(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
+    // Media perceptual near-dup (q182/q186) — the round-12
+    // combinatorial-banding scale readout: 20 keys of 30 bits give
+    // expected candidate pairs ~20·N²/2^30 over N distinct
+    // fingerprints, so BOTH the wall time and the candidate-pair count
+    // must grow ~linearly per decade below ~10^8 fingerprints (the
+    // 4×15-bit banding this replaced saturates its 2^15 buckets around
+    // 10^6 — its candidate count would grow ~100× per decade). The
+    // count is printed explicitly so the slope is observed, not
+    // inferred from time (which the O(bytes) hash pass dominates).
+    if (only.forall(_.contains("media_neardup"))) {
+      val mfps = graft.Materialize.stable(graft.llm.MultimodalOps.mediaFps(
+        spark.read.parquet(s"$dir/documents.parquet")))
+      time("media_neardup") {
+        graft.llm.MultimodalOps.fpPairs(mfps)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val bkeys = graft.llm.MultimodalOps.hammingBandKeys(col("fp"))
+      val bands = mfps.select("fp").distinct()
+        .select(col("fp"), explode(bkeys).as("bd"))
+        .select(col("fp"), col("bd.bno").as("bno"), col("bd.bval").as("bval"))
+      val nCand = bands.as("a").join(bands.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bval") === col("b.bval") &&
+          col("a.fp") < col("b.fp"))
+        .select(col("a.fp"), col("b.fp")).distinct().count()
+      val nFp = mfps.select("fp").distinct().count()
+      println(s"[soak] media_candidates         n_fp=$nFp n_cand=$nCand" +
+        s"  load=$loadavg")
+    }
     // ExactSubstr (q85) — the steepest inherent curve in the catalog:
     // the sampled-gram digest shuffle is O(corpus bytes / 16) by
     // construction, so its soak slope must stay ~linear per decade and

@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *      number against which the offline-rebuild/compaction cadence
   *      (the BandIndex contract) can be sized, not a guess.
   *
-  * Usage: runMain graft.tools.StreamSoak [digest|band] [nBatches]
+  * Usage: runMain graft.tools.StreamSoak
+  *   [digest|band|posting|ivf|semdedup|classifier|media] [nBatches]
   *   [rowsPerSecond] [reportEvery] [compactEvery]
   *
   * `compactEvery` (default 500, 0 = off) is the maintainer's
@@ -71,10 +72,31 @@ object StreamSoak {
     val root = java.nio.file.Files.createTempDirectory("streamsoak").toString
     val delta = s"$root/delta"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
 
-    val arrivals = spark.readStream.format("rate")
+    val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
+    val textArrivals = rate
       .select((lit(idOffset) + pmod(col("value"), lit(poolSize))).as("doc_id"))
       .withColumn("text", synthText(col("doc_id")))
+    // Vector arrivals for the embedding families — the ScaleSoak
+    // hash-derived recipe, ids DISJOINT per batch (value is monotone)
+    // so the additive IVF/semdedup contracts hold.
+    def synthEmbedding(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(id, i), lit(2001)) - 1000) / 1000.0).cast("float"))
+    // Label cardinality 10k, not the fixture's 10: the semdedup
+    // maintainer joins each batch against ALL seen vectors in its
+    // labels, so per-label density — not stream age — must bound that
+    // term (the k∝n SemDeDup contract ScaleSoak documents). What the
+    // soak then isolates is the segment-listing curve compaction owns.
+    val vecArrivals = rate
+      .select((lit(idOffset) + col("value")).as("vec_id"))
+      .select(col("vec_id"), synthEmbedding(col("vec_id")).as("embedding"),
+        pmod(col("vec_id"), lit(10000)).cast("int").as("label"))
+
+    val arrivals: DataFrame = which match {
+      case "ivf" | "semdedup" => vecArrivals
+      case _ => textArrivals
+    }
 
     val fn: (DataFrame, Long) => Unit = which match {
       case "digest" =>
@@ -98,7 +120,29 @@ object StreamSoak {
             .select(col("id").as("doc_id"), synthText(col("id")).as("text")))
         graft.streaming.StreamingBandMaintenance.bandMaintain(
           idx, store, delta, out, compactEvery) _
-      case other => sys.error(s"unknown maintainer: $other (digest|band)")
+      // The purely-additive families: the batch write depends on
+      // nothing but the batch, so their soak isolates the
+      // segment-listing/compaction cost curve with no base-probe term.
+      case "posting" =>
+        graft.streaming.StreamingPostingMaintenance.postingMaintain(
+          delta, compactEvery) _
+      case "ivf" =>
+        val idx = graft.llm.IvfIndex.ensure(spark, sfDir)
+        val centroids = spark.read.parquet(s"$idx/centroids")
+        graft.streaming.StreamingIvfMaintenance.ivfMaintain(
+          centroids, delta, compactEvery) _
+      case "semdedup" =>
+        graft.llm.SemDedupIndex.ensure(spark, sfDir)
+        graft.streaming.StreamingSemDedupMaintenance.semDedupMaintain(
+          graft.llm.SemDedupIndex.corpus(spark, sfDir), delta, compactEvery) _
+      case "classifier" =>
+        graft.streaming.StreamingClassifierMaintenance.classifierMaintain(
+          delta, compactEvery) _
+      case "media" =>
+        graft.streaming.StreamingMediaMaintenance.mediaMaintain(
+          delta, compactEvery) _
+      case other => sys.error(s"unknown maintainer: $other " +
+        "(digest|band|posting|ivf|semdedup|classifier|media)")
     }
 
     def loadavg: String =

@@ -109,4 +109,28 @@ class DeltaDirsSpec extends AnyFunSuite {
     assert(dirNames(root) == Seq("c2"))
     assert(rows(root, "") == Seq(0L, 1L, 2L))
   }
+
+  test("liveness: a markerless c dir AT the next watermark (crashed " +
+      "non-atomic publish) is healed, not renamed-onto — compact " +
+      "converges instead of throwing forever") {
+    val root = java.nio.file.Files.createTempDirectory("deltadirs6").toString
+    (0L to 2L).foreach(i => Seq(i).toDF("x").write.parquet(s"$root/b$i"))
+    val subs = Seq("" -> schema)
+    // the crash: a previous compact's rename onto c2 died mid-copy on a
+    // non-atomic FS, leaving a partial c2 WITHOUT the marker — and with
+    // garbage rows a reader must never see
+    Seq(777L).toDF("x").write.parquet(s"$root/c2")
+    assert(rows(root, "") == Seq(0L, 1L, 2L),
+      "partial markerless c2 must be invisible to readers")
+    // the replay recomputes the same watermark; without the heal the
+    // rename would NEST the tmp inside the leftover c2 (marker nested →
+    // readers skip forever) while prune deletes the inputs — row loss
+    assert(DeltaDirs.compact(spark, root, subs, 3L))
+    assert(dirNames(root) == Seq("c2"))
+    assert(rows(root, "") == Seq(0L, 1L, 2L),
+      "the healed publish must carry exactly the folded rows")
+    // and it stays stable
+    assert(!DeltaDirs.compact(spark, root, subs, 3L))
+    assert(rows(root, "") == Seq(0L, 1L, 2L))
+  }
 }

@@ -172,4 +172,49 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute, s"banded=${got.size} brute=${brute.size}")
   }
+
+  // scala twin of MultimodalOps.hammingBandKeys: 20 keys, one per
+  // 3-of-6 block triple
+  private def scalaBandKeys(fp: Long): Seq[(Int, Long)] = {
+    val blk = (0 until 6).map(i => (fp >>> (i * 10)) & 0x3FFL)
+    (0 until 6).combinations(3).toSeq.zipWithIndex.map { case (t, bno) =>
+      (bno, blk(t(0)) | (blk(t(1)) << 10) | (blk(t(2)) << 20))
+    }
+  }
+
+  test("combinatorial 3-of-6 banding: EVERY <=3-bit flip shares a key " +
+      "(exhaustive pigeonhole), 4 bits in 4 blocks does not") {
+    val base = 0x0ABCDEF123456789L & ((1L << 60) - 1)
+    val baseKeys = scalaBandKeys(base).toSet
+    def sharesKey(other: Long) =
+      scalaBandKeys(other).exists(baseKeys.contains)
+    // exhaustive over all 1-, 2-, 3-bit flips of a 60-bit fingerprint:
+    // 60 + 1770 + 34220 variants, incl. every adversarial placement
+    // (3 bits in 3 distinct blocks)
+    for (c <- Seq(1, 2, 3); bits <- (0 until 60).combinations(c)) {
+      val v = bits.foldLeft(base)((f, b) => f ^ (1L << b))
+      assert(sharesKey(v), s"missed flip of bits $bits")
+    }
+    // 4 bits spread over 4 distinct blocks leave only 2 intact blocks —
+    // no full triple survives, so no key collides (these pairs are
+    // outside the Hamming-3 contract; the exact verify would drop them
+    // anyway)
+    val spread4 = base ^ (1L << 0) ^ (1L << 10) ^ (1L << 20) ^ (1L << 30)
+    assert(!sharesKey(spread4))
+  }
+
+  test("column-form band keys agree with the scala twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    val fps = (0 until 128).map(i =>
+      (0x0123456789ABCDEFL * (i + 1) + 0x9E3779B97F4A7C15L * i) &
+        ((1L << 60) - 1))
+    val got = fps.toDF("fp")
+      .select(col("fp"), explode(MultimodalOps.hammingBandKeys(col("fp"))).as("bd"))
+      .select(col("fp"), col("bd.bno"), col("bd.bval"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = fps.flatMap(fp =>
+      scalaBandKeys(fp).map { case (bno, bval) => (fp, bno, bval) }).toSet
+    assert(got == want)
+  }
 }

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.{IvfIndex, PostingIndex, RetrievalOps, SemDedupIndex, VectorOps}
-import graft.streaming.{StreamingIvfMaintenance, StreamingPostingMaintenance, StreamingSemDedupMaintenance}
+import graft.llm.{IvfIndex, MediaFpIndex, MultimodalOps, PostingIndex, RetrievalOps, SelectionOps, SemDedupIndex, VectorOps}
+import graft.streaming.{StreamingClassifierMaintenance, StreamingIvfMaintenance, StreamingMediaMaintenance, StreamingPostingMaintenance, StreamingSemDedupMaintenance}
 
 /** The streaming-maintenance matrix, closed: postings, IVF lists, and
   * SemDedup components each grow under continuous ingest and must end
@@ -74,6 +74,85 @@ class StreamingPostingMaintenanceSpec extends AnyFunSuite {
     val after = Seq("postings", "doclen", "df", "stats").map(snap)
     assert(before == after, "replayed posting segments drifted")
     assert(before.head.nonEmpty, "vacuous replay check")
+  }
+}
+
+/** Streamed classifier-counts maintenance must refit to EXACTLY the
+  * from-scratch full-corpus fit (q183, oracle-backed): counts are
+  * mergeable integers, so base ∪ delta → merge → log-odds must be
+  * bit-identical to fitting the whole corpus at once. */
+class StreamingClassifierMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchDocs = graft.Tables.tSpread(spark, dir, "documents")
+    .filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id", "text")
+
+  test("streamed counts refit scores exactly like the full-corpus fit") {
+    val root = java.nio.file.Files.createTempDirectory("scm").toString
+    val delta = s"$root/delta"
+    val docs = graft.Tables.tSpread(spark, dir, "documents")
+    val baseCounts = graft.Materialize.stable(SelectionOps.classifierCounts(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)))
+    val ids = batchDocs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val fn = StreamingClassifierMaintenance.classifierMaintain(delta) _
+    ids.grouped((ids.length + 2) / 3).zipWithIndex.foreach { case (part, i) =>
+      fn(batchDocs.filter(col("doc_id").isin(part: _*)), i.toLong)
+    }
+    val got = StreamingClassifierMaintenance
+      .scoredProbe(spark, dir, baseCounts, delta)
+      .collect().map(_.toSeq)
+    val want = SelectionOps.qualityClassifier(spark, dir)
+      .collect().map(_.toSeq)
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      "streamed classifier refit drifted from the full-corpus fit")
+    // replay: additive segments, batch-keyed overwrite ⇒ byte-identical
+    def snap() = spark.read.parquet(s"$delta/b0/counts").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val before = snap()
+    fn(batchDocs.filter(col("doc_id").isin(
+      ids.take((ids.length + 2) / 3): _*)), 0L)
+    assert(snap() == before, "replayed counts segment drifted")
+  }
+}
+
+/** Streamed media-fingerprint maintenance must pair EXACTLY like the
+  * from-scratch full-corpus run (q182, oracle-backed pair-for-pair
+  * against DuckDB brute force). */
+class StreamingMediaMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchDocs = graft.Tables.tSpread(spark, dir, "documents")
+    .filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id", "text")
+
+  test("streamed fingerprint delta pairs exactly like the full corpus") {
+    val root = java.nio.file.Files.createTempDirectory("smm").toString
+    val delta = s"$root/delta"
+    MediaFpIndex.ensure(spark, dir)
+    val base = MediaFpIndex.fps(spark, dir)
+    val ids = batchDocs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val fn = StreamingMediaMaintenance.mediaMaintain(delta) _
+    ids.grouped((ids.length + 2) / 3).zipWithIndex.foreach { case (part, i) =>
+      fn(batchDocs.filter(col("doc_id").isin(part: _*)), i.toLong)
+    }
+    val got = StreamingMediaMaintenance.pairsProbe(spark, base, delta)
+      .collect().map(_.toSeq)
+    val want = MultimodalOps.mediaPerceptualNearDup(spark, dir)
+      .collect().map(_.toSeq)
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      "streamed media pairs drifted from the full-corpus run")
+    // replay: additive segments, batch-keyed overwrite ⇒ byte-identical
+    def snap() = spark.read.parquet(s"$delta/b1/fps").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val t1 = ids.grouped((ids.length + 2) / 3).toSeq(1)
+    val before = snap()
+    fn(batchDocs.filter(col("doc_id").isin(t1: _*)), 1L)
+    assert(snap() == before, "replayed fps segment drifted")
   }
 }
 
