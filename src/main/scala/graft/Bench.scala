@@ -45,6 +45,7 @@ object Bench {
         graft.llm.BandIndex.Boundary.all)
       graft.llm.PostingIndex.ensure(spark, sfDir)
       graft.llm.SemDedupIndex.ensure(spark, sfDir)
+      graft.llm.MediaFpIndex.ensure(spark, sfDir)
       graft.ops.GraphIndex.ensure(spark, sfDir)
     } catch { case _: Throwable => () }
     // noop sink materializes EVERY column — count() would let Catalyst
