@@ -53,9 +53,11 @@ class CompactionSpec extends AnyFunSuite {
         .collect().map(_.toSeq.toSeq).sortBy(_.mkString("|")).toSeq ==
       StreamingIndexMaintenance.deltaDigests(spark, s"$root/dp")
         .collect().map(_.toSeq.toSeq).sortBy(_.mkString("|")).toSeq)
-    // cadence 1 after batch 3: segments 0..2 folded into c2, only the
-    // in-flight batch's own segment remains as a b dir
-    assert(entries(s"$root/dc") == Seq("b3", "c2"), entries(s"$root/dc"))
+    // cadence 1 after batch 3: tiered chain t0_1 (spans 2) + t2_2
+    // (span 1) — geometric invariant stable — plus only the in-flight
+    // batch's own segment as a b dir
+    assert(entries(s"$root/dc") == Seq("b3", "t0_1", "t2_2"),
+      entries(s"$root/dc"))
     assert(entries(s"$root/dp") == Seq("b0", "b1", "b2", "b3"))
   }
 
@@ -68,13 +70,13 @@ class CompactionSpec extends AnyFunSuite {
       base, delta, out, compactEvery = 1) _
     fn(Seq(1L -> "alpha", 2L -> "alpha").toDF("doc_id", "text"), 0L)
     val b1 = Seq(11L -> "alpha", 12L -> "beta").toDF("doc_id", "text")
-    fn(b1, 1L) // first attempt: compacts b0 → c0, then the commit is "lost"
-    assert(entries(delta) == Seq("b1", "c0"), entries(delta))
+    fn(b1, 1L) // first attempt: compacts b0 → t0_0, then the commit is "lost"
+    assert(entries(delta) == Seq("b1", "t0_0"), entries(delta))
     val flagsA = snap(s"$out/b1"); val deltaA = snap(s"$delta/b1")
     fn(b1, 1L) // replay reads the folded world
     assert(snap(s"$out/b1") == flagsA, "replayed flags drifted across compaction")
     assert(snap(s"$delta/b1") == deltaA, "replayed delta drifted across compaction")
-    // semantic pin: 11 still dedups against batch 0's rep THROUGH c0
+    // semantic pin: 11 still dedups against batch 0's rep THROUGH t0_0
     val flags = spark.read.parquet(s"$out/b1").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(flags == Map(11L -> ((1L, true)), 12L -> ((-1L, false))), s"got $flags")
@@ -115,6 +117,6 @@ class CompactionSpec extends AnyFunSuite {
           .collect().map(_.toSeq.toSeq).sortBy(_.mkString("|")).toSeq,
         s"delta $sub drifted under compaction")
     }
-    assert(entries(s"$root/dc") == Seq("b2", "c1"), entries(s"$root/dc"))
+    assert(entries(s"$root/dc") == Seq("b2", "t0_1"), entries(s"$root/dc"))
   }
 }
