@@ -60,7 +60,8 @@ object BandIndex {
     val all: Boundary = Boundary("batch=none", _ => lit(false))
     /** The fixture ingest stand-in shared by q76/q84: docs with
       * id ≡ 7 (mod 10) are "the incoming batch". */
-    val ingestMod10: Boundary = Boundary("batch=mod10eq7", NearDupOps.isNewDoc)
+    val ingestMod10: Boundary =
+      Boundary(NearDupOps.isNewDocKey, NearDupOps.isNewDoc)
   }
 
   /** Bump on any change to staged schemas or kernel code. Band

@@ -282,6 +282,58 @@ object CorpusOps {
       docs.filter(col("doc_id") % 7 =!= 3).select(col("doc_id"), col("text")))
   }
 
+  /** Cross-snapshot dedup-cluster provenance — the audit a curation
+    * team runs after every recrawl (builds on q88's per-doc content
+    * diff and q115's dedup curve): which docs changed DUP-CLUSTER
+    * membership between two corpus versions — clusters that gained
+    * members (merged), lost members (split), or got a new canonical
+    * representative (the id every downstream dedup decision keys on).
+    * Clusters are lead-fingerprint groups — md5 of the first
+    * 10 tokens, the boilerplate-prefix clustering of q187's paragraph
+    * unit (exact-text clusters are all singletons in the fixture, so
+    * the lead unit is what carries real merge/split structure);
+    * canonical = min doc_id, the q35 rule.
+    *
+    * Snapshot drift is simulated deterministically like q88: old =
+    * docs with id%10 ≠ 7 (batch 7 not yet crawled — the q76/q84 ingest
+    * boundary), new = docs with id%10 ≠ 3 (batch 3 expired in the
+    * recrawl). Statuses: `recanonicalized` (canonical changed — every
+    * stored dedup decision keyed on it is stale), `merged` / `split`
+    * (membership grew / shrank under the same canonical), `unchanged`,
+    * and `added` / `removed` for docs in only one snapshot.
+    *
+    * Scale shape: docs reduce AT THE SCAN to (doc_id, 16-byte key,
+    * two booleans); ONE hash aggregation on the key computes both
+    * snapshots' (canon, size) via conditional min/sum — the two corpus
+    * versions are NOT scanned or clustered separately; the join back
+    * keys on 16 bytes. Text never rides a shuffle. */
+  def clusterDiff(s: SparkSession, dir: String): DataFrame = {
+    val tk = graft.functions.Tokenize.tokens(col("text"))
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(array_join(slice(tk, 1, 10), " ")).as("ck"),
+        (col("doc_id") % 10 =!= 7).as("in_old"),
+        (col("doc_id") % 10 =!= 3).as("in_new"))
+    val clusters = keyed.groupBy("ck").agg(
+      min(when(col("in_old"), col("doc_id"))).as("old_canon"),
+      sum(when(col("in_old"), 1L).otherwise(0L)).as("old_size"),
+      min(when(col("in_new"), col("doc_id"))).as("new_canon"),
+      sum(when(col("in_new"), 1L).otherwise(0L)).as("new_size"))
+    keyed.join(clusters, "ck")
+      .select(col("doc_id"),
+        when(col("in_old"), col("old_canon")).otherwise(-1L).as("old_canon"),
+        when(col("in_old"), col("old_size")).otherwise(0L).as("old_size"),
+        when(col("in_new"), col("new_canon")).otherwise(-1L).as("new_canon"),
+        when(col("in_new"), col("new_size")).otherwise(0L).as("new_size"),
+        when(!col("in_old"), "added")
+          .when(!col("in_new"), "removed")
+          .when(col("old_canon") =!= col("new_canon"), "recanonicalized")
+          .when(col("new_size") > col("old_size"), "merged")
+          .when(col("new_size") < col("old_size"), "split")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Adjacent-token-pair frequencies — the counting step of one
     * BPE/WordPiece merge round (Sennrich et al. 2016 §3.2, lifted from
     * chars to whitespace tokens): the top-20 most frequent adjacent
@@ -514,6 +566,7 @@ object CorpusOps {
     "q149_length_dup_calibration" -> lengthDupCalibration,
     "q163_source_datasheet" -> sourceDatasheet,
     "q88_snapshot_diff" -> snapshotDiff,
+    "q188_cluster_diff" -> clusterDiff,
     "q89_token_pair_merges" -> tokenPairMerges,
     "q95_lm_perplexity" -> lmPerplexity,
     "q98_heavy_hitters" -> ((s, dir) => heavyHitters(s, dir)),
@@ -657,6 +710,34 @@ object CorpusOps {
         |    / COUNT(*) AS dup_frac
         |FROM d JOIN g ON d.digest = g.digest
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q188_cluster_diff" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(
+        |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 10), ' ')) AS ck,
+        |    doc_id % 10 <> 7 AS in_old,
+        |    doc_id % 10 <> 3 AS in_new
+        |  FROM documents),
+        |c AS (
+        |  SELECT ck,
+        |    MIN(CASE WHEN in_old THEN doc_id END) AS old_canon,
+        |    CAST(SUM(CASE WHEN in_old THEN 1 ELSE 0 END) AS BIGINT) AS old_size,
+        |    MIN(CASE WHEN in_new THEN doc_id END) AS new_canon,
+        |    CAST(SUM(CASE WHEN in_new THEN 1 ELSE 0 END) AS BIGINT) AS new_size
+        |  FROM k GROUP BY ck)
+        |SELECT k.doc_id,
+        |  CASE WHEN in_old THEN old_canon ELSE -1 END AS old_canon,
+        |  CASE WHEN in_old THEN old_size ELSE 0 END AS old_size,
+        |  CASE WHEN in_new THEN new_canon ELSE -1 END AS new_canon,
+        |  CASE WHEN in_new THEN new_size ELSE 0 END AS new_size,
+        |  CASE WHEN NOT in_old THEN 'added'
+        |       WHEN NOT in_new THEN 'removed'
+        |       WHEN old_canon <> new_canon THEN 'recanonicalized'
+        |       WHEN new_size > old_size THEN 'merged'
+        |       WHEN new_size < old_size THEN 'split'
+        |       ELSE 'unchanged' END AS status
+        |FROM k JOIN c USING (ck)
+        |ORDER BY doc_id""".stripMargin,
     "q88_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id, md5(substr(text, 1, 120)) AS old_digest

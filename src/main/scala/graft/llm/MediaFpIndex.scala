@@ -31,7 +31,7 @@ object MediaFpIndex {
   def indexDir(s: SparkSession, dir: String): String = {
     val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/documents.parquet")
     graft.StagedAsset.dir("mediafp", s"$dir|$corpus|mediafp" +
-      s"|batch=mod10eq7|v=$LayoutVersion")
+      s"|${NearDupOps.isNewDocKey}|v=$LayoutVersion")
   }
 
   /** Offline build over the corpus side (doc_id % 10 ≠ 7): hash every

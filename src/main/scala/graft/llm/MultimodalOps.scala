@@ -317,6 +317,29 @@ object MultimodalOps {
     fpPairs(graft.Materialize.stable(base.unionByName(batch)))
   }
 
+  /** Observability for the banding candidate budget on the shared
+    * [[fpPairs]] tail (the media port of [[NearDupOps.saturatedBands]],
+    * r12 verdict item 2): buckets holding more than [[SaturatedBucket]]
+    * DISTINCT fingerprints. Unlike the text-LSH family there is no
+    * hub-star guard here — the bucket join is COMPLETE (that is what
+    * makes retrieval exact), so a hot bucket of n fingerprints costs
+    * ~n²/2 candidate rows before the Hamming verify; this view makes
+    * that budget loud instead of silent. Non-zero is not an error —
+    * pairing stays exact — it is the signal to widen the band keys
+    * (4-of-8 blocks buys 2^10× more bucket space at Hamming ≤ 3... the
+    * PartEnum dial) before the quadratic term lands. Asserted empty on
+    * the shipped fixtures and fired on a synthetic hot-bucket corpus in
+    * MultimodalSpec; the media ScaleSoak prints it per decade. */
+  private[graft] val SaturatedBucket = 100L
+
+  def saturatedMediaBuckets(fps: DataFrame): DataFrame =
+    fps.select("fp").distinct()
+      .select(explode(hammingBandKeys(col("fp"))).as("bd"))
+      .groupBy(col("bd.bno").as("bno"), col("bd.bval").as("bval"))
+      .agg(count(lit(1)).as("n_fps"))
+      .filter(col("n_fps") > SaturatedBucket)
+      .orderBy("bno", "bval")
+
   /** The collapse-then-band pair tail over a PINNED (doc_id, fp) frame:
     * band distinct fingerprints, bucket-join, exact-Hamming verify,
     * expand members by id joins. Shared by q182 (full corpus), q186

@@ -490,6 +490,14 @@ object NearDupOps {
     * existing corpus". In production this is a real batch table. */
   private[llm] def isNewDoc(c: Column): Column = pmod(c, lit(10)) === 7
 
+  /** The staged-asset cache-key fragment describing [[isNewDoc]] —
+    * defined NEXT TO the predicate so every index keyed on this
+    * boundary (BandIndex/PostingIndex boundaries, SemDedupIndex,
+    * MediaFpIndex) derives the fragment from here and a boundary
+    * change cannot leave a stale cache key describing content it no
+    * longer matches (ADVICE r12). */
+  private[llm] val isNewDocKey = "batch=mod10eq7"
+
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame =
     incrementalNearDup(s, dir, isNewDoc)
 

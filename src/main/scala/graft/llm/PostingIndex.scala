@@ -38,7 +38,8 @@ object PostingIndex {
     val all: Boundary = Boundary("batch=none", _ => lit(false))
     /** The fixture ingest stand-in (doc_id ≡ 7 mod 10 is the batch),
       * shared with BandIndex/IvfIndex maintenance queries. */
-    val ingestMod10: Boundary = Boundary("batch=mod10eq7", NearDupOps.isNewDoc)
+    val ingestMod10: Boundary =
+      Boundary(NearDupOps.isNewDocKey, NearDupOps.isNewDoc)
   }
 
   /** Bump on any change to staged schemas or the tokenizer contract. */

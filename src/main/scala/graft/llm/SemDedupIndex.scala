@@ -45,7 +45,7 @@ object SemDedupIndex {
   def indexDir(s: SparkSession, dir: String): String = {
     val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/embeddings.parquet")
     graft.StagedAsset.dir("semdedup", s"$dir|$corpus|semdedup" +
-      s"|thr=$SimThreshold|batch=mod10eq7|v=$LayoutVersion")
+      s"|thr=$SimThreshold|${NearDupOps.isNewDocKey}|v=$LayoutVersion")
   }
 
   /** Offline build over the corpus side (vec_id % 10 ≠ 7): the

@@ -402,7 +402,78 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Paragraph-level dedup — the CCNet shape (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020 §4.2): dedup BELOW document granularity, the
+    * most common real-pipeline cleanup (boilerplate lines and repeated
+    * paragraphs across pages survive every document-level pass in this
+    * catalog — q35 exact, q43 MinHash, q45 SimHash, q90 semantic,
+    * q182 media). Split each document into paragraphs, digest each,
+    * keep only the corpus-wide FIRST occurrence of every distinct
+    * paragraph (ordered by doc_id then position — deterministic, the
+    * CCNet rule), and emit per-document removal stats plus the cleaned
+    * text with surviving paragraphs in original order.
+    *
+    * The fixture text carries no newlines, so the paragraph unit is a
+    * fixed window of 10 whitespace tokens — the unit is a parameter of
+    * the shape, not the algorithm.
+    *
+    * Scale shape: paragraphs are produced map-side (posexplode of a
+    * slice/array_join transform — no shuffle); canonical occurrence is
+    * `min(struct(doc_id, pos))` under a hash aggregation on the
+    * 128-bit digest — NO window over the corpus, so nothing ever
+    * single-partitions (the oracle uses ROW_NUMBER, the plan does
+    * not). The digest aggregation and the join back both key on 16
+    * bytes; paragraph text rides exactly one exchange (the join back),
+    * which is unavoidable because the output must reconstruct cleaned
+    * text. Repartition-invariant by construction (min-struct is
+    * order-free; ParagraphDedupSpec pins it). */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val paraTok = 10
+    val toked = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val paras = toked
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L),
+            ceil(size(col("toks")).cast("double") / paraTok)
+              .cast("long") - 1),
+          i => array_join(
+            slice(col("toks"), (i * paraTok + 1).cast("int"), lit(paraTok)),
+            " "))))
+      .toDF("doc_id", "para_idx", "para")
+      .withColumn("dg", md5(col("para")))
+    val firsts = paras.groupBy("dg")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("first"))
+    val stats = paras.join(firsts, "dg")
+      .withColumn("is_first",
+        col("doc_id") === col("first.doc_id") &&
+          col("para_idx") === col("first.para_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("is_first"), struct(col("para_idx"), col("para"))))),
+          x => x.getField("para")), " ").as("cleaned_text"))
+    docs.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_paras") - col("n_kept"), lit(0L)).as("n_dropped"),
+        coalesce((col("n_paras") - col("n_kept")).cast("double")
+          / col("n_paras"), lit(0.0)).as("dup_frac"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame =
+    paragraphDedup(t(s, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_paragraph_dedup" -> ((s, dir) => paragraphDedup(s, dir)),
     "q68_decontaminate" -> decontaminate,
     "q92_bloom_decontaminate" -> bloomDecontaminate,
     "q69_redact_pii"    -> redactPii,
@@ -424,6 +495,43 @@ object TextOps {
     "q37_json_props"    -> jsonProps)
 
   val oracleSql: Map[String, String] = Map(
+    // q187: same first-occurrence rule via ROW_NUMBER over (doc_id,
+    // para_idx) per paragraph digest — the oracle may single-partition,
+    // the plan must not.
+    "q187_paragraph_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, list_transform(
+        |      generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1),
+        |      i -> array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')) AS ps
+        |  FROM tk),
+        |paras AS (
+        |  SELECT doc_id, unnest(ps) AS para,
+        |    unnest(generate_series(0, len(ps) - 1)) AS para_idx
+        |  FROM pl),
+        |marked AS (
+        |  SELECT doc_id, para_idx, para,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(para)
+        |                       ORDER BY doc_id, para_idx) = 1 AS is_first
+        |  FROM paras),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |    CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    COALESCE(string_agg(para, ' ' ORDER BY para_idx)
+        |             FILTER (WHERE is_first), '') AS cleaned_text
+        |  FROM marked GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_paras, 0) AS n_paras,
+        |  COALESCE(s.n_kept, 0) AS n_kept,
+        |  COALESCE(s.n_paras - s.n_kept, 0) AS n_dropped,
+        |  CASE WHEN COALESCE(s.n_paras, 0) = 0 THEN 0.0
+        |       ELSE CAST(s.n_paras - s.n_kept AS DOUBLE) / s.n_paras END AS dup_frac,
+        |  COALESCE(s.cleaned_text, '') AS cleaned_text
+        |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q54: the md5-keyed winnowing stream replayed in SQL — per-position
     // gram hash substr(md5(substr(text,i,8)),1,16), sliding window-of-16
     // minima over positions (the clamp i <= greatest(1, L-22) mirrors

@@ -48,7 +48,16 @@ object StreamingClassifierMaintenance {
     * its counts segment. Every frame derives from `batch` alone. Every
     * `compactEvery` batches the accumulated segments fold into one
     * compacted dir so listing cost is bounded by the cadence (0
-    * disables). */
+    * disables).
+    *
+    * Arrival contract: docs must be FIRST-SEEN — same disjointness the
+    * IVF/semdedup maintainers require of vecArrivals (ADVICE r12). The
+    * counts algebra is a SUM, so a doc re-delivered in a later batch
+    * (not a replay of the same batchId, which the keyed overwrite
+    * absorbs) double-counts its buckets and skews the refit toward
+    * re-crawled content. A recrawl stream must dedup upstream (the
+    * digest maintainer is exactly that filter) before feeding this
+    * family. */
   def classifierMaintain(deltaDir: String, compactEvery: Int = 500)
       (batch: DataFrame, batchId: Long): Unit = {
     graft.llm.SelectionOps.classifierCounts(batch)

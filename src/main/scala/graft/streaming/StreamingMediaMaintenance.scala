@@ -60,9 +60,20 @@ object StreamingMediaMaintenance {
 
   /** Near-dup pairs over staged base ∪ streamed delta fingerprints —
     * q186's probe with the delta unioned in. Must pair exactly like a
-    * fresh full-corpus run (the q182 contract). */
+    * fresh full-corpus run (the q182 contract).
+    *
+    * The union dedups on (doc_id, fp) first: a RE-DELIVERED doc — not
+    * a replay of the same batchId, but the same doc arriving again in
+    * a later batch, the steady state of a recrawl stream — lands its
+    * (doc_id, fp) row in two segments, and duplicate keyed rows would
+    * multiply member-expansion join output and break the exactly-like-
+    * full-corpus contract (ADVICE r12). Keys only — two longs — so the
+    * dedup shuffle is narrow, and fpPairs' banding already collapses
+    * to distinct fps internally, so this adds one exchange over keys,
+    * nothing payload-sized. */
   def pairsProbe(s: SparkSession, baseFps: DataFrame,
       deltaDir: String): DataFrame =
     graft.llm.MultimodalOps.fpPairs(graft.Materialize.stable(
-      baseFps.unionByName(deltaFps(s, deltaDir))))
+      baseFps.unionByName(deltaFps(s, deltaDir))
+        .dropDuplicates("doc_id", "fp")))
 }

@@ -301,6 +301,13 @@ object ScaleSoak {
       val nFp = mfps.select("fp").distinct().count()
       println(s"[soak] media_candidates         n_fp=$nFp n_cand=$nCand" +
         s"  load=$loadavg")
+      // The media twin of the saturated_bands line below: hot buckets
+      // make the (exact, guard-free) bucket join quadratic — the count
+      // must stay 0 until the decade where 20·N/2^30 keys per bucket
+      // stops being sparse, and any non-zero here is the cue to widen
+      // the band keys before that quadratic term lands.
+      val nHot = graft.llm.MultimodalOps.saturatedMediaBuckets(mfps).count()
+      println(s"[soak] media_saturated_buckets  n=$nHot  load=$loadavg")
     }
     // ExactSubstr (q85) — the steepest inherent curve in the catalog:
     // the sampled-gram digest shuffle is O(corpus bytes / 16) by

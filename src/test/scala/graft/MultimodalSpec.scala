@@ -217,4 +217,30 @@ class MultimodalSpec extends AnyFunSuite {
       scalaBandKeys(fp).map { case (bno, bval) => (fp, bno, bval) }).toSet
     assert(got == want)
   }
+
+  test("saturated-bucket counter: empty on the fixture, fires on a " +
+      "synthetic hot-bucket corpus (r12 verdict item 2)") {
+    import spark.implicits._
+    // fixture: the shipped corpus must band sparsely
+    val fixtureFps = MultimodalOps.mediaFps(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    assert(MultimodalOps.saturatedMediaBuckets(fixtureFps).isEmpty,
+      "shipped fixture must not saturate any media bucket")
+    // synthetic hot bucket: 151 distinct fingerprints sharing blocks
+    // 0-2 (bits 0-29) with EVERY high block (3, 4 and 5) varying per
+    // fingerprint — so they all land in ONE bucket of the (0,1,2)
+    // triple while every triple touching a high block scatters into
+    // singletons. 151 > SaturatedBucket=100 fires it.
+    val base = 0x15A4E35L // low 30 bits shared
+    val hot = (1 to 151)
+      .map(i => base | (i.toLong << 30) | (i.toLong << 40) | (i.toLong << 50))
+      .toDF("fp")
+      .withColumn("doc_id", col("fp")) // shape only; ids unused
+    val fired = MultimodalOps.saturatedMediaBuckets(hot).collect()
+    assert(fired.length == 1, fired.mkString(","))
+    assert(fired(0).getLong(2) == 151L)
+    // bno 0 is the (0,1,2) triple in combinations order; its bval is
+    // exactly the shared low 30 bits
+    assert(fired(0).getInt(0) == 0 && fired(0).getLong(1) == base.toLong)
+  }
 }
