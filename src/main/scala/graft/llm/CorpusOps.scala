@@ -309,11 +309,15 @@ object CorpusOps {
     * keys on 16 bytes. Text never rides a shuffle. */
   def clusterDiff(s: SparkSession, dir: String): DataFrame = {
     val tk = graft.functions.Tokenize.tokens(col("text"))
-    val keyed = t(s, dir, "documents")
+    // Materialized (the q109 rule): keyed feeds the cluster aggregation
+    // AND the join back — unmaterialized, each consumer re-scans and
+    // re-digests the corpus. Narrow by construction: 8+16 bytes + two
+    // booleans per doc, text never survives past this line.
+    val keyed = graft.Materialize.stable(t(s, dir, "documents")
       .select(col("doc_id"),
         md5(array_join(slice(tk, 1, 10), " ")).as("ck"),
         (col("doc_id") % 10 =!= 7).as("in_old"),
-        (col("doc_id") % 10 =!= 3).as("in_new"))
+        (col("doc_id") % 10 =!= 3).as("in_new")))
     val clusters = keyed.groupBy("ck").agg(
       min(when(col("in_old"), col("doc_id"))).as("old_canon"),
       sum(when(col("in_old"), 1L).otherwise(0L)).as("old_size"),

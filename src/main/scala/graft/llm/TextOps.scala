@@ -432,7 +432,10 @@ object TextOps {
     val paraTok = 10
     val toked = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val paras = toked
+    // Materialized (the q109 rule): paras feeds BOTH the canonical-
+    // occurrence aggregation and the join-back — unmaterialized, each
+    // consumer re-scans and re-tokenizes the corpus.
+    val paras = graft.Materialize.stable(toked
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         posexplode(transform(
@@ -443,7 +446,7 @@ object TextOps {
             slice(col("toks"), (i * paraTok + 1).cast("int"), lit(paraTok)),
             " "))))
       .toDF("doc_id", "para_idx", "para")
-      .withColumn("dg", md5(col("para")))
+      .withColumn("dg", md5(col("para"))))
     val firsts = paras.groupBy("dg")
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("first"))
     val stats = paras.join(firsts, "dg")
