@@ -428,14 +428,16 @@ object TextOps {
     * which is unavoidable because the output must reconstruct cleaned
     * text. Repartition-invariant by construction (min-struct is
     * order-free; ParagraphDedupSpec pins it). */
-  def paragraphDedup(docs: DataFrame): DataFrame = {
+  /** The 10-token paragraph units of a (doc_id, text) frame as
+    * (doc_id, para_idx, para, dg=md5(para)) rows, produced map-side
+    * (posexplode over a slice/array_join transform — no shuffle) and
+    * PINNED (the q109 rule: both paragraph-dedup forms feed the frame
+    * to a digest aggregation AND a join-back; unmaterialized, each
+    * consumer re-scans and re-tokenizes the corpus). */
+  private def paraFrame(docs: DataFrame): DataFrame = {
     val paraTok = 10
-    val toked = docs
+    graft.Materialize.stable(docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    // Materialized (the q109 rule): paras feeds BOTH the canonical-
-    // occurrence aggregation and the join-back — unmaterialized, each
-    // consumer re-scans and re-tokenizes the corpus.
-    val paras = graft.Materialize.stable(toked
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         posexplode(transform(
@@ -447,12 +449,23 @@ object TextOps {
             " "))))
       .toDF("doc_id", "para_idx", "para")
       .withColumn("dg", md5(col("para"))))
-    val firsts = paras.groupBy("dg")
-      .agg(min(struct(col("doc_id"), col("para_idx"))).as("first"))
-    val stats = paras.join(firsts, "dg")
-      .withColumn("is_first",
-        col("doc_id") === col("first.doc_id") &&
-          col("para_idx") === col("first.para_idx"))
+  }
+
+  /** Keep exactly the paragraph occurrences whose (rank…) struct is the
+    * per-digest minimum, and fold per-doc stats + cleaned text for the
+    * docs of `outDocs`. Shared tail of [[paragraphDedup]] (rank =
+    * (doc_id, para_idx)) and [[paragraphDedupIncremental]] (rank =
+    * (is_batch, doc_id, para_idx) — corpus occurrences beat batch
+    * ones). The canonical pick is a `min(struct(...))` under a hash
+    * aggregation on the 128-bit digest — NO window over the corpus, so
+    * nothing single-partitions, and the result is repartition-invariant
+    * (min is order-free). */
+  private def dedupTail(paras: DataFrame, rank: Seq[org.apache.spark.sql.Column],
+      outDocs: DataFrame): DataFrame = {
+    val ranked = paras.withColumn("rk", struct(rank: _*))
+    val firsts = ranked.groupBy("dg").agg(min(col("rk")).as("first"))
+    val stats = ranked.join(firsts, "dg")
+      .withColumn("is_first", col("rk") === col("first"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_paras"),
@@ -460,7 +473,7 @@ object TextOps {
         array_join(transform(array_sort(collect_list(
           when(col("is_first"), struct(col("para_idx"), col("para"))))),
           x => x.getField("para")), " ").as("cleaned_text"))
-    docs.select(col("doc_id"))
+    outDocs.select(col("doc_id"))
       .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_paras"), lit(0L)).as("n_paras"),
@@ -472,11 +485,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  def paragraphDedup(docs: DataFrame): DataFrame =
+    dedupTail(paraFrame(docs), Seq(col("doc_id"), col("para_idx")), docs)
+
   def paragraphDedup(s: SparkSession, dir: String): DataFrame =
     paragraphDedup(t(s, dir, "documents"))
 
+  /** Incremental (recrawl) paragraph dedup — q187's first-occurrence
+    * rule with the EXISTING corpus always winning: a batch paragraph
+    * survives iff its digest appears nowhere in the corpus side and
+    * this is its first occurrence within the batch (by doc_id then
+    * position). This is CCNet's production form — each new crawl dump
+    * is cleaned against the corpus already kept — and the paragraph
+    * analogue of q76's incremental near-dup; the same mod-10 ingest
+    * boundary plays the batch. Output rows are batch docs only.
+    *
+    * Scale shape: rank = (is_batch, doc_id, pos) folds the corpus-vs-
+    * batch precedence into the SAME single min(struct) digest
+    * aggregation q187 uses — no second pass, no anti-join; at
+    * production scale the corpus side's (dg, first) table is a staged
+    * output rebuilt per corpus version (the BandIndex/q84 pattern),
+    * and only the batch is split per run. */
+  def paragraphDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val paras = paraFrame(docs)
+      .withColumn("is_batch",
+        when(NearDupOps.isNewDoc(col("doc_id")), 1L).otherwise(0L))
+    dedupTail(paras,
+      Seq(col("is_batch"), col("doc_id"), col("para_idx")),
+      docs.filter(NearDupOps.isNewDoc(col("doc_id"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_paragraph_dedup" -> ((s, dir) => paragraphDedup(s, dir)),
+    "q189_paragraph_dedup_incremental" -> paragraphDedupIncremental,
     "q68_decontaminate" -> decontaminate,
     "q92_bloom_decontaminate" -> bloomDecontaminate,
     "q69_redact_pii"    -> redactPii,
@@ -534,6 +576,44 @@ object TextOps {
         |       ELSE CAST(s.n_paras - s.n_kept AS DOUBLE) / s.n_paras END AS dup_frac,
         |  COALESCE(s.cleaned_text, '') AS cleaned_text
         |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q189: q187's rule with corpus occurrences ranked ahead of batch
+    // occurrences, output restricted to the batch side.
+    "q189_paragraph_dedup_incremental" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, list_transform(
+        |      generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1),
+        |      i -> array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')) AS ps
+        |  FROM tk),
+        |paras AS (
+        |  SELECT doc_id, unnest(ps) AS para,
+        |    unnest(generate_series(0, len(ps) - 1)) AS para_idx
+        |  FROM pl),
+        |marked AS (
+        |  SELECT doc_id, para_idx, para,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(para)
+        |      ORDER BY CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END,
+        |               doc_id, para_idx) = 1 AS is_first
+        |  FROM paras),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |    CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    COALESCE(string_agg(para, ' ' ORDER BY para_idx)
+        |             FILTER (WHERE is_first), '') AS cleaned_text
+        |  FROM marked WHERE doc_id % 10 = 7 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_paras, 0) AS n_paras,
+        |  COALESCE(s.n_kept, 0) AS n_kept,
+        |  COALESCE(s.n_paras - s.n_kept, 0) AS n_dropped,
+        |  CASE WHEN COALESCE(s.n_paras, 0) = 0 THEN 0.0
+        |       ELSE CAST(s.n_paras - s.n_kept AS DOUBLE) / s.n_paras END AS dup_frac,
+        |  COALESCE(s.cleaned_text, '') AS cleaned_text
+        |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+        |WHERE d.doc_id % 10 = 7
         |ORDER BY d.doc_id""".stripMargin,
     // q54: the md5-keyed winnowing stream replayed in SQL — per-position
     // gram hash substr(md5(substr(text,i,8)),1,16), sliding window-of-16

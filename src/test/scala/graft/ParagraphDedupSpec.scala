@@ -67,6 +67,32 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(r.getLong(1) > 0)
   }
 
+  test("q189: corpus occurrences beat batch occurrences regardless of " +
+      "doc_id; batch-internal dups keep their first occurrence") {
+    val root = java.nio.file.Files.createTempDirectory("pdedup").toString
+    // corpus doc 20 owns para A; batch docs 7 and 17 re-crawl it (7 <
+    // 20, so a plain (doc_id, pos) rank would WRONGLY keep doc 7's
+    // copy); batch docs 7 and 17 share para B, absent in the corpus.
+    Seq(
+      (7L, p("a") + " " + p("b")),
+      (17L, p("b") + " " + p("c")),
+      (20L, p("a") + " " + p("d"))
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("web").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(s"$root/documents.parquet")
+    val out = graft.llm.TextOps.paragraphDedupIncremental(spark, root)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(5))))
+      .toMap
+    assert(out.keySet == Set(7L, 17L), "output is batch docs only")
+    assert(out(7L) == ((2L, 1L, p("b"))),
+      "para A loses to the corpus even though 7 < 20; para B is first")
+    assert(out(17L) == ((2L, 1L, p("c"))),
+      "para B's batch-internal second occurrence drops")
+  }
+
   test("q188: status algebra is coherent with the snapshot boundaries") {
     val out = CorpusOps.clusterDiff(spark, sfDir).collect()
     assert(out.nonEmpty)
