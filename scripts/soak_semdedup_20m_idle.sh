@@ -12,7 +12,11 @@ cd /root/repo
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 OPS="semdedup_index_build,semdedup_staged_probe,fixed_batch_semdedup_probe"
-for reps in 100 1000; do
+# ScaleSoak's reps multiplies the 2000-vector fixture: the r12 decade
+# points were reps=1000 (2M vectors) and reps=10000 (20M) — the first
+# r13 launch of this script mistakenly ran 100/1000 (200k/2M; that 2M
+# point, measured idle, is kept in the log as corroboration).
+for reps in 1000 10000; do
   echo "=== semdedup reps=$reps start $(date -u +%H:%M:%S) loadavg=$(cut -d' ' -f1 /proc/loadavg)"
   java $OPENS -Xmx32g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.tools.ScaleSoak $reps synthetic "$OPS" 2>&1 | grep -E "^\[soak\]"

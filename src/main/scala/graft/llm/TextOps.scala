@@ -434,9 +434,16 @@ object TextOps {
     * PINNED (the q109 rule: both paragraph-dedup forms feed the frame
     * to a digest aggregation AND a join-back; unmaterialized, each
     * consumer re-scans and re-tokenizes the corpus). */
-  private def paraFrame(docs: DataFrame): DataFrame = {
+  private def paraFrame(docs: DataFrame): DataFrame =
+    graft.Materialize.stable(paraUnits(docs))
+
+  /** [[paraFrame]] without the materialization — for single-consumer
+    * plans (the per-batch digest write of the streaming paragraph
+    * maintainer, the offline [[ParaDigestIndex]] build) where pinning
+    * the frame would only add a checkpoint round-trip. */
+  private[graft] def paraUnits(docs: DataFrame): DataFrame = {
     val paraTok = 10
-    graft.Materialize.stable(docs
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
@@ -448,8 +455,14 @@ object TextOps {
             slice(col("toks"), (i * paraTok + 1).cast("int"), lit(paraTok)),
             " "))))
       .toDF("doc_id", "para_idx", "para")
-      .withColumn("dg", md5(col("para"))))
+      .withColumn("dg", md5(col("para")))
   }
+
+  /** The DISTINCT paragraph digests of a (doc_id, text) frame — the
+    * 32-hex-char column that is this family's entire maintained state
+    * (paragraph text never enters an index or a delta segment). */
+  private[graft] def paraDigests(docs: DataFrame): DataFrame =
+    paraUnits(docs).select("dg").distinct()
 
   /** Keep exactly the paragraph occurrences whose (rank…) struct is the
     * per-digest minimum, and fold per-doc stats + cleaned text for the
@@ -461,11 +474,19 @@ object TextOps {
     * nothing single-partitions, and the result is repartition-invariant
     * (min is order-free). */
   private def dedupTail(paras: DataFrame, rank: Seq[org.apache.spark.sql.Column],
-      outDocs: DataFrame): DataFrame = {
+      outDocs: DataFrame, blockedDgs: Option[DataFrame] = None): DataFrame = {
     val ranked = paras.withColumn("rk", struct(rank: _*))
-    val firsts = ranked.groupBy("dg").agg(min(col("rk")).as("first"))
-    val stats = ranked.join(firsts, "dg")
-      .withColumn("is_first", col("rk") === col("first"))
+    // A digest in `blockedDgs` (the staged/streamed corpus set of q190
+    // and the streaming maintainer) can never be first: anti-joining it
+    // out of the ≤|distinct dg| firsts frame — NOT out of the paras —
+    // keeps every occurrence in the per-doc stats while the presence
+    // check costs one 32-byte-key join at the already-aggregated level.
+    val firsts0 = ranked.groupBy("dg").agg(min(col("rk")).as("first"))
+    val firsts = blockedDgs.fold(firsts0)(b =>
+      firsts0.join(b.select("dg"), Seq("dg"), "left_anti"))
+    val stats = ranked.join(firsts, Seq("dg"), "left")
+      .withColumn("is_first",
+        col("first").isNotNull && col("rk") === col("first"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_paras"),
@@ -516,9 +537,44 @@ object TextOps {
       docs.filter(NearDupOps.isNewDoc(col("doc_id"))))
   }
 
+  /** Incremental paragraph dedup of `batchDocs` against an already-kept
+    * corpus represented ONLY by its paragraph-digest set — q189's rule
+    * with the corpus side never re-tokenized. Because any corpus
+    * occurrence outranks every batch occurrence in q189's
+    * (is_batch, doc_id, pos) order, the corpus's entire contribution to
+    * the answer is digest PRESENCE: a batch paragraph survives iff its
+    * digest is absent from `corpusDgs` and it is the batch-internal
+    * first. Presence is idempotent under duplication, so callers may
+    * pass an un-deduplicated union of digest sources (staged base ∪
+    * stream delta segments) without a distinct pass — the property the
+    * streaming maintainer's re-delivery contract rests on (unlike the
+    * classifier's SUM algebra, a re-delivered doc cannot corrupt this
+    * family). Shared by q190 and
+    * [[graft.streaming.StreamingParagraphMaintenance.cleanedProbe]]. */
+  private[graft] def paragraphDedupAgainst(batchDocs: DataFrame,
+      corpusDgs: DataFrame): DataFrame =
+    dedupTail(paraFrame(batchDocs),
+      Seq(col("doc_id"), col("para_idx")), batchDocs, Some(corpusDgs))
+
+  /** q190 — staged-index incremental paragraph dedup: q189 with the
+    * corpus side's work paid ONCE per corpus version ([[ParaDigestIndex]],
+    * the q84/q132/q171/q186 pattern applied to the paragraph family).
+    * Per query only the BATCH is tokenized and split (O(batch)); the
+    * corpus rides in as its staged 32-hex-char digest column — at 100 TB
+    * the difference between re-reading every kept shard's text per
+    * recrawl and scanning one narrow digest table. Integrity contract:
+    * shares q189's oracle SQL BY DESIGN (the q185/q183 pattern) — a
+    * digest lost or invented by the index round-trip is a hash
+    * mismatch. */
+  def paragraphDedupStaged(s: SparkSession, dir: String): DataFrame =
+    paragraphDedupAgainst(
+      t(s, dir, "documents").filter(NearDupOps.isNewDoc(col("doc_id"))),
+      ParaDigestIndex.dgs(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_paragraph_dedup" -> ((s, dir) => paragraphDedup(s, dir)),
     "q189_paragraph_dedup_incremental" -> paragraphDedupIncremental,
+    "q190_paragraph_staged" -> paragraphDedupStaged,
     "q68_decontaminate" -> decontaminate,
     "q92_bloom_decontaminate" -> bloomDecontaminate,
     "q69_redact_pii"    -> redactPii,
@@ -538,6 +594,45 @@ object TextOps {
     "q35_exact_dedup"   -> exactDedup,
     "q36_lang_id"       -> langId,
     "q37_json_props"    -> jsonProps)
+
+  /** q189's oracle, shared verbatim by q190: the staged-index plan must
+    * produce the EXACT rows the split-everything plan produces. */
+  private val q189OracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |pl AS (
+      |  SELECT doc_id, list_transform(
+      |      generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1),
+      |      i -> array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')) AS ps
+      |  FROM tk),
+      |paras AS (
+      |  SELECT doc_id, unnest(ps) AS para,
+      |    unnest(generate_series(0, len(ps) - 1)) AS para_idx
+      |  FROM pl),
+      |marked AS (
+      |  SELECT doc_id, para_idx, para,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(para)
+      |      ORDER BY CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END,
+      |               doc_id, para_idx) = 1 AS is_first
+      |  FROM paras),
+      |stats AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |    CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    COALESCE(string_agg(para, ' ' ORDER BY para_idx)
+      |             FILTER (WHERE is_first), '') AS cleaned_text
+      |  FROM marked WHERE doc_id % 10 = 7 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(s.n_paras, 0) AS n_paras,
+      |  COALESCE(s.n_kept, 0) AS n_kept,
+      |  COALESCE(s.n_paras - s.n_kept, 0) AS n_dropped,
+      |  CASE WHEN COALESCE(s.n_paras, 0) = 0 THEN 0.0
+      |       ELSE CAST(s.n_paras - s.n_kept AS DOUBLE) / s.n_paras END AS dup_frac,
+      |  COALESCE(s.cleaned_text, '') AS cleaned_text
+      |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+      |WHERE d.doc_id % 10 = 7
+      |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // q187: same first-occurrence rule via ROW_NUMBER over (doc_id,
@@ -578,43 +673,10 @@ object TextOps {
         |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     // q189: q187's rule with corpus occurrences ranked ahead of batch
-    // occurrences, output restricted to the batch side.
-    "q189_paragraph_dedup_incremental" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |pl AS (
-        |  SELECT doc_id, list_transform(
-        |      generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1),
-        |      i -> array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')) AS ps
-        |  FROM tk),
-        |paras AS (
-        |  SELECT doc_id, unnest(ps) AS para,
-        |    unnest(generate_series(0, len(ps) - 1)) AS para_idx
-        |  FROM pl),
-        |marked AS (
-        |  SELECT doc_id, para_idx, para,
-        |    ROW_NUMBER() OVER (PARTITION BY md5(para)
-        |      ORDER BY CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END,
-        |               doc_id, para_idx) = 1 AS is_first
-        |  FROM paras),
-        |stats AS (
-        |  SELECT doc_id,
-        |    CAST(COUNT(*) AS BIGINT) AS n_paras,
-        |    CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |    COALESCE(string_agg(para, ' ' ORDER BY para_idx)
-        |             FILTER (WHERE is_first), '') AS cleaned_text
-        |  FROM marked WHERE doc_id % 10 = 7 GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  COALESCE(s.n_paras, 0) AS n_paras,
-        |  COALESCE(s.n_kept, 0) AS n_kept,
-        |  COALESCE(s.n_paras - s.n_kept, 0) AS n_dropped,
-        |  CASE WHEN COALESCE(s.n_paras, 0) = 0 THEN 0.0
-        |       ELSE CAST(s.n_paras - s.n_kept AS DOUBLE) / s.n_paras END AS dup_frac,
-        |  COALESCE(s.cleaned_text, '') AS cleaned_text
-        |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
-        |WHERE d.doc_id % 10 = 7
-        |ORDER BY d.doc_id""".stripMargin,
+    // occurrences, output restricted to the batch side. q190 (staged
+    // index form) shares it BY DESIGN — same answer, different plan.
+    "q189_paragraph_dedup_incremental" -> q189OracleSql,
+    "q190_paragraph_staged" -> q189OracleSql,
     // q54: the md5-keyed winnowing stream replayed in SQL — per-position
     // gram hash substr(md5(substr(text,i,8)),1,16), sliding window-of-16
     // minima over positions (the clamp i <= greatest(1, L-22) mirrors

@@ -141,8 +141,11 @@ object StreamSoak {
       case "media" =>
         graft.streaming.StreamingMediaMaintenance.mediaMaintain(
           delta, compactEvery) _
+      case "paragraph" =>
+        graft.streaming.StreamingParagraphMaintenance.paragraphMaintain(
+          delta, compactEvery) _
       case other => sys.error(s"unknown maintainer: $other " +
-        "(digest|band|posting|ivf|semdedup|classifier|media)")
+        "(digest|band|posting|ivf|semdedup|classifier|media|paragraph)")
     }
 
     def loadavg: String =

@@ -93,6 +93,31 @@ class ParagraphDedupSpec extends AnyFunSuite {
       "para B's batch-internal second occurrence drops")
   }
 
+  test("q190: the staged-index plan answers exactly like q189 — hand " +
+      "corpus (where rank order could betray it) and fixture") {
+    val root = java.nio.file.Files.createTempDirectory("pstaged").toString
+    // same adversarial shape as the q189 test: batch id 7 < corpus id
+    // 20, so an index that leaked rank information (rather than pure
+    // digest presence) could wrongly let the batch win.
+    Seq(
+      (7L, p("a") + " " + p("b")),
+      (17L, p("b") + " " + p("c")),
+      (20L, p("a") + " " + p("d"))
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("web").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(s"$root/documents.parquet")
+    def rows(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.toSeq.toSeq).toSeq
+    val handWant = rows(TextOps.paragraphDedupIncremental(spark, root))
+    assert(handWant.nonEmpty &&
+      rows(TextOps.paragraphDedupStaged(spark, root)) == handWant)
+    val fixWant = rows(TextOps.paragraphDedupIncremental(spark, sfDir))
+    assert(fixWant.nonEmpty &&
+      rows(TextOps.paragraphDedupStaged(spark, sfDir)) == fixWant)
+  }
+
   test("q188: status algebra is coherent with the snapshot boundaries") {
     val out = CorpusOps.clusterDiff(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.llm.{IvfIndex, MediaFpIndex, MultimodalOps, PostingIndex, RetrievalOps, SelectionOps, SemDedupIndex, VectorOps}
-import graft.streaming.{StreamingClassifierMaintenance, StreamingIvfMaintenance, StreamingMediaMaintenance, StreamingPostingMaintenance, StreamingSemDedupMaintenance}
+import graft.streaming.{StreamingClassifierMaintenance, StreamingIvfMaintenance, StreamingMediaMaintenance, StreamingParagraphMaintenance, StreamingPostingMaintenance, StreamingSemDedupMaintenance}
 
 /** The streaming-maintenance matrix, closed: postings, IVF lists, and
   * SemDedup components each grow under continuous ingest and must end
@@ -229,5 +229,62 @@ class StreamingSemDedupMaintenanceSpec extends AnyFunSuite {
     fn(batch.filter(col("vec_id").isin(t1: _*)), 1L)
     assert((snap("edges"), snap("vecs")) == before,
       "replayed semdedup segments drifted")
+  }
+}
+
+/** Streamed paragraph-digest maintenance must clean a recrawl batch
+  * EXACTLY like the split-everything plan (q189, oracle-backed). The
+  * family's algebra is set PRESENCE — the one maintainer whose
+  * contract survives re-delivered documents — so the spec pins all
+  * three legs: stream ≡ batch, replay idempotence, and re-delivery
+  * harmlessness (the case the classifier family must exclude
+  * upstream). */
+class StreamingParagraphMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def side(batch: Boolean) =
+    graft.Tables.tSpread(spark, dir, "documents")
+      .filter(if (batch) pmod(col("doc_id"), lit(10)) === 7
+              else pmod(col("doc_id"), lit(10)) =!= 7)
+      .select("doc_id", "text")
+
+  test("streamed digest set cleans exactly like the full split (q189); " +
+      "replay and re-delivery both leave the answer fixed") {
+    val root = java.nio.file.Files.createTempDirectory("spg").toString
+    val delta = s"$root/delta"
+    val corpus = side(batch = false)
+    val ids = corpus.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    // half the corpus side plays the staged base; the rest streams in
+    // three micro-batches
+    val (baseIds, streamIds) = ids.splitAt(ids.length / 2)
+    val baseDgs = graft.Materialize.stable(graft.llm.TextOps.paraDigests(
+      corpus.filter(col("doc_id").isin(baseIds: _*))))
+    val fn = StreamingParagraphMaintenance.paragraphMaintain(delta) _
+    val thirds = streamIds.grouped((streamIds.length + 2) / 3).toSeq
+    thirds.zipWithIndex.foreach { case (part, i) =>
+      fn(corpus.filter(col("doc_id").isin(part: _*)), i.toLong)
+    }
+    def probe() = StreamingParagraphMaintenance
+      .cleanedProbe(spark, side(batch = true), baseDgs, delta)
+      .collect().map(_.toSeq)
+    val want = graft.llm.TextOps.paragraphDedupIncremental(spark, dir)
+      .collect().map(_.toSeq)
+    val got = probe()
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      "streamed paragraph cleaning drifted from the full split")
+    // replay: additive segments, batch-keyed overwrite => byte-identical
+    def snap() = spark.read.parquet(s"$delta/b0/dgs").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val before = snap()
+    fn(corpus.filter(col("doc_id").isin(thirds.head: _*)), 0L)
+    assert(snap() == before, "replayed digest segment drifted")
+    // re-delivery: the SAME docs landing again under a NEW batchId add
+    // duplicate digest rows that the presence algebra must absorb
+    fn(corpus.filter(col("doc_id").isin(thirds.head: _*)), 99L)
+    assert(probe().toSeq == want.toSeq,
+      "re-delivered docs corrupted the paragraph digest set")
   }
 }
