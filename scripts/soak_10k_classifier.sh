@@ -10,7 +10,7 @@ set -u
 cd /root/repo
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-echo "=== classifier 10k soak start $(date -u +%H:%M:%S) loadavg=$(cut -d' ' -f1 /proc/loadavg) (tiered posting soak + sbt test running concurrently at launch — loads are annotated per line)"
+echo "=== classifier 10k soak start $(date -u +%H:%M:%S) loadavg=$(cut -d' ' -f1 /proc/loadavg) (loads annotated per line; the claim is the fold-cost SHAPE over stream age)"
 java $OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dgraft.delta.verbose=true -cp "$CP" graft.tools.StreamSoak \
   classifier 10000 2000 500 300 2>&1 | grep -E "stream-soak|delta-compact"

@@ -250,6 +250,64 @@ object CorpusAudit {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q191 — source-pair shingle overlap by MERGEABLE MinHash sketch,
+    * exact Jaccard alongside as calibration (the q149/q160 pattern:
+    * estimator and ground truth in one row, so the oracle pins both and
+    * the report self-documents sketch quality). Broder '97 bottom-k=1
+    * per hash function, K=16 functions: per source the sketch is 16
+    * column-wise MINs of md5("i:" || shingle) — duplicate-insensitive,
+    * so at production scale it aggregates the RAW shingle stream in one
+    * map-side-combined pass (NO distinct shuffle, unlike exact Jaccard
+    * which must set-ify (source, shingle) — that asymmetry is the whole
+    * point of shipping the sketch at 100 TB), and sketches are
+    * mergeable across shards/corpus versions by taking mins of mins.
+    * The estimate sum(m_i^A = m_i^B)/16 is deterministic given the
+    * (public, engine-reproducible) md5 hash family, so unlike q43's
+    * candidate-generation MinHash this ESTIMATE itself hash-matches the
+    * oracle. Shares q71's 3-gram shingle recipe verbatim.
+    *
+    * Plan: one corpus-sized shingle explosion pinned once (three
+    * consumers: sketch agg, sizes, intersection self-join); the
+    * |sources|×16 sketch and |sources| sizes broadcast back onto the
+    * pair frame. Pairs with zero shared shingles are absent BY
+    * construction (they derive from the shingle equi-join) in both
+    * engines. */
+  def sourceOverlapSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashKernels.shingle_array
+    val K = 16
+    val st = graft.Materialize.stable(
+      graft.Tables.tSpread(s, dir, "documents")
+        .filter(size(tokens(col("text"))) >= 3)
+        .select(col("source"), explode(shingle_array(col("text"), 3)).as("shingle"))
+        .distinct())
+    val mins = st.groupBy("source").agg(
+      min(md5(concat_ws(":", lit("0"), col("shingle")))).as("m0"),
+      (1 until K).map(i =>
+        min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"m$i")): _*)
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val est = (0 until K).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_sh").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_sh").as("n_b"))), Seq("source_b"))
+      .join(broadcast(mins.select(col("source").as("source_a") +:
+        (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)), Seq("source_a"))
+      .join(broadcast(mins.select(col("source").as("source_b") +:
+        (0 until K).map(i => col(s"m$i").as(s"b$i")): _*)), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard_exact"),
+        (est.cast("double") / K).as("jaccard_est"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q142 — language purity of near-dup clusters: for every q62 cluster,
     * its size, distinct-language count, majority language (count-desc,
     * lang-asc tie-break) and majority share. Mixed-language clusters are
@@ -370,9 +428,47 @@ object CorpusAudit {
     "q113_source_term_affinity" -> ((s, dir) => sourceTermAffinity(s, dir)),
     "q114_schema_union" -> schemaUnion,
     "q115_dedup_curve" -> ((s, dir) => dedupCurve(s, dir)),
-    "q139_source_vocab_overlap" -> sourceVocabOverlap)
+    "q139_source_vocab_overlap" -> sourceVocabOverlap,
+    "q191_source_overlap_sketch" -> sourceOverlapSketch)
+
+  /** q191's oracle: the same md5 hash family is engine-reproducible, so
+    * the sketch ESTIMATE (not just the exact column) hash-matches. */
+  private val q191OracleSql: String = {
+    val minCols = (0 until 16)
+      .map(i => s"    min(md5('$i:' || shingle)) AS m$i").mkString(",\n")
+    val estSum = (0 until 16)
+      .map(i => s"(CASE WHEN ma.m$i = mb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, shingle FROM (
+       |    SELECT source, unnest(CASE WHEN len(tk) < 3 THEN []
+       |      ELSE list_transform(generate_series(1, len(tk) - 2),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS shingle
+       |    FROM (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |          FROM documents))),
+       |mins AS (
+       |  SELECT source,
+       |$minCols
+       |  FROM sh GROUP BY source),
+       |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT i.source_a, i.source_b, za.n_sh AS n_a, zb.n_sh AS n_b, i.n_inter,
+       |  CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard_exact,
+       |  CAST($estSum AS DOUBLE) / 16.0 AS jaccard_est
+       |FROM inter i
+       |JOIN sizes za ON za.source = i.source_a
+       |JOIN sizes zb ON zb.source = i.source_b
+       |JOIN mins ma ON ma.source = i.source_a
+       |JOIN mins mb ON mb.source = i.source_b
+       |ORDER BY i.source_a, i.source_b""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
+    "q191_source_overlap_sketch" -> q191OracleSql,
     "q164_datasheet_drift" ->
       """WITH base AS (SELECT doc_id, source,
         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -173,4 +173,29 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(r(0L) == ((50L, 0L, 0.0)))
     assert(r(1L) == ((100L, 50L, 0.5)))
   }
+
+  test("q191: identical sources sketch to est 1.0 with exact jaccard 1.0; " +
+      "partial overlap is exact; result is repartition-invariant") {
+    // x and y carry the SAME shingle set {abc,bcd,cde,def}; z shares
+    // exactly {abc,bcd} with each (n=6, jaccard 2/8)
+    val dir = docsDir(Seq(
+      (1L, "a b c d e f", "x"),
+      (2L, "a b c d e f", "y"),
+      (3L, "a b c d x y z w", "z")))
+    val out = CorpusAudit.sourceOverlapSketch(spark, dir).collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))).toMap
+    assert(byPair.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(byPair(("x", "y")) == ((4L, 4L, 4L, 1.0, 1.0)),
+      "identical sets: every per-function min coincides, est is exactly 1")
+    assert(byPair(("x", "z"))._1 == 4L && byPair(("x", "z"))._2 == 6L &&
+      byPair(("x", "z"))._3 == 2L && byPair(("x", "z"))._4 == 0.25)
+    assert(byPair(("x", "z"))._5 == byPair(("y", "z"))._5,
+      "same sets must sketch identically regardless of which docs carry them")
+    // determinism under partitioning (min is order-free)
+    val again = CorpusAudit.sourceOverlapSketch(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == out.map(_.toSeq).toSeq)
+  }
 }
