@@ -246,6 +246,39 @@ object ScaleSoak {
       graft.streaming.StreamingSemDedupMaintenance.semDedupMaintain(
         graft.llm.SemDedupIndex.corpus(spark, dir), s"$root/delta")(batch, 0L)
     }
+    // Paragraph family (round 13): the corpus-wide CCNet dedup (q187
+    // shape — one digest hash-agg + the join-back exchange that
+    // reconstructs cleaned text), the staged digest-index build (one
+    // 32-hex-char column), and the q190-shaped staged probe whose cost
+    // must track the mod-10 batch, not the corpus. The fixed-batch
+    // variant below is the O(batch) claim in its pure form.
+    time("paragraph_dedup") {
+      graft.llm.TextOps.paragraphDedup(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("paradg_index_build") {
+      graft.llm.ParaDigestIndex.ensure(spark, dir)
+      ()
+    }
+    time("paragraph_staged_probe") {
+      graft.llm.TextOps.paragraphDedupStaged(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("fixed_batch_paragraph_probe") {
+      val root = java.nio.file.Files.createTempDirectory("fb-para").toString
+      val base = graft.llm.ParaDigestIndex.dgs(spark, dir)
+      val seg = spark.range(fixedIdBase, fixedIdBase + 2000L)
+        .select(col("id").as("doc_id"),
+          StreamSoak.synthText(col("id")).as("text"))
+      val probe = spark.range(fixedIdBase + 2000L, fixedIdBase + 4000L)
+        .select(col("id").as("doc_id"),
+          StreamSoak.synthText(col("id")).as("text"))
+      graft.streaming.StreamingParagraphMaintenance.paragraphMaintain(
+        s"$root/delta")(seg, 0L)
+      graft.streaming.StreamingParagraphMaintenance.cleanedProbe(
+        spark, probe, base, s"$root/delta")
+        .write.format("noop").mode("overwrite").save()
+    }
     time("posting_index_build") {
       graft.llm.PostingIndex.ensure(spark, dir)
       ()
