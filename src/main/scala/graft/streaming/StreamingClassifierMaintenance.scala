@@ -12,12 +12,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * counts (bucket, cp, cn) — plain BIGINTs from
   * [[graft.llm.SelectionOps.classifierCounts]] — so maintenance is the
   * simplest possible delta algebra: per micro-batch of (doc_id, text)
-  * arrivals, label and count ONLY the batch and append one
-  * `counts/` segment under `delta/b<id>/`. Purely additive, like the
-  * posting family: the segment depends on nothing but the batch, so
-  * replay of an unacknowledged batch is idempotent by construction
-  * (batch-id-keyed overwrite), with no earlier-segment read to get
-  * wrong.
+  * arrivals, label and count ONLY the batch's first-seen docs and
+  * append one `counts/` segment (plus the counted ids as `docs/`)
+  * under `delta/b<id>/`. Additive like the posting family, but the
+  * SUM algebra cannot absorb re-delivered docs the way the paragraph
+  * family's presence algebra can — so the maintainer enforces the
+  * exclusion itself: an anti-join against the ids counted by the base
+  * fit and by strictly earlier batches (see [[classifierMaintain]]).
+  * Replay of an unacknowledged batch stays idempotent because the
+  * seen-set read is STRICTLY BEFORE the replaying batch's id — state
+  * replay cannot have changed — and the writes are batch-id-keyed
+  * overwrites.
   *
   * [[scoredProbe]] is the refit-and-score path: base counts ∪ delta
   * counts → one ≤ B-row merge → log-odds transform → the same fused
@@ -39,32 +44,58 @@ object StreamingClassifierMaintenance {
     StructField("cp", LongType),
     StructField("cn", LongType)))
 
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType)))
+
   /** The accumulated delta counts across all landed batches (additive
     * segments need no strictly-before filtering at probe time). */
   def deltaCounts(s: SparkSession, deltaDir: String): DataFrame =
     DeltaDirs.readSegs(s, deltaDir, "counts", countsSchema)
 
-  /** The foreachBatch function: label + bucket-count the batch, append
-    * its counts segment. Every frame derives from `batch` alone. Every
-    * `compactEvery` batches the accumulated segments fold into one
-    * compacted dir so listing cost is bounded by the cadence (0
-    * disables).
+  /** The foreachBatch function: label + bucket-count the batch's
+    * FIRST-SEEN docs, append their counts segment plus a `docs/`
+    * segment of the ids it counted. Every `compactEvery` batches the
+    * accumulated segments fold into tiered compacted dirs so listing
+    * cost is bounded by the cadence (0 disables).
     *
-    * Arrival contract: docs must be FIRST-SEEN — same disjointness the
-    * IVF/semdedup maintainers require of vecArrivals (ADVICE r12). The
-    * counts algebra is a SUM, so a doc re-delivered in a later batch
-    * (not a replay of the same batchId, which the keyed overwrite
-    * absorbs) double-counts its buckets and skews the refit toward
-    * re-crawled content. A recrawl stream must dedup upstream (the
-    * digest maintainer is exactly that filter) before feeding this
-    * family. */
-  def classifierMaintain(deltaDir: String, compactEvery: Int = 500)
-      (batch: DataFrame, batchId: Long): Unit = {
-    graft.llm.SelectionOps.classifierCounts(batch)
+    * Re-delivery enforcement (VERDICT r13 item 1): the counts algebra
+    * is a SUM, so a doc re-delivered in a later batch — the steady
+    * state of a recrawl stream, NOT a replay of the same batchId —
+    * would double-count its teacher buckets and silently break the
+    * q185 ≡ q183 contract. The exclusion is now code, not prose: the
+    * batch is deduped on doc_id and anti-joined against
+    * `baseSeen` ∪ the `docs/` segments of STRICTLY EARLIER batches
+    * before counting, so each doc id is counted at most once across
+    * the stream's life. The strictly-before read
+    * ([[DeltaDirs.readSegs]] with this batchId) is what keeps replay
+    * idempotent: a replayed batch never sees its own crashed attempt's
+    * `docs/` segment (which would make every doc look already-seen and
+    * fold the segment to empty), and both writes derive from state
+    * that replay cannot have changed, so the keyed overwrite lands
+    * byte-identical rows.
+    *
+    * `baseSeen` carries the doc ids the OFFLINE fit already counted
+    * (the ids behind the published base counts parquet); omitted, only
+    * intra-stream re-deliveries are excluded. Cost: the seen set is
+    * ids-only — 8 bytes per counted doc — and the anti-join output is
+    * batch-sized; at warehouse scale the base side is bucketed by
+    * doc_id (the S7 layout) so the join co-locates. */
+  def classifierMaintain(deltaDir: String, baseSeen: Option[DataFrame] = None,
+      compactEvery: Int = 500)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val seenBefore = DeltaDirs.readSegs(s, deltaDir, "docs", docsSchema, batchId)
+    val seen = baseSeen.fold(seenBefore)(b =>
+      seenBefore.unionByName(b.select(col("doc_id"))))
+    val fresh = graft.Materialize.stable(
+      batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+        .join(seen, Seq("doc_id"), "left_anti"))
+    graft.llm.SelectionOps.classifierCounts(fresh)
       .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/counts")
+    fresh.select("doc_id")
+      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/docs")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       DeltaDirs.compact(batch.sparkSession, deltaDir,
-        Seq("counts" -> countsSchema), batchId)
+        Seq("counts" -> countsSchema, "docs" -> docsSchema), batchId)
   }
 
   /** Refit over base ∪ delta counts and score the corpus at `dir` with

@@ -136,8 +136,13 @@ object StreamSoak {
         graft.streaming.StreamingSemDedupMaintenance.semDedupMaintain(
           graft.llm.SemDedupIndex.corpus(spark, sfDir), delta, compactEvery) _
       case "classifier" =>
+        // no baseSeen: the soak starts from an empty base fit, so the
+        // recycled id pool's re-deliveries are excluded by the
+        // maintainer's own docs/ segments — the exact regime VERDICT
+        // r13 flagged as silently violating q185 ≡ q183 before the
+        // exclusion was enforced in code.
         graft.streaming.StreamingClassifierMaintenance.classifierMaintain(
-          delta, compactEvery) _
+          delta, compactEvery = compactEvery) _
       case "media" =>
         graft.streaming.StreamingMediaMaintenance.mediaMaintain(
           delta, compactEvery) _

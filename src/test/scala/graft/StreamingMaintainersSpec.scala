@@ -80,7 +80,11 @@ class StreamingPostingMaintenanceSpec extends AnyFunSuite {
 /** Streamed classifier-counts maintenance must refit to EXACTLY the
   * from-scratch full-corpus fit (q183, oracle-backed): counts are
   * mergeable integers, so base ∪ delta → merge → log-odds must be
-  * bit-identical to fitting the whole corpus at once. */
+  * bit-identical to fitting the whole corpus at once. The SUM algebra
+  * cannot absorb re-delivered docs by itself, so the maintainer's
+  * enforced exclusion (anti-join against base ∪ earlier docs/
+  * segments) is pinned here with the paragraph family's three legs:
+  * stream ≡ batch, replay idempotence, re-delivery harmlessness. */
 class StreamingClassifierMaintenanceSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -89,32 +93,53 @@ class StreamingClassifierMaintenanceSpec extends AnyFunSuite {
   private def batchDocs = graft.Tables.tSpread(spark, dir, "documents")
     .filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id", "text")
 
-  test("streamed counts refit scores exactly like the full-corpus fit") {
+  test("streamed counts refit scores exactly like the full-corpus fit; " +
+      "replay and re-delivery both leave the fit fixed") {
     val root = java.nio.file.Files.createTempDirectory("scm").toString
     val delta = s"$root/delta"
     val docs = graft.Tables.tSpread(spark, dir, "documents")
-    val baseCounts = graft.Materialize.stable(SelectionOps.classifierCounts(
-      docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)))
+    val baseDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val baseCounts = graft.Materialize.stable(
+      SelectionOps.classifierCounts(baseDocs))
+    val baseSeen = graft.Materialize.stable(baseDocs.select("doc_id"))
     val ids = batchDocs.select("doc_id").orderBy("doc_id")
       .collect().map(_.getLong(0))
-    val fn = StreamingClassifierMaintenance.classifierMaintain(delta) _
+    val fn = StreamingClassifierMaintenance
+      .classifierMaintain(delta, Some(baseSeen)) _
     ids.grouped((ids.length + 2) / 3).zipWithIndex.foreach { case (part, i) =>
       fn(batchDocs.filter(col("doc_id").isin(part: _*)), i.toLong)
     }
-    val got = StreamingClassifierMaintenance
+    def probe() = StreamingClassifierMaintenance
       .scoredProbe(spark, dir, baseCounts, delta)
       .collect().map(_.toSeq)
     val want = SelectionOps.qualityClassifier(spark, dir)
       .collect().map(_.toSeq)
+    val got = probe()
     assert(want.nonEmpty && got.toSeq == want.toSeq,
       "streamed classifier refit drifted from the full-corpus fit")
-    // replay: additive segments, batch-keyed overwrite ⇒ byte-identical
-    def snap() = spark.read.parquet(s"$delta/b0/counts").collect()
+    // replay: the strictly-before seen-set read means a replayed batch
+    // never sees its own crashed attempt's docs/ segment, so both
+    // segments land byte-identical
+    def snap(sub: String) = spark.read.parquet(s"$delta/b0/$sub").collect()
       .map(_.toSeq).sortBy(_.mkString("|")).toSeq
-    val before = snap()
+    val before = (snap("counts"), snap("docs"))
     fn(batchDocs.filter(col("doc_id").isin(
       ids.take((ids.length + 2) / 3): _*)), 0L)
-    assert(snap() == before, "replayed counts segment drifted")
+    assert((snap("counts"), snap("docs")) == before,
+      "replayed classifier segments drifted")
+    assert(before._1.nonEmpty, "vacuous replay check")
+    // re-delivery: already-counted docs landing again under NEW batch
+    // ids — a recrawl re-delivering stream docs (batch 99) and base
+    // docs (batch 100) — must not double-count any teacher bucket
+    fn(batchDocs.filter(col("doc_id").isin(
+      ids.take((ids.length + 2) / 3): _*)), 99L)
+    fn(baseDocs.select("doc_id", "text").limit(50), 100L)
+    assert(probe().toSeq == want.toSeq,
+      "re-delivered docs double-counted teacher buckets")
+    // the enforced exclusion folded both re-delivered batches to empty
+    assert(spark.read.schema("doc_id LONG")
+      .parquet(s"$delta/b99/docs", s"$delta/b100/docs").count() == 0L,
+      "re-delivered batches wrote non-empty docs segments")
   }
 }
 
