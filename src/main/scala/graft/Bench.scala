@@ -195,7 +195,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fails = failures.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failures":${failures.reverse.distinct.size},"failures":$fails,"repeats":$repeats,"loadavg_1m":$loadavg,"loadavg_start":$loadavgStart,"loadavg_max":$loadavgMax,"ext_load_med":$extLoadMed,"steal_frac":$stealFrac,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"hot_machine":${loadavgStart > 5.0 || extLoadMed > 2.0 || stealFrac > 0.10}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failures":${failures.reverse.distinct.size},"failures":$fails,"repeats":$repeats,"cpus":$cpus,"parallelism":${spark.sparkContext.defaultParallelism},"loadavg_1m":$loadavg,"loadavg_start":$loadavgStart,"loadavg_max":$loadavgMax,"ext_load_med":$extLoadMed,"steal_frac":$stealFrac,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"hot_machine":${loadavgStart > 5.0 || extLoadMed > 2.0 || stealFrac > 0.10}}"""
     // The driver greps a 2000-char stdout tail where sbt/log4j noise can
     // interleave with (or truncate) the metric line, so ALSO persist it
     // to a file and make the line itself the final stdout output.
