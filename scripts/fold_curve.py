@@ -4,6 +4,16 @@ point the published tier span, fold wall seconds, and the concurrent
 load annotation from the nearest [stream-soak] line — the evidence rows
 SURVEY's compaction tables quote.
 
+Caveats (ADVICE r13):
+  - the "load before" column attaches the most recent PRECEDING
+    [stream-soak] status line's load, which can be up to a full status
+    cadence (hundreds of batches) earlier than the fold it annotates —
+    read it as ambient context, not a per-fold measurement;
+  - a crash-resumed soak can re-publish the same tier name (the
+    publisher adopts a crashed predecessor's markered fold); duplicate
+    tier names are deduped here (first occurrence wins) so the totals
+    count each logical fold once.
+
 Usage: fold_curve.py LOGFILE [every_nth]
 """
 import re
@@ -12,6 +22,7 @@ import sys
 path = sys.argv[1]
 nth = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 pubs = []
+seen_tiers = set()
 last_load = None
 for ln in open(path):
     m = re.search(r"\[stream-soak\].*batch=\s*(\d+).*trigger_ms=(\d+)\s+.*load=([\d.]+)", ln)
@@ -19,6 +30,10 @@ for ln in open(path):
         last_load = float(m.group(3))
     p = re.search(r"\[delta-compact\] published (t(\d+)_(\d+)) span=(\d+) wall=([\d.]+)s", ln)
     if p:
+        name = p.group(1)
+        if name in seen_tiers:
+            continue
+        seen_tiers.add(name)
         lo, hi = int(p.group(2)), int(p.group(3))
         pubs.append((hi, hi - lo + 1, float(p.group(5)), last_load))
 if not pubs:

@@ -46,6 +46,8 @@ object Bench {
       graft.llm.PostingIndex.ensure(spark, sfDir)
       graft.llm.SemDedupIndex.ensure(spark, sfDir)
       graft.llm.MediaFpIndex.ensure(spark, sfDir)
+      graft.llm.ParaDigestIndex.ensure(spark, sfDir)
+      graft.llm.OverlapSketchIndex.ensure(spark, sfDir)
       graft.ops.GraphIndex.ensure(spark, sfDir)
     } catch { case _: Throwable => () }
     // Machine-day calibration probe (r12 verdict item 5): identical

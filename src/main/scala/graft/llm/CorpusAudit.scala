@@ -271,10 +271,98 @@ object CorpusAudit {
     * |sources|×16 sketch and |sources| sizes broadcast back onto the
     * pair frame. Pairs with zero shared shingles are absent BY
     * construction (they derive from the shingle equi-join) in both
-    * engines. */
+    * engines.
+    *
+    * Scale caveat (ADVICE r13): the exact-Jaccard calibration column's
+    * shingle self-join is quadratic in per-shingle source frequency —
+    * a boilerplate shingle shared by every source inflates it far
+    * beyond the sketch's cost. This CALIBRATION form runs at fixture
+    * SF only; the form you ship at 100 TB is the sketch alone — q192
+    * ([[sourceOverlapSketchStaged]]), which has no exact column, no
+    * distinct pass, and a staged corpus side. */
+  /** The sketch family's K (hash-function count). Shared by the inline
+    * q191, the staged [[OverlapSketchIndex]], the staged q192, and the
+    * streaming sketch maintainer — one constant, so the four forms can
+    * never drift to incomparable sketches. */
+  private[graft] val SketchK = 16
+
+  /** Per-source bottom-1 MinHash sketch over the RAW 3-gram shingle
+    * stream of a (source, text) frame: K column-wise MINs of
+    * md5("i:" || shingle). min() is duplicate-insensitive, so unlike
+    * q191's exact column this needs NO distinct shuffle — one
+    * map-side-combined aggregation into |sources| rows — and sketches
+    * from ANY row partition of the corpus merge exactly
+    * ([[mergeSketches]]): min of mins. That pair of properties is the
+    * whole staged/streamed story (q192, the ninth maintainer). */
+  private[graft] def sourceSketch(docs: DataFrame): DataFrame = {
+    import graft.functions.HashKernels.shingle_array
+    docs
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("source"), explode(shingle_array(col("text"), 3)).as("shingle"))
+      .groupBy("source").agg(
+        min(md5(concat_ws(":", lit("0"), col("shingle")))).as("m0"),
+        (1 until SketchK).map(i =>
+          min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"m$i")): _*)
+  }
+
+  /** min-of-mins merge of sketch rows from any number of shards /
+    * corpus versions / stream segments — the mergeability that makes
+    * the sketch the cheapest maintained state in the matrix
+    * (|sources| × K cells). Idempotent under duplicated rows, so
+    * re-delivered stream segments are harmless by algebra (the
+    * paragraph family's presence property, here as MIN). */
+  private[graft] def mergeSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy("source").agg(
+      min(col("m0")).as("m0"),
+      (1 until SketchK).map(i => min(col(s"m$i")).as(s"m$i")): _*)
+
+  /** All source pairs (a < b) with the sketch-estimated Jaccard
+    * sum(m_i^A = m_i^B)/K — deterministic given the md5 family, so the
+    * ESTIMATE itself hash-matches a DuckDB twin. The pair frame is
+    * |sources|², a constant; the broadcast nested-loop join never sees
+    * corpus-sized data. */
+  private[graft] def sketchPairsEst(sketchRaw: DataFrame): DataFrame = {
+    // both join sides derive from the sketch frame — unpinned, each
+    // side would re-run the upstream shingle aggregation (two corpus/
+    // batch passes for a |sources|-row frame)
+    val sketch = graft.Materialize.stable(sketchRaw)
+    val a = sketch.select(col("source").as("source_a") +:
+      (0 until SketchK).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sketch.select(col("source").as("source_b") +:
+      (0 until SketchK).map(i => col(s"m$i").as(s"b$i")): _*)
+    val est = (0 until SketchK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    broadcast(a).join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        est.as("n_match"),
+        (est.cast("double") / SketchK).as("jaccard_est"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q192 — staged/add-batch corpus-overlap sketch: the corpus side's
+    * shingling is paid ONCE per corpus version ([[OverlapSketchIndex]],
+    * the q84/q132/q171/q186/q190 pattern applied to the sketch family);
+    * per query only the BATCH (the mod-10 ingest side) is shingled, and
+    * the two sketches min-merge into EXACTLY the whole-corpus sketch —
+    * min-of-mins is lossless, not approximate-on-approximate. Output is
+    * the all-pairs estimate frame; the oracle computes the same
+    * estimate from scratch over the whole corpus, so a min lost or
+    * invented anywhere in the stage/merge round-trip is a hash
+    * mismatch (the staged ≡ inline BY DESIGN contract). Unlike q191
+    * there is no exact-Jaccard calibration column here — this is the
+    * form you ship at 100 TB, where the exact column's distinct + self-
+    * join is precisely what the sketch exists to avoid. */
+  def sourceOverlapSketchStaged(s: SparkSession, dir: String): DataFrame = {
+    val base = OverlapSketchIndex.sketch(s, dir)
+    val batch = sourceSketch(t(s, dir, "documents")
+      .filter(NearDupOps.isNewDoc(col("doc_id"))))
+    sketchPairsEst(mergeSketches(base.unionByName(batch)))
+  }
+
   def sourceOverlapSketch(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashKernels.shingle_array
-    val K = 16
+    val K = SketchK
     val st = graft.Materialize.stable(
       graft.Tables.tSpread(s, dir, "documents")
         .filter(size(tokens(col("text"))) >= 3)
@@ -429,7 +517,8 @@ object CorpusAudit {
     "q114_schema_union" -> schemaUnion,
     "q115_dedup_curve" -> ((s, dir) => dedupCurve(s, dir)),
     "q139_source_vocab_overlap" -> sourceVocabOverlap,
-    "q191_source_overlap_sketch" -> sourceOverlapSketch)
+    "q191_source_overlap_sketch" -> sourceOverlapSketch,
+    "q192_overlap_sketch_staged" -> sourceOverlapSketchStaged)
 
   /** q191's oracle: the same md5 hash family is engine-reproducible, so
     * the sketch ESTIMATE (not just the exact column) hash-matches. */
@@ -467,8 +556,37 @@ object CorpusAudit {
        |ORDER BY i.source_a, i.source_b""".stripMargin
   }
 
+  /** q192's oracle: the whole-corpus sketch estimate from scratch — no
+    * DISTINCT (min is duplicate-insensitive, the property under test)
+    * and ALL source pairs, not just intersecting ones (the pair frame
+    * derives from the sketch table, which has no notion of "shared
+    * shingle"). The staged plan must min-merge to exactly this. */
+  private val q192OracleSql: String = {
+    val minCols = (0 until SketchK)
+      .map(i => s"    min(md5('$i:' || shingle)) AS m$i").mkString(",\n")
+    val estSum = (0 until SketchK)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT source, unnest(CASE WHEN len(tk) < 3 THEN []
+       |    ELSE list_transform(generate_series(1, len(tk) - 2),
+       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS shingle
+       |  FROM (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |        FROM documents)),
+       |mins AS (
+       |  SELECT source,
+       |$minCols
+       |  FROM sh GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST($estSum AS BIGINT) AS n_match,
+       |  CAST($estSum AS DOUBLE) / 16.0 AS jaccard_est
+       |FROM mins a JOIN mins b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q191_source_overlap_sketch" -> q191OracleSql,
+    "q192_overlap_sketch_staged" -> q192OracleSql,
     "q164_datasheet_drift" ->
       """WITH base AS (SELECT doc_id, source,
         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

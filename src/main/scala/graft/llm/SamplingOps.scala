@@ -111,6 +111,44 @@ object SamplingOps {
       budget = 2000L)
   }
 
+  /** q193 — the CCNet-ORDERED curation pipeline (q65's sibling with
+    * sub-document cleanup as the first stage, the order Wenzek et al.
+    * '20 actually run): paragraph-level dedup of the whole corpus
+    * (q187 — keep each distinct paragraph's first occurrence, rebuild
+    * cleaned text), drop docs whose every paragraph was boilerplate,
+    * then DOC-level exact dedup on the CLEANED text (two docs that
+    * differed only in already-removed boilerplate collapse here —
+    * exactly the catch raw-text dedup misses, and why the order
+    * matters), then the q63 deterministic mixture filter and q64
+    * token-budget packing of the survivors' CLEANED token counts.
+    * Every stage is an already-oracled building block; the composition
+    * is one plan under one composed DuckDB oracle.
+    *
+    * Scale shape: the paragraph stage is q187's min(struct) hash agg
+    * (no corpus window); the doc-level collapse keeps ids only through
+    * its aggregation (groupBy(digest) → min id → left-semi join back,
+    * the q35 rule — cleaned text never rides the collapse shuffle);
+    * packing is the `Prefix` two-level scan. */
+  def paragraphCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cleaned = graft.Materialize.stable(
+      graft.llm.TextOps.paragraphDedup(docs)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("cleaned_text")))
+    val keepIds = cleaned
+      .select(col("doc_id"), md5(col("cleaned_text")).as("dg"))
+      .groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
+    val kept = cleaned
+      .join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    packByBudget(
+      mixtureFilter(kept)
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.Tokenize.tokens(col("cleaned_text")))
+            .cast("long").as("n_tokens")),
+      budget = 2000L)
+  }
+
   /** q178 — concat-and-chunk sequence packing: the pretraining
     * data-loader op q64 deliberately is NOT. q64 packs WHOLE documents
     * into token-budget shards; the GPT-style loader instead
@@ -353,6 +391,7 @@ object SamplingOps {
     "q63_hash_sample" -> hashSample,
     "q64_shard_pack"  -> ((s, dir) => shardPack(s, dir)),
     "q65_curation_pipeline" -> curationPipeline,
+    "q193_paragraph_curation" -> paragraphCuration,
     "q66_stratified_topn" -> ((s, dir) => stratifiedTopN(s, dir)),
     "q94_weighted_sample" -> weightedSample,
     "q97_split_assign" -> splitAssign,
@@ -553,6 +592,62 @@ object SamplingOps {
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source
         |FROM ranked WHERE rk <= 10
         |ORDER BY lang, rk""".stripMargin,
+    // q193: q187's paragraph stage (ROW_NUMBER form — the oracle may
+    // single-partition, the plan must not), doc-level collapse on the
+    // cleaned text, the q63 mixture CASE, the q64/q65 packing window.
+    "q193_paragraph_curation" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, list_transform(
+        |      generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1),
+        |      i -> array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')) AS ps
+        |  FROM tk),
+        |paras AS (
+        |  SELECT doc_id, unnest(ps) AS para,
+        |    unnest(generate_series(0, len(ps) - 1)) AS para_idx
+        |  FROM pl),
+        |marked AS (
+        |  SELECT doc_id, para_idx, para,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(para)
+        |                       ORDER BY doc_id, para_idx) = 1 AS is_first
+        |  FROM paras),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    COALESCE(string_agg(para, ' ' ORDER BY para_idx)
+        |             FILTER (WHERE is_first), '') AS cleaned_text
+        |  FROM marked GROUP BY doc_id),
+        |cleaned AS (SELECT doc_id, cleaned_text FROM stats WHERE n_kept > 0),
+        |reps AS (SELECT md5(cleaned_text) AS dg, MIN(doc_id) AS rep
+        |         FROM cleaned GROUP BY 1),
+        |kept AS (
+        |  SELECT c.doc_id, d.lang, c.cleaned_text
+        |  FROM cleaned c
+        |  JOIN reps r ON md5(c.cleaned_text) = r.dg AND c.doc_id = r.rep
+        |  JOIN documents d ON d.doc_id = c.doc_id
+        |  WHERE substring(md5('mix1:' || CAST(c.doc_id AS VARCHAR)), 1, 8) < CASE d.lang
+        |    WHEN 'en' THEN '40000000'
+        |    WHEN 'de' THEN 'c0000000'
+        |    WHEN 'es' THEN 'c0000000'
+        |    WHEN 'fr' THEN 'c0000000'
+        |    WHEN 'zh' THEN 'ffffffff'
+        |    ELSE '00000000' END),
+        |tk2 AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(cleaned_text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM kept),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM tk2)
+        |SELECT doc_id, lang, n_tokens, cum_tokens,
+        |  CAST(FLOOR((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
     "q65_curation_pipeline" ->
       """WITH RECURSIVE
         |docsh AS (

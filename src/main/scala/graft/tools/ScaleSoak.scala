@@ -264,7 +264,12 @@ object ScaleSoak {
       graft.llm.TextOps.paragraphDedupStaged(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
-    time("fixed_batch_paragraph_probe") {
+    locally {
+      // setup OUTSIDE the timed block (ADVICE r13): dgs() lazily runs
+      // the corpus-linear index build when paradg_index_build wasn't
+      // selected in the same run, and the segment maintain is the
+      // stream's write cost, not the probe's — timing either inside
+      // would silently absorb O(corpus) into the "flat O(batch)" claim
       val root = java.nio.file.Files.createTempDirectory("fb-para").toString
       val base = graft.llm.ParaDigestIndex.dgs(spark, dir)
       val seg = spark.range(fixedIdBase, fixedIdBase + 2000L)
@@ -275,8 +280,28 @@ object ScaleSoak {
           StreamSoak.synthText(col("id")).as("text"))
       graft.streaming.StreamingParagraphMaintenance.paragraphMaintain(
         s"$root/delta")(seg, 0L)
-      graft.streaming.StreamingParagraphMaintenance.cleanedProbe(
-        spark, probe, base, s"$root/delta")
+      time("fixed_batch_paragraph_probe") {
+        graft.streaming.StreamingParagraphMaintenance.cleanedProbe(
+          spark, probe, base, s"$root/delta")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // Round-14 batch ops (r13 verdict item 5): both claim narrow
+    // scan-reduction shapes — clusterDiff reduces every doc to
+    // (id, 16-byte lead key, 2 booleans) in ONE conditional-agg pass;
+    // the sketch half of q191/q192 is one map-side-combined min pass
+    // into |sources|×16 cells (no distinct, no self-join — the exact
+    // calibration column deliberately excluded). A linear decade slope
+    // here is the corpus-linear evidence.
+    time("cluster_diff") {
+      graft.llm.CorpusOps.clusterDiff(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("overlap_sketch") {
+      graft.llm.CorpusAudit.sketchPairsEst(
+        graft.llm.CorpusAudit.mergeSketches(
+          graft.llm.CorpusAudit.sourceSketch(
+            spark.read.parquet(s"$dir/documents.parquet"))))
         .write.format("noop").mode("overwrite").save()
     }
     time("posting_index_build") {

@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   *      (the BandIndex contract) can be sized, not a guess.
   *
   * Usage: runMain graft.tools.StreamSoak
-  *   [digest|band|posting|ivf|semdedup|classifier|media] [nBatches]
-  *   [rowsPerSecond] [reportEvery] [compactEvery]
+  *   [digest|band|posting|ivf|semdedup|classifier|media|paragraph|sketch]
+  *   [nBatches] [rowsPerSecond] [reportEvery] [compactEvery]
   *
   * `compactEvery` (default 500, 0 = off) is the maintainer's
   * delta-segment compaction cadence; a run with it on should show the
@@ -95,6 +95,10 @@ object StreamSoak {
 
     val arrivals: DataFrame = which match {
       case "ivf" | "semdedup" => vecArrivals
+      // the sketch family aggregates per SOURCE — derive a stable
+      // 5-source label from the id so the state stays |sources| × 16
+      case "sketch" => textArrivals.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(5))))
       case _ => textArrivals
     }
 
@@ -149,8 +153,11 @@ object StreamSoak {
       case "paragraph" =>
         graft.streaming.StreamingParagraphMaintenance.paragraphMaintain(
           delta, compactEvery) _
+      case "sketch" =>
+        graft.streaming.StreamingSketchMaintenance.sketchMaintain(
+          delta, compactEvery) _
       case other => sys.error(s"unknown maintainer: $other " +
-        "(digest|band|posting|ivf|semdedup|classifier|media|paragraph)")
+        "(digest|band|posting|ivf|semdedup|classifier|media|paragraph|sketch)")
     }
 
     def loadavg: String =

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.llm.{IvfIndex, MediaFpIndex, MultimodalOps, PostingIndex, RetrievalOps, SelectionOps, SemDedupIndex, VectorOps}
-import graft.streaming.{StreamingClassifierMaintenance, StreamingIvfMaintenance, StreamingMediaMaintenance, StreamingParagraphMaintenance, StreamingPostingMaintenance, StreamingSemDedupMaintenance}
+import graft.streaming.{StreamingClassifierMaintenance, StreamingIvfMaintenance, StreamingMediaMaintenance, StreamingParagraphMaintenance, StreamingPostingMaintenance, StreamingSemDedupMaintenance, StreamingSketchMaintenance}
 
 /** The streaming-maintenance matrix, closed: postings, IVF lists, and
   * SemDedup components each grow under continuous ingest and must end
@@ -254,6 +254,58 @@ class StreamingSemDedupMaintenanceSpec extends AnyFunSuite {
     fn(batch.filter(col("vec_id").isin(t1: _*)), 1L)
     assert((snap("edges"), snap("vecs")) == before,
       "replayed semdedup segments drifted")
+  }
+}
+
+/** Streamed overlap-sketch maintenance must estimate EXACTLY like the
+  * whole-corpus sketch (q192, oracle-backed): min-of-mins is a
+  * lossless merge, so staged base ∪ streamed delta → min-merge →
+  * all-pairs estimate must be byte-identical to sketching the corpus
+  * at once. The MIN algebra shares the paragraph family's re-delivery
+  * immunity; all three legs pinned. */
+class StreamingSketchMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchDocs = graft.Tables.tSpread(spark, dir, "documents")
+    .filter(pmod(col("doc_id"), lit(10)) === 7)
+    .select("doc_id", "source", "text")
+
+  test("streamed sketch estimates exactly like the whole-corpus sketch; " +
+      "replay and re-delivery both leave the estimate fixed") {
+    val root = java.nio.file.Files.createTempDirectory("ssk").toString
+    val delta = s"$root/delta"
+    graft.llm.OverlapSketchIndex.ensure(spark, dir)
+    val base = graft.llm.OverlapSketchIndex.sketch(spark, dir)
+    val ids = batchDocs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val fn = StreamingSketchMaintenance.sketchMaintain(delta) _
+    val thirds = ids.grouped((ids.length + 2) / 3).toSeq
+    thirds.zipWithIndex.foreach { case (part, i) =>
+      fn(batchDocs.filter(col("doc_id").isin(part: _*)), i.toLong)
+    }
+    def probe() = StreamingSketchMaintenance
+      .overlapProbe(spark, base, delta).collect().map(_.toSeq)
+    // q192 (oracle-backed) is itself the whole-corpus estimate by its
+    // staged ≡ inline contract, so the stream is anchored to the oracle
+    val want = graft.llm.CorpusAudit.sourceOverlapSketchStaged(spark, dir)
+      .collect().map(_.toSeq)
+    val got = probe()
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      "streamed overlap sketch drifted from the whole-corpus sketch")
+    // replay: additive segments, batch-keyed overwrite => byte-identical
+    def snap() = spark.read.parquet(s"$delta/b0/sketch").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val before = snap()
+    fn(batchDocs.filter(col("doc_id").isin(thirds.head: _*)), 0L)
+    assert(snap() == before, "replayed sketch segment drifted")
+    assert(before.nonEmpty, "vacuous replay check")
+    // re-delivery: the SAME docs landing again under a NEW batchId add
+    // duplicate min candidates that the MIN algebra must absorb
+    fn(batchDocs.filter(col("doc_id").isin(thirds.head: _*)), 99L)
+    assert(probe().toSeq == want.toSeq,
+      "re-delivered docs corrupted the overlap sketch")
   }
 }
 
