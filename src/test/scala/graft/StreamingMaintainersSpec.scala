@@ -140,6 +140,26 @@ class StreamingClassifierMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.schema("doc_id LONG")
       .parquet(s"$delta/b99/docs", s"$delta/b100/docs").count() == 0L,
       "re-delivered batches wrote non-empty docs segments")
+    // and it must still hold when the seen set lives in a folded TIER,
+    // not live b-dirs: compact everything below 200, then re-deliver
+    graft.streaming.DeltaDirs.compact(spark, delta,
+      Seq("counts" -> org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cp",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cn",
+          org.apache.spark.sql.types.LongType))),
+        "docs" -> org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType)))), 200L)
+    fn(batchDocs.filter(col("doc_id").isin(
+      ids.take((ids.length + 2) / 3): _*)), 200L)
+    assert(probe().toSeq == want.toSeq,
+      "re-delivery against a compacted seen set double-counted")
+    assert(spark.read.schema("doc_id LONG")
+      .parquet(s"$delta/b200/docs").count() == 0L,
+      "re-delivered batch after compaction wrote a non-empty docs segment")
   }
 }
 
