@@ -271,8 +271,15 @@ object GraphOps {
     *
     * Plan: degree aggregation rides the edge frame; everything after is
     * a |bands|-row frame. */
-  def degreeProfile(s: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(s, dir)
+  def degreeProfile(s: SparkSession, dir: String): DataFrame =
+    degreeProfileOf(coPurchaseEdges(s, dir))
+
+  /** q151's tail over ANY distinct undirected edge frame (u < v) —
+    * shared by the full-corpus form, the add-batch q194, and the
+    * streaming graph maintainer's probe, so the three forms can never
+    * drift. Everything after the degree aggregation is a |bands|-row
+    * frame. */
+  private[graft] def degreeProfileOf(e: DataFrame): DataFrame = {
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val bands = deg
@@ -290,6 +297,43 @@ object GraphOps {
         round(sum(col("n_parts")).over(wc).cast("double") / col("n_nodes"), 6))
       .select("band", "n_parts", "min_deg", "max_deg", "share", "cum_share")
       .orderBy("band")
+  }
+
+  /** Distinct undirected co-purchase edges of an (o, p) incidence
+    * frame — GraphIndex's edge derivation as a reusable function, so
+    * the add-batch and streaming forms share the offline build's exact
+    * semantics. Within-order pairs only: every edge derives from the
+    * rows of ONE order, which is the property that makes the edge set
+    * decomposable by order boundary (q194's contract). */
+  private[graft] def edgesOf(incidence: DataFrame): DataFrame = {
+    val it = incidence.select(col("o"), col("p")).distinct()
+    it.as("a").join(it.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+  }
+
+  /** q194 — add-batch degree profile: the graph family joins the
+    * incremental-maintenance matrix. Every co-purchase edge derives
+    * from within ONE order, so the edge set decomposes exactly by an
+    * order-boundary split: edges(corpus ∪ batch) = dedup(edges(corpus
+    * orders) ∪ edges(batch orders)). The base side plays the staged
+    * per-corpus-version edge table (q170's inline staged form —
+    * Materialize.stable); per refit only the BATCH orders' incidence
+    * is self-joined (O(batch), bounded per order by its line count),
+    * and the probe dedups (u, v) keys before the q151 tail — presence
+    * algebra at probe time, so a re-delivered order is harmless.
+    * Shares q151's oracle BY DESIGN (the q185/q190 pattern): an edge
+    * lost or double-kept anywhere in the split/merge is a hash
+    * mismatch against the whole-corpus profile. */
+  def degreeAddBatch(s: SparkSession, dir: String): DataFrame = {
+    val inc = graft.Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val isNewOrder = pmod(col("o"), lit(10)) === 7
+    val base = graft.Materialize.stable(edgesOf(inc.filter(!isNewOrder)))
+    val batch = edgesOf(inc.filter(isNewOrder))
+    degreeProfileOf(graft.Materialize.stable(
+      base.unionByName(batch).dropDuplicates("u", "v")))
   }
 
 
@@ -364,6 +408,7 @@ object GraphOps {
     "q133_bfs_profile" -> bfsProfile,
     "q146_association_rules" -> associationRules,
     "q151_degree_profile" -> degreeProfile,
+    "q194_degree_add_batch" -> degreeAddBatch,
     "q154_hits_ranking" -> hitsRanking)
 
   /** Unrolled 5-iteration PageRank oracle over scaled-integer ranks.
@@ -401,6 +446,24 @@ object GraphOps {
        |ORDER BY r5.r DESC, r5.n LIMIT 20""".stripMargin
   }
 
+  private val q151OracleSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      |bands AS (SELECT CAST(floor(deg / 25.0) AS BIGINT) * 25 AS band,
+      |    CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |    MIN(deg) AS min_deg, MAX(deg) AS max_deg
+      |  FROM deg GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS n_nodes FROM bands)
+      |SELECT band, n_parts, min_deg, max_deg,
+      |  round(CAST(n_parts AS DOUBLE) / n_nodes, 6) AS share,
+      |  round(CAST(CAST(SUM(n_parts) OVER (ORDER BY band
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS DOUBLE) / n_nodes, 6) AS cum_share
+      |FROM bands CROSS JOIN tot ORDER BY band""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q154_hits_ranking" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -434,23 +497,11 @@ object GraphOps {
         |  CAST(a3.a AS DOUBLE) / 1000000.0 AS authority
         |FROM a3 JOIN deg USING (p)
         |ORDER BY a3.a DESC, a3.p LIMIT 20""".stripMargin,
-    "q151_degree_profile" ->
-      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
-        |      FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
-        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
-        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
-        |bands AS (SELECT CAST(floor(deg / 25.0) AS BIGINT) * 25 AS band,
-        |    CAST(COUNT(*) AS BIGINT) AS n_parts,
-        |    MIN(deg) AS min_deg, MAX(deg) AS max_deg
-        |  FROM deg GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS n_nodes FROM bands)
-        |SELECT band, n_parts, min_deg, max_deg,
-        |  round(CAST(n_parts AS DOUBLE) / n_nodes, 6) AS share,
-        |  round(CAST(CAST(SUM(n_parts) OVER (ORDER BY band
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS DOUBLE) / n_nodes, 6) AS cum_share
-        |FROM bands CROSS JOIN tot ORDER BY band""".stripMargin,
+    "q151_degree_profile" -> q151OracleSql,
+    // q194: add-batch form shares q151's oracle BY DESIGN — the order-
+    // boundary split must merge back to exactly the whole-corpus
+    // profile (edges decompose by order; the probe dedups (u,v)).
+    "q194_degree_add_batch" -> q151OracleSql,
     "q146_association_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |ps AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS supp_ab

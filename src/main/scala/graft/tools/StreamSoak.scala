@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *      (the BandIndex contract) can be sized, not a guess.
   *
   * Usage: runMain graft.tools.StreamSoak
-  *   [digest|band|posting|ivf|semdedup|classifier|media|paragraph|sketch]
+  *   [digest|band|posting|ivf|semdedup|classifier|media|paragraph|sketch|graph]
   *   [nBatches] [rowsPerSecond] [reportEvery] [compactEvery]
   *
   * `compactEvery` (default 500, 0 = off) is the maintainer's
@@ -99,6 +99,16 @@ object StreamSoak {
       // 5-source label from the id so the state stays |sources| × 16
       case "sketch" => textArrivals.withColumn("source",
         concat(lit("src"), pmod(col("doc_id"), lit(5))))
+      // the graph family's arrival contract is WHOLE orders per batch:
+      // one rate row = one complete order (3-7 parts from a 5000-part
+      // pool, hash-derived), exploded to (o, p) incidence — the
+      // contract holds by construction, and the recycled part pool
+      // makes most edges cross-order repeats (the probe-dedup path)
+      case "graph" => rate
+        .select((lit(idOffset) + col("value")).as("o"))
+        .select(col("o"), explode(transform(
+          sequence(lit(1), lit(3) + pmod(xxhash64(col("o")), lit(5)).cast("int")),
+          i => pmod(xxhash64(col("o"), i), lit(5000)))).as("p"))
       case _ => textArrivals
     }
 
@@ -156,8 +166,11 @@ object StreamSoak {
       case "sketch" =>
         graft.streaming.StreamingSketchMaintenance.sketchMaintain(
           delta, compactEvery) _
+      case "graph" =>
+        graft.streaming.StreamingGraphMaintenance.graphMaintain(
+          delta, compactEvery) _
       case other => sys.error(s"unknown maintainer: $other " +
-        "(digest|band|posting|ivf|semdedup|classifier|media|paragraph|sketch)")
+        "(digest|band|posting|ivf|semdedup|classifier|media|paragraph|sketch|graph)")
     }
 
     def loadavg: String =

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.llm.{IvfIndex, MediaFpIndex, MultimodalOps, PostingIndex, RetrievalOps, SelectionOps, SemDedupIndex, VectorOps}
-import graft.streaming.{StreamingClassifierMaintenance, StreamingIvfMaintenance, StreamingMediaMaintenance, StreamingParagraphMaintenance, StreamingPostingMaintenance, StreamingSemDedupMaintenance, StreamingSketchMaintenance}
+import graft.streaming.{StreamingClassifierMaintenance, StreamingGraphMaintenance, StreamingIvfMaintenance, StreamingMediaMaintenance, StreamingParagraphMaintenance, StreamingPostingMaintenance, StreamingSemDedupMaintenance, StreamingSketchMaintenance}
 
 /** The streaming-maintenance matrix, closed: postings, IVF lists, and
   * SemDedup components each grow under continuous ingest and must end
@@ -326,6 +326,57 @@ class StreamingSketchMaintenanceSpec extends AnyFunSuite {
     fn(batchDocs.filter(col("doc_id").isin(thirds.head: _*)), 99L)
     assert(probe().toSeq == want.toSeq,
       "re-delivered docs corrupted the overlap sketch")
+  }
+}
+
+/** Streamed co-purchase edge maintenance must profile EXACTLY like the
+  * from-scratch full-corpus derivation (q151/q194, oracle-backed):
+  * every edge derives from within one order, so whole-order arrivals
+  * decompose the edge set exactly, and the probe's (u, v) dedup gives
+  * re-delivery immunity. All three legs pinned. */
+class StreamingGraphMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def inc = graft.Tables.t(spark, dir, "lineitem")
+    .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+
+  test("streamed edge set profiles exactly like the full corpus; " +
+      "replay and re-delivered orders both leave the profile fixed") {
+    val root = java.nio.file.Files.createTempDirectory("sgm").toString
+    val delta = s"$root/delta"
+    val isNewOrder = pmod(col("o"), lit(10)) === 7
+    val base = graft.Materialize.stable(
+      graft.ops.GraphOps.edgesOf(inc.filter(!isNewOrder)))
+    // WHOLE orders per batch (the arrival contract): third the distinct
+    // new ORDER ids, not the incidence rows
+    val orderIds = inc.filter(isNewOrder).select("o").distinct()
+      .orderBy("o").collect().map(_.getLong(0))
+    val fn = StreamingGraphMaintenance.graphMaintain(delta) _
+    val thirds = orderIds.grouped((orderIds.length + 2) / 3).toSeq
+    thirds.zipWithIndex.foreach { case (part, i) =>
+      fn(inc.filter(col("o").isin(part: _*)), i.toLong)
+    }
+    def probe() = StreamingGraphMaintenance
+      .degreeProbe(spark, base, delta).collect().map(_.toSeq)
+    val want = graft.ops.GraphOps.degreeProfile(spark, dir)
+      .collect().map(_.toSeq)
+    val got = probe()
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      "streamed degree profile drifted from the full-corpus derivation")
+    // replay: additive segments, batch-keyed overwrite => byte-identical
+    def snap() = spark.read.parquet(s"$delta/b0/edges").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val before = snap()
+    fn(inc.filter(col("o").isin(thirds.head: _*)), 0L)
+    assert(snap() == before, "replayed edges segment drifted")
+    assert(before.nonEmpty, "vacuous replay check")
+    // re-delivery: the SAME orders landing again under a NEW batchId
+    // add duplicate (u, v) rows the probe's keyed dedup must absorb
+    fn(inc.filter(col("o").isin(thirds.head: _*)), 99L)
+    assert(probe().toSeq == want.toSeq,
+      "re-delivered orders corrupted the degree profile")
   }
 }
 
