@@ -60,7 +60,8 @@ object ScaleSoak {
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
     val embStages = Set("semdedup_index_build", "semdedup_staged_probe",
       "fixed_batch_semdedup_probe", "embed_neardup_lsh")
-    val liStages = Set("graph_index_build", "triangle_counts")
+    val liStages = Set("graph_index_build", "triangle_counts",
+      "degree_add_batch")
     val needEmb = only.forall(_.exists(embStages.contains))
     val needLi = only.forall(_.exists(liStages.contains))
     val needDocs = only.forall(_.exists(n => !embStages.contains(n) && !liStages.contains(n)))
@@ -264,12 +265,14 @@ object ScaleSoak {
       graft.llm.TextOps.paragraphDedupStaged(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
-    locally {
-      // setup OUTSIDE the timed block (ADVICE r13): dgs() lazily runs
-      // the corpus-linear index build when paradg_index_build wasn't
-      // selected in the same run, and the segment maintain is the
-      // stream's write cost, not the probe's — timing either inside
-      // would silently absorb O(corpus) into the "flat O(batch)" claim
+    // setup OUTSIDE the timed block (ADVICE r13): dgs() lazily runs
+    // the corpus-linear index build when paradg_index_build wasn't
+    // selected in the same run, and the segment maintain is the
+    // stream's write cost, not the probe's — timing either inside
+    // would silently absorb O(corpus) into the "flat O(batch)" claim.
+    // The whole block still honors the ops filter (a filtered run that
+    // never replicated documents must not touch the docs fixture).
+    if (only.forall(_.contains("fixed_batch_paragraph_probe"))) {
       val root = java.nio.file.Files.createTempDirectory("fb-para").toString
       val base = graft.llm.ParaDigestIndex.dgs(spark, dir)
       val seg = spark.range(fixedIdBase, fixedIdBase + 2000L)
@@ -456,6 +459,15 @@ object ScaleSoak {
     }
     time("triangle_counts") {
       graft.ops.GraphOps.triangleCounts(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // Round-14: the add-batch degree profile (q194). Base-side edge
+    // derivation dominates (corpus-linear scan + within-order
+    // self-join, bounded per order by its line count); the claim is
+    // that the decade slope stays ~linear — nothing in the split/
+    // merge/dedup adds a superlinear term over the full derivation.
+    time("degree_add_batch") {
+      graft.ops.GraphOps.degreeAddBatch(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
     // Interchange (round-8): each export is one corpus pass; ingest
