@@ -218,6 +218,40 @@ object StreamSoak {
       f"persistent_rdds=$nRdd storage_mem=${mem / 1024 / 1024}MB " +
       f"storage_disk=${disk / 1024 / 1024}MB " +
       f"total=${(System.nanoTime() - t0) / 1e9}%.0fs dir=$root")
+    // DONE-probe (r13 verdict item 3's "probe at the end matches the
+    // batch twin", at stream scale rather than the spec's 3 batches):
+    // the recycled id pool is a CLOSED set, and any run long enough to
+    // cycle it (totalRows >= poolSize) has delivered every pool id —
+    // so the streamed state must equal a from-scratch batch compute
+    // over the full pool. Only the closed-pool families qualify
+    // (graph's order ids are monotone, not recycled).
+    val pool = spark.range(idOffset, idOffset + poolSize)
+      .select(col("id").as("doc_id"), synthText(col("id")).as("text"))
+    if (which == "paragraph") {
+      val want = graft.llm.TextOps.paraDigests(pool)
+      val got = graft.streaming.StreamingParagraphMaintenance
+        .deltaDgs(spark, delta).distinct()
+      val missing = want.except(got).count()
+      val extra = got.except(want).count()
+      println(s"[stream-soak] DONE-PROBE paragraph: " +
+        s"pool_digests=${want.count()} missing=$missing extra=$extra " +
+        (if (missing == 0 && extra == 0)
+          "MATCH (streamed digest set == batch twin over the full pool)"
+        else "MISMATCH (incomplete pool coverage or corrupted state)"))
+    }
+    if (which == "sketch") {
+      val src = pool.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(5))))
+      val want = graft.llm.CorpusAudit.sketchPairsEst(
+        graft.llm.CorpusAudit.sourceSketch(src)).collect().map(_.toSeq).toSeq
+      val got = graft.streaming.StreamingSketchMaintenance.overlapProbe(
+        spark, graft.llm.CorpusAudit.sourceSketch(src.limit(0)), delta)
+        .collect().map(_.toSeq).toSeq
+      println(s"[stream-soak] DONE-PROBE sketch: pairs=${want.length} " +
+        (if (got == want)
+          "MATCH (streamed sketch estimate == batch twin over the full pool)"
+        else "MISMATCH (incomplete pool coverage or corrupted state)"))
+    }
     spark.stop()
   }
 }
