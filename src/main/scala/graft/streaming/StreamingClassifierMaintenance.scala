@@ -83,16 +83,26 @@ object StreamingClassifierMaintenance {
   def classifierMaintain(deltaDir: String, baseSeen: Option[DataFrame] = None,
       compactEvery: Int = 500)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
-    val seenBefore = DeltaDirs.readSegs(s, deltaDir, "docs", docsSchema, batchId)
-    val seen = baseSeen.fold(seenBefore)(b =>
-      seenBefore.unionByName(b.select(col("doc_id"))))
-    val fresh = graft.Materialize.stable(
-      batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
-        .join(seen, Seq("doc_id"), "left_anti"))
-    graft.llm.SelectionOps.classifierCounts(fresh)
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/counts")
-    fresh.select("doc_id")
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/docs")
+    // withTransient, not raw stable: the fresh frame's checkpoint
+    // blocks are dead once both segment writes commit, and a
+    // continuous foreachBatch caller must release them per batch
+    // rather than wait for a GC-driven ContextCleaner pass (the
+    // Materialize.withTransient contract every multi-consumer
+    // maintainer follows; a 1500-batch soak showed 1-2 lingering
+    // blocks without it).
+    graft.Materialize.withTransient { st =>
+      val seenBefore =
+        DeltaDirs.readSegs(s, deltaDir, "docs", docsSchema, batchId)
+      val seen = baseSeen.fold(seenBefore)(b =>
+        seenBefore.unionByName(b.select(col("doc_id"))))
+      val fresh = st(
+        batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+          .join(seen, Seq("doc_id"), "left_anti"))
+      graft.llm.SelectionOps.classifierCounts(fresh)
+        .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/counts")
+      fresh.select("doc_id")
+        .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/docs")
+    }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       DeltaDirs.compact(batch.sparkSession, deltaDir,
         Seq("counts" -> countsSchema, "docs" -> docsSchema), batchId)
