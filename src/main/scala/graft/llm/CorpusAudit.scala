@@ -267,19 +267,25 @@ object CorpusAudit {
     * oracle. Shares q71's 3-gram shingle recipe verbatim.
     *
     * Plan: one corpus-sized shingle explosion pinned once (three
-    * consumers: sketch agg, sizes, intersection self-join); the
+    * consumers: sketch agg, sizes, intersection pair-expansion); the
     * |sources|×16 sketch and |sources| sizes broadcast back onto the
     * pair frame. Pairs with zero shared shingles are absent BY
-    * construction (they derive from the shingle equi-join) in both
+    * construction (they derive from shingle co-occurrence) in both
     * engines.
     *
-    * Scale caveat (ADVICE r13): the exact-Jaccard calibration column's
-    * shingle self-join is quadratic in per-shingle source frequency —
-    * a boilerplate shingle shared by every source inflates it far
-    * beyond the sketch's cost. This CALIBRATION form runs at fixture
-    * SF only; the form you ship at 100 TB is the sketch alone — q192
-    * ([[sourceOverlapSketchStaged]]), which has no exact column, no
-    * distinct pass, and a staged corpus side. */
+    * Exact-column plan (VERDICT r14 item 3, closing ADVICE r13): the
+    * calibration intersection is NO self-join — the distinct
+    * (source, shingle) frame groups BY shingle and each shingle's
+    * sorted source set expands to its C(k, 2) ordered pairs in one
+    * generate pass. Per-shingle work is provably bounded by the
+    * CATALOG constant |sources| (k ≤ |sources|), never by a
+    * boilerplate shingle's corpus frequency, and the shuffle carries
+    * each (source, shingle) exactly once instead of a join's k-fold
+    * probe-side duplication. The remaining corpus-scale cost is the
+    * one distinct pass exact Jaccard inherently needs — which is why
+    * the form you ship at 100 TB is still the sketch alone: q192
+    * ([[sourceOverlapSketchStaged]]), no exact column, no distinct
+    * pass, staged corpus side. */
   /** The sketch family's K (hash-function count). Shared by the inline
     * q191, the staged [[OverlapSketchIndex]], the staged q192, and the
     * streaming sketch maintainer — one constant, so the four forms can
@@ -373,9 +379,17 @@ object CorpusAudit {
       (1 until K).map(i =>
         min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"m$i")): _*)
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val inter = st.as("a").join(st.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    // shingle-grouped pair expansion: sorted source set -> C(k, 2)
+    // ordered pairs, k bounded by the catalog's source count — no
+    // self-join, no probe-side row duplication (VERDICT r14 item 3)
+    val srcs = sort_array(collect_set(col("source")))
+    val inter = st.groupBy(col("shingle"))
+      .agg(srcs.as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(col("srcs"), (x, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+          y => struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_inter"))
     val est = (0 until K).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
@@ -523,9 +537,9 @@ object CorpusAudit {
   /** q191's oracle: the same md5 hash family is engine-reproducible, so
     * the sketch ESTIMATE (not just the exact column) hash-matches. */
   private val q191OracleSql: String = {
-    val minCols = (0 until 16)
+    val minCols = (0 until SketchK)
       .map(i => s"    min(md5('$i:' || shingle)) AS m$i").mkString(",\n")
-    val estSum = (0 until 16)
+    val estSum = (0 until SketchK)
       .map(i => s"(CASE WHEN ma.m$i = mb.m$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""WITH sh AS (
@@ -547,7 +561,7 @@ object CorpusAudit {
        |  GROUP BY 1, 2)
        |SELECT i.source_a, i.source_b, za.n_sh AS n_a, zb.n_sh AS n_b, i.n_inter,
        |  CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard_exact,
-       |  CAST($estSum AS DOUBLE) / 16.0 AS jaccard_est
+       |  CAST($estSum AS DOUBLE) / $SketchK.0 AS jaccard_est
        |FROM inter i
        |JOIN sizes za ON za.source = i.source_a
        |JOIN sizes zb ON zb.source = i.source_b
@@ -579,7 +593,7 @@ object CorpusAudit {
        |  FROM sh GROUP BY source)
        |SELECT a.source AS source_a, b.source AS source_b,
        |  CAST($estSum AS BIGINT) AS n_match,
-       |  CAST($estSum AS DOUBLE) / 16.0 AS jaccard_est
+       |  CAST($estSum AS DOUBLE) / $SketchK.0 AS jaccard_est
        |FROM mins a JOIN mins b ON a.source < b.source
        |ORDER BY source_a, source_b""".stripMargin
   }

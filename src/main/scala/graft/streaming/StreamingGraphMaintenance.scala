@@ -1,28 +1,42 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Streaming maintenance of the co-purchase edge set — the TENTH member
   * of the streaming-maintenance matrix, closing the graph family the
   * way rounds 11–14 closed media, selection, paragraph, and the overlap
   * sketch. Per micro-batch of (o, p) incidence arrivals the maintainer
-  * self-joins ONLY the batch within order ([[graft.ops.GraphOps.edgesOf]]
-  * — the offline GraphIndex build's exact edge derivation) and appends
-  * one `edges/` segment of distinct (u, v) under `delta/b<id>/`. Purely
-  * additive: the segment depends on nothing but the batch, so replay of
-  * an unacknowledged batch is idempotent by construction (batch-id-keyed
-  * overwrite), with no earlier-segment read to get wrong.
+  * derives within-order edges ([[graft.ops.GraphOps.edgesOf]] — the
+  * offline GraphIndex build's exact edge derivation) and appends one
+  * `edges/` segment of distinct (u, v) plus one `inc/` segment of the
+  * batch's distinct (o, p) incidence under `delta/b<id>/`.
   *
-  * Arrival contract: batches carry WHOLE orders — every co-purchase
-  * edge derives from within one order, so an order split across two
-  * batches would lose its cross-batch pairs (the same feeder-side
-  * completeness the IVF/semdedup families require of vecArrivals,
-  * enforced upstream where the order boundary is known). RE-DELIVERED
-  * orders, by contrast, are harmless by construction: the edge algebra
-  * is SET PRESENCE, and [[degreeProbe]] dedups (u, v) keys across
-  * base ∪ segments before counting (the media family's keys-only fix) —
-  * two longs per edge, nothing payload-sized.
+  * Arrival contract — ENFORCED BY EXACT REPAIR (VERDICT r14 item 1,
+  * the classifier-family precedent): every co-purchase edge derives
+  * from within one order, so an order SPLIT across two micro-batches
+  * would lose its cross-batch pairs if each batch were self-joined
+  * alone — silently, since each batch's within-batch edges are
+  * individually plausible. The maintainer no longer trusts the feeder:
+  * it keeps the per-batch `inc/` incidence (two longs per line — the
+  * id-pair posture every maintainer shares), and each batch semi-joins
+  * the STRICTLY EARLIER incidence on its own order ids. For an order
+  * already partially landed, edges are re-derived over (earlier lines
+  * ∪ new lines) of that order — the cross-batch pairs land exactly,
+  * and the re-emitted old-old pairs are absorbed by the probe's
+  * keyed dedup. In steady state (whole-order feeders) the prior frame
+  * is EMPTY and the batch cost is the same within-batch self-join as
+  * before, plus one ids-only lookup.
+  *
+  * RE-DELIVERED whole orders were already harmless by algebra (edge
+  * presence, probe dedup) and remain so: their prior lines equal their
+  * new lines, so the re-derived edges are byte-identical duplicates.
+  * Replay of an unacknowledged batch is idempotent because the prior
+  * read is strictly-before ([[DeltaDirs.readSegs]] with this batchId —
+  * a replaying batch never sees its own crashed attempt's `inc/`
+  * segment) and both writes are batch-id-keyed overwrites of frames
+  * that derive only from the batch and that unchangeable prior state.
   *
   * [[degreeProbe]] is the report path: base edge table (the staged
   * per-corpus-version `GraphIndex.edges` shape) ∪ delta segments →
@@ -31,19 +45,28 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * carries over verbatim: the streamed edge set must profile EXACTLY
   * like a from-scratch full-corpus derivation, which
   * StreamingGraphMaintenanceSpec pins against oracle-checked q151/q194
-  * over three whole-order arrivals.
+  * over three whole-order arrivals AND over a split-order arrival (one
+  * order's lines divided across two batches — the leg that silently
+  * lost edges before this repair existed).
   *
   * 100 TB posture: per batch the work is one within-order self-join
-  * bounded by the batch's line counts (never corpus-scale — order size
-  * bounds the quadratic term, the same bound the offline build relies
-  * on); segments carry fixed-width id pairs; the probe's dedup shuffle
-  * keys on two longs, and [[DeltaDirs.compact]]'s tiered folds bound
-  * the segment-listing cost by the cadence, not the stream's age. */
+  * bounded by the batch's line counts plus one semi-join keyed on
+  * order ids against the accumulated `inc/` store (fixed-width id
+  * pairs; at warehouse scale bucketed by `o`, the S7 layout, so the
+  * lookup co-locates — and its OUTPUT is bounded by the re-seen
+  * orders' line counts, i.e. empty in steady state). Segments carry
+  * fixed-width id pairs; the probe's dedup shuffle keys on two longs,
+  * and [[DeltaDirs.compact]]'s tiered folds bound the segment-listing
+  * cost by the cadence, not the stream's age. */
 object StreamingGraphMaintenance {
 
   private val edgesSchema = StructType(Seq(
     StructField("u", LongType),
     StructField("v", LongType)))
+
+  private val incSchema = StructType(Seq(
+    StructField("o", LongType),
+    StructField("p", LongType)))
 
   /** The accumulated delta edges across all landed batches (additive
     * segments need no strictly-before filtering at probe time; the
@@ -51,17 +74,27 @@ object StreamingGraphMaintenance {
   def deltaEdges(s: SparkSession, deltaDir: String): DataFrame =
     DeltaDirs.readSegs(s, deltaDir, "edges", edgesSchema)
 
-  /** The foreachBatch function: derive the batch's within-order edges,
-    * append its (u, v) segment. Every frame derives from `batch` alone.
-    * Every `compactEvery` batches the accumulated segments fold into
-    * tiered compacted dirs (0 disables). */
+  /** The foreachBatch function: derive the batch's within-order edges —
+    * repaired across batch boundaries for any order already partially
+    * landed (scaladoc above) — and append its (u, v) segment plus the
+    * batch's (o, p) incidence segment. Every `compactEvery` batches the
+    * accumulated segments fold into tiered compacted dirs (0 disables). */
   def graphMaintain(deltaDir: String, compactEvery: Int = 500)
       (batch: DataFrame, batchId: Long): Unit = {
-    graft.ops.GraphOps.edgesOf(batch)
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/edges")
+    val s = batch.sparkSession
+    graft.Materialize.withTransient { st =>
+      val bi = st(batch.select(col("o"), col("p")).distinct())
+      // earlier-landed lines of orders present in THIS batch: nonempty
+      // only for split or re-delivered orders (ids-only semi-join)
+      val prior = DeltaDirs.readSegs(s, deltaDir, "inc", incSchema, batchId)
+        .join(bi.select("o").distinct(), Seq("o"), "left_semi")
+      graft.ops.GraphOps.edgesOf(bi.unionByName(prior))
+        .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/edges")
+      bi.write.mode("overwrite").parquet(s"$deltaDir/b$batchId/inc")
+    }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       DeltaDirs.compact(batch.sparkSession, deltaDir,
-        Seq("edges" -> edgesSchema), batchId)
+        Seq("edges" -> edgesSchema, "inc" -> incSchema), batchId)
   }
 
   /** Degree profile over staged base ∪ streamed delta edges — q151's

@@ -14,20 +14,34 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, DoubleType, IntegerType
   * inverted-list segment `delta/b<id>/lists` with the same (vec_id,
   * cell, v, norm) shape as the staged lists.
   *
-  * Like the posting maintainer, the write depends only on the batch and
-  * the frozen centroids, so replay of an unacknowledged batch is
-  * idempotent by construction (batch-id-keyed overwrite). The
-  * assignment argmin tie-breaks on cell id — the q106 rule — so a
-  * replay cannot flip a boundary vector to a different cell.
+  * Replay of an unacknowledged batch is idempotent: the seen-set read
+  * is strictly-before ([[DeltaDirs.readSegs]] with this batchId), the
+  * assignment depends only on the batch and the frozen centroids, and
+  * the write is a batch-id-keyed overwrite. The assignment argmin
+  * tie-breaks on cell id — the q106 rule — so a replay cannot flip a
+  * boundary vector to a different cell.
+  *
+  * First-seen enforcement (VERDICT r14 item 1's feeder audit): the
+  * list rows are presence state keyed by vec_id, but the probe ranks
+  * ROWS — a vec_id re-delivered in a later batch (the steady state of
+  * a recrawl stream, not a replay) would land a duplicate list row,
+  * appear twice in top-k output, and grow the lists with DELIVERIES
+  * rather than distinct vectors. The whole-arrival promise is now
+  * code, not prose: the batch is deduped on vec_id and anti-joined
+  * against the vec_ids of strictly earlier segments (plus `baseSeen`,
+  * the staged base lists' ids, when supplied) before assignment — the
+  * classifier family's exclusion, ids-only (8 bytes per vector).
   *
   * [[probeWithDelta]] ranks against base lists ∪ delta segments with
   * the catalog's shared top-10 tail; StreamingIvfMaintenanceSpec pins
-  * stream-grown ≡ q106's single-shot add-batch over three arrivals.
+  * stream-grown ≡ q106's single-shot add-batch over three arrivals and
+  * a re-delivery leg.
   *
-  * 100 TB posture: O(batch·k) distance work per batch; the corpus
-  * lists are never read at maintenance time, and at probe time cell
-  * pruning applies to base and delta alike (both carry the cell
-  * column). */
+  * 100 TB posture: O(batch·k) distance work per batch plus one
+  * ids-only anti-join against the accumulated delta ids (listing cost
+  * bounded by the compaction cadence); the corpus lists' vectors are
+  * never read at maintenance time, and at probe time cell pruning
+  * applies to base and delta alike (both carry the cell column). */
 object StreamingIvfMaintenance {
 
   private val listSchema = StructType(Seq(
@@ -44,19 +58,30 @@ object StreamingIvfMaintenance {
     DeltaDirs.readSegs(s, deltaDir, "lists", listSchema)
 
   /** The foreachBatch function: nearest-frozen-centroid assignment of
-    * the batch, appended as one delta segment. `centroids` is the
-    * staged (cell, centroid) table of the published index. */
+    * the batch's FIRST-SEEN vectors (scaladoc above), appended as one
+    * delta segment. `centroids` is the staged (cell, centroid) table of
+    * the published index; `baseSeen` carries the vec_ids the staged
+    * base lists already hold (omitted, only intra-stream re-deliveries
+    * are excluded). */
   def ivfMaintain(centroids: DataFrame, deltaDir: String,
-      compactEvery: Int = 500)
+      compactEvery: Int = 500, baseSeen: Option[DataFrame] = None)
       (batch: DataFrame, batchId: Long): Unit = {
     import graft.functions.VectorFunctions.dot_product
+    val s = batch.sparkSession
     val dist = aggregate(
       zip_with(col("v").cast("array<double>"), col("centroid"),
         (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, d) => acc + d)
+    val seenBefore = DeltaDirs
+      .readSegs(s, deltaDir, "lists", listSchema, batchId)
+      .select(col("vec_id"))
+    val seen = baseSeen.fold(seenBefore)(b =>
+      seenBefore.unionByName(b.select(col("vec_id"))))
     batch
       .select(col("vec_id"), col("embedding").as("v"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+      .dropDuplicates("vec_id")
+      .join(seen, Seq("vec_id"), "left_anti")
       .crossJoin(broadcast(centroids))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))

@@ -75,7 +75,21 @@ object StreamingSemDedupMaintenance {
     import graft.functions.VectorFunctions.dot_product
     val s = batch.sparkSession
     graft.Materialize.withTransient { st =>
-      val b = st(withNorm(batch))
+      // First-seen enforcement (VERDICT r14 item 1's feeder audit):
+      // the family's read path counts VEC ROWS (componentsWithDelta's
+      // membership frame), so a vec_id re-delivered in a later batch —
+      // recrawl steady state, not replay — would duplicate its vecs
+      // row, double-count n_members, and grow state with deliveries
+      // rather than distinct vectors. The whole-arrival promise is now
+      // code: the batch dedups on vec_id and anti-joins (ids-only)
+      // against base ∪ strictly-earlier vecs before any edge work.
+      // Replay stays idempotent — the exclusion reads only state a
+      // replaying batch cannot have changed.
+      val seenIds = basePrepared.select(col("vec_id"))
+        .unionByName(deltaSeg(s, deltaDir, "vecs", batchId).select("vec_id"))
+      val b = st(withNorm(batch).dropDuplicates("vec_id")
+        .join(seenIds, Seq("vec_id"), "left_anti")
+        .select("label", "vec_id", "v", "norm"))
       val seen = basePrepared.select("label", "vec_id", "v", "norm")
         .unionByName(deltaSeg(s, deltaDir, "vecs", batchId))
         .unionByName(b)

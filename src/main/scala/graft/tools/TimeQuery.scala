@@ -53,6 +53,8 @@ object TimeQuery {
       graft.llm.PostingIndex.ensure(spark, sfDir)
       graft.llm.SemDedupIndex.ensure(spark, sfDir)
       graft.llm.MediaFpIndex.ensure(spark, sfDir)
+      graft.llm.ParaDigestIndex.ensure(spark, sfDir)
+      graft.llm.OverlapSketchIndex.ensure(spark, sfDir)
       graft.ops.GraphIndex.ensure(spark, sfDir)
     } catch { case _: Throwable => () }
     for (n <- names; r <- 1 to reps) {

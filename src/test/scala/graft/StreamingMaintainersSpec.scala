@@ -233,6 +233,18 @@ class StreamingIvfMaintenanceSpec extends AnyFunSuite {
     val before = snap()
     fn(batch.filter(col("vec_id").isin(ids.take((ids.length + 2) / 3): _*)), 0L)
     assert(snap() == before, "replayed IVF segment drifted")
+    // re-delivery: the SAME vec_ids landing again under a NEW batchId
+    // must be excluded by the first-seen anti-join (VERDICT r14 feeder
+    // audit) — the segment folds to empty and the probe stays fixed
+    fn(batch.filter(col("vec_id").isin(ids.take((ids.length + 2) / 3): _*)), 99L)
+    assert(spark.read.schema("vec_id long, cell int, v array<float>, norm double")
+      .parquet(s"$delta/b99/lists").count() == 0,
+      "re-delivered vectors were not excluded from the IVF delta")
+    val got2 = StreamingIvfMaintenance
+      .probeWithDelta(spark, baseLists, centroids, delta)
+      .collect().map(_.toSeq)
+    assert(got2.toSeq == want.toSeq,
+      "re-delivered vectors corrupted the IVF probe")
   }
 }
 
@@ -274,6 +286,20 @@ class StreamingSemDedupMaintenanceSpec extends AnyFunSuite {
     fn(batch.filter(col("vec_id").isin(t1: _*)), 1L)
     assert((snap("edges"), snap("vecs")) == before,
       "replayed semdedup segments drifted")
+    // re-delivery: the SAME vec_ids landing again under a NEW batchId
+    // must be excluded by the first-seen anti-join (VERDICT r14 feeder
+    // audit) — otherwise their vecs rows duplicate and n_members
+    // double-counts. Segment empty, cluster table fixed.
+    fn(batch.filter(col("vec_id").isin(t1: _*)), 99L)
+    assert(spark.read
+      .schema("label int, vec_id long, v array<float>, norm double")
+      .parquet(s"$delta/b99/vecs").count() == 0,
+      "re-delivered vectors were not excluded from the semdedup delta")
+    val got2 = StreamingSemDedupMaintenance
+      .componentsWithDelta(spark, basePrepared, staged, delta)
+      .collect().map(_.toSeq)
+    assert(got2.toSeq == want.toSeq,
+      "re-delivered vectors corrupted the semdedup cluster table")
   }
 }
 
@@ -377,6 +403,43 @@ class StreamingGraphMaintenanceSpec extends AnyFunSuite {
     fn(inc.filter(col("o").isin(thirds.head: _*)), 99L)
     assert(probe().toSeq == want.toSeq,
       "re-delivered orders corrupted the degree profile")
+  }
+
+  test("an order SPLIT across two micro-batches is repaired exactly: " +
+      "the cross-batch co-purchase edges land (VERDICT r14 item 1)") {
+    val root = java.nio.file.Files.createTempDirectory("sgm-split").toString
+    val delta = s"$root/delta"
+    val isNewOrder = pmod(col("o"), lit(10)) === 7
+    val base = graft.Materialize.stable(
+      graft.ops.GraphOps.edgesOf(inc.filter(!isNewOrder)))
+    val newInc = inc.filter(isNewOrder)
+    // the new order with the most distinct parts — the worst victim
+    val victim = newInc.select("o", "p").distinct()
+      .groupBy("o").count()
+      .orderBy(col("count").desc, col("o")).limit(1)
+      .collect().head.getLong(0)
+    val vParts = newInc.filter(col("o") === victim).select("p").distinct()
+      .orderBy("p").collect().map(_.getLong(0))
+    assert(vParts.length >= 2, "need a multi-line order to split")
+    val (h1, h2) = vParts.splitAt(vParts.length / 2)
+    val fn = StreamingGraphMaintenance.graphMaintain(delta) _
+    fn(newInc.filter(col("o") =!= victim), 0L)
+    fn(newInc.filter(col("o") === victim && col("p").isin(h1: _*)), 1L)
+    fn(newInc.filter(col("o") === victim && col("p").isin(h2: _*)), 2L)
+    val want = graft.ops.GraphOps.degreeProfile(spark, dir)
+      .collect().map(_.toSeq)
+    val got = StreamingGraphMaintenance.degreeProbe(spark, base, delta)
+      .collect().map(_.toSeq)
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      "split-order arrival lost cross-batch co-purchase edges")
+    // and the repair is visible where it must be: the second half's
+    // segment carries at least one half1 × half2 pair
+    val repair = spark.read.schema("u long, v long")
+      .parquet(s"$delta/b2/edges")
+      .filter((col("u").isin(h1: _*) && col("v").isin(h2: _*)) ||
+        (col("u").isin(h2: _*) && col("v").isin(h1: _*)))
+    assert(repair.count() > 0,
+      "repair segment carries no cross-half edge — repair did not run")
   }
 }
 
