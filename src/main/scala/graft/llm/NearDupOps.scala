@@ -264,12 +264,21 @@ object NearDupOps {
     * verify join touches only candidate ids — shingle arrays are
     * shuffled for candidate docs only, never all-pairs. */
   private def rescoreExactJaccard(s: SparkSession, dir: String,
+      cand: DataFrame, minJaccard: Double): DataFrame =
+    rescoreExactJaccardOf(graft.Tables.tSpread(s, dir, "documents"),
+      cand, minJaccard)
+
+  /** The exact-verify tail over an ARBITRARY (doc_id, text) frame —
+    * the dir form above delegates here; composed pipelines (q195's
+    * fuzzy stage over paragraph-cleaned text) reuse it on a derived
+    * corpus no staged index covers. */
+  private def rescoreExactJaccardOf(docs: DataFrame,
       cand: DataFrame, minJaccard: Double): DataFrame = {
     // The non-empty guard is phrased on the token count (a doc shingles
     // iff it has ≥ 3 words), not on size(sh) — a size(sh) filter would
     // be pushed below the projection and evaluate the kernel twice per
     // row.
-    val docSh = graft.Tables.tSpread(s, dir, "documents")
+    val docSh = docs
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"),
         graft.functions.HashKernels.shingle_array(col("text"), 3).as("sh"))
@@ -364,6 +373,27 @@ object NearDupOps {
     val cand = bandCandidatesStaged(sc.bands)
     expandCollapsed(rescoreExactJaccard(s, dir, cand, 0.8),
       sc.dups, sc.dupRepShingleSize)
+  }
+
+  /** Non-canonical near-dup cluster members of an ARBITRARY (doc_id,
+    * text) frame, as an ids-only drop list — the q43/q62 cascade
+    * (band → exact-verify ≥ `minJaccard` → connected components →
+    * min-id canonical) for composed pipelines whose corpus is DERIVED
+    * (q195 fuzzy-dedups paragraph-cleaned text no staged index
+    * covers). The caller has already collapsed exact duplicates, so
+    * banding runs over distinct texts — the same pre-collapse
+    * discipline the staged cascade gets from [[stagedCorpus]].
+    * Text rides only the per-row kernel scans; bands, candidate
+    * pairs, shingle-verify joins and components all shuffle
+    * ids/digests. */
+  private[llm] def fuzzyDropIds(docs: DataFrame,
+      minJaccard: Double = 0.8): DataFrame = {
+    val pairs = rescoreExactJaccardOf(docs,
+        bandCandidates(mhBandedFor(docs)), minJaccard)
+      .select("doc_a", "doc_b")
+    Graphs.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
   }
 
   /** Near-dup cluster resolution — the step after pair detection in a
@@ -508,7 +538,15 @@ object NearDupOps {
   def incrementalNearDup(s: SparkSession, dir: String,
       isNew: Column => Column): DataFrame = {
     val dups = collapsedDups(s, dir)
-    val reps = repDocs(s, dir, dups)
+    // ONE materialized rep frame serves banding, the verify join's
+    // shingle side, and the intra-pair shingle sizes — previously each
+    // leg re-ran its own corpus scan + dup anti-join (the q84-shared
+    // frames the staged path reads from the index; VERDICT r14 item 8
+    // measured the re-derivation at ~2 s of this query's floor). Fine
+    // to pin here: q76 is the self-contained equivalence REFERENCE
+    // (fixture-gate scale) — the production path is the staged q84,
+    // which never materializes corpus text.
+    val reps = graft.Materialize.stable(repDocs(s, dir, dups))
     // Group-level batch flags: a rep carries its own side plus any dup
     // member's side. Built from the rep set + the small dup frame — no
     // full-member shuffle.
@@ -524,15 +562,30 @@ object NearDupOps {
         greatest(col("self_old"), coalesce(col("dup_old"), lit(0))).as("has_old"))
     // Keep only candidates whose groups straddle the batch boundary in
     // SOME direction — the verify join never sees same-side pairs.
-    val cand = bandCandidates(mhBandedOf(reps, 64, 16))
-      .join(flags.select(col("rep_id").as("doc_a"),
-        col("has_new").as("a_new"), col("has_old").as("a_old")), Seq("doc_a"))
-      .join(flags.select(col("rep_id").as("doc_b"),
-        col("has_new").as("b_new"), col("has_old").as("b_old")), Seq("doc_b"))
-      .filter((col("a_new") === 1 && col("b_old") === 1)
-        || (col("b_new") === 1 && col("a_old") === 1))
-      .select("doc_a", "doc_b")
-    val combos = crossCombos(rescoreExactJaccard(s, dir, cand, 0.8), dups)
+    // Pinned: the candidate frame feeds both the verify join and the
+    // id restriction of its shingle side.
+    val cand = graft.Materialize.stable(
+      bandCandidates(mhBandedOf(reps, 64, 16))
+        .join(flags.select(col("rep_id").as("doc_a"),
+          col("has_new").as("a_new"), col("has_old").as("a_old")), Seq("doc_a"))
+        .join(flags.select(col("rep_id").as("doc_b"),
+          col("has_new").as("b_new"), col("has_old").as("b_old")), Seq("doc_b"))
+        .filter((col("a_new") === 1 && col("b_old") === 1)
+          || (col("b_new") === 1 && col("a_old") === 1))
+        .select("doc_a", "doc_b"))
+    // Shingle only the CANDIDATE reps (semi-join on the pinned pair
+    // ids), not the whole rep frame — the kernel cost follows the
+    // candidate count, the contract the staged path documents.
+    val candReps = reps.join(
+      cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct(),
+      Seq("doc_id"), "left_semi")
+    // The verified rep-pair frame is tiny (pairs over threshold) but
+    // feeds crossCombos' four union branches times two directional
+    // filters — unpinned, the whole band+verify cascade above re-runs
+    // up to eight times (the other ~2 s of the r14 floor).
+    val combos = crossCombos(graft.Materialize.stable(
+      rescoreExactJaccardOf(candReps, cand, 0.8)), dups)
     val st = pairStats.map(col)
     val cross = combos
       .filter(isNew(col("doc_a")) && !isNew(col("doc_b")))
@@ -542,8 +595,16 @@ object NearDupOps {
         .select(col("doc_b").as("new_doc") +: col("doc_a").as("old_doc") +: st: _*))
     // Exact-dup groups spanning the boundary: (new member, old member)
     // pairs at jaccard 1 — take the undirected intra pairs and keep
-    // each in whichever direction crosses the boundary.
-    val intra = intraPairs(dups, dupRepShingleSize(s, dir, dups))
+    // each in whichever direction crosses the boundary. Shingle sizes
+    // ride the pinned rep frame, not a third corpus scan.
+    val dupRepSh = graft.Materialize.stable(reps
+      .join(dups.select(col("rep_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id").as("rep_id"),
+        size(graft.functions.HashKernels.shingle_array(col("text"), 3))
+          .cast("long").as("n_sh")))
+    val intra = intraPairs(dups, dupRepSh)
     val intraDirected = intra
       .filter(isNew(col("doc_a")) && !isNew(col("doc_b")))
       .select(col("doc_a").as("new_doc") +: col("doc_b").as("old_doc") +: st: _*)

@@ -149,6 +149,52 @@ object SamplingOps {
       budget = 2000L)
   }
 
+  /** q195 — the FULL CCNet+fuzzy curation capstone (VERDICT r14
+    * item 2): q193's chain with the MinHash near-dup stage composed in,
+    * in the order Wenzek et al. '20 actually run — paragraph-level
+    * dedup (q187's min(struct) hash agg, rebuild cleaned text), drop
+    * all-boilerplate docs, DOC-level exact dedup on the CLEANED text,
+    * then FUZZY dedup of the exact survivors (q43's cascade over the
+    * cleaned corpus: band → exact-Jaccard verify ≥ 0.8 → q62's
+    * components → keep min-id canonical), then the q63 deterministic
+    * mixture filter and q64 token-budget packing of the survivors'
+    * CLEANED token counts. Every stage is an already-oracled building
+    * block; the composition is one plan under ONE composed DuckDB
+    * oracle (brute-force Jaccard + recursive-CTE closure on the oracle
+    * side — the q65 pattern — so a pair missed or a cluster member
+    * double-kept anywhere in the cascade is a hash mismatch).
+    *
+    * Scale shape: cleaned text rides only the per-row fused kernel
+    * scans (paragraph digesting, banding, shingling); the exact
+    * collapse, band join, candidate verify, components, and the final
+    * anti-joins all shuffle ids/digests only ([[NearDupOps.fuzzyDropIds]]);
+    * packing is the `Prefix` two-level scan. The exact-dup collapse
+    * BEFORE banding is the cascade's usual pre-collapse discipline —
+    * here it falls out of the CCNet order for free. */
+  def fullCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cleaned = graft.Materialize.stable(
+      graft.llm.TextOps.paragraphDedup(docs)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("cleaned_text")))
+    val keepIds = cleaned
+      .select(col("doc_id"), md5(col("cleaned_text")).as("dg"))
+      .groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
+    val survivors = graft.Materialize.stable(cleaned
+      .join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val fuzzyDrops = NearDupOps.fuzzyDropIds(
+      survivors.select(col("doc_id"), col("cleaned_text").as("text")))
+    val kept = survivors
+      .join(fuzzyDrops, Seq("doc_id"), "left_anti")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    packByBudget(
+      mixtureFilter(kept)
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.Tokenize.tokens(col("cleaned_text")))
+            .cast("long").as("n_tokens")),
+      budget = 2000L)
+  }
+
   /** q178 — concat-and-chunk sequence packing: the pretraining
     * data-loader op q64 deliberately is NOT. q64 packs WHOLE documents
     * into token-budget shards; the GPT-style loader instead
@@ -392,6 +438,7 @@ object SamplingOps {
     "q64_shard_pack"  -> ((s, dir) => shardPack(s, dir)),
     "q65_curation_pipeline" -> curationPipeline,
     "q193_paragraph_curation" -> paragraphCuration,
+    "q195_full_curation" -> fullCuration,
     "q66_stratified_topn" -> ((s, dir) => stratifiedTopN(s, dir)),
     "q94_weighted_sample" -> weightedSample,
     "q97_split_assign" -> splitAssign,
@@ -634,6 +681,95 @@ object SamplingOps {
         |    WHEN 'fr' THEN 'c0000000'
         |    WHEN 'zh' THEN 'ffffffff'
         |    ELSE '00000000' END),
+        |tk2 AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(cleaned_text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM kept),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM tk2)
+        |SELECT doc_id, lang, n_tokens, cum_tokens,
+        |  CAST(FLOOR((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    // q195: q193's paragraph + exact-collapse chain, then q65's
+    // brute-force Jaccard + recursive closure on the CLEANED survivor
+    // texts (the oracle for the banded cascade), then mixture + pack.
+    "q195_full_curation" ->
+      """WITH RECURSIVE
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, list_transform(
+        |      generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1),
+        |      i -> array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')) AS ps
+        |  FROM tk),
+        |paras AS (
+        |  SELECT doc_id, unnest(ps) AS para,
+        |    unnest(generate_series(0, len(ps) - 1)) AS para_idx
+        |  FROM pl),
+        |marked AS (
+        |  SELECT doc_id, para_idx, para,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(para)
+        |                       ORDER BY doc_id, para_idx) = 1 AS is_first
+        |  FROM paras),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    COALESCE(string_agg(para, ' ' ORDER BY para_idx)
+        |             FILTER (WHERE is_first), '') AS cleaned_text
+        |  FROM marked GROUP BY doc_id),
+        |cleaned AS (SELECT doc_id, cleaned_text FROM stats WHERE n_kept > 0),
+        |reps AS (SELECT md5(cleaned_text) AS dg, MIN(doc_id) AS rep
+        |         FROM cleaned GROUP BY 1),
+        |surv AS (
+        |  SELECT c.doc_id, c.cleaned_text
+        |  FROM cleaned c
+        |  JOIN reps r ON md5(c.cleaned_text) = r.dg AND c.doc_id = r.rep),
+        |docsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ct) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(ct) - 2),
+        |           i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(cleaned_text, ' '), x -> x <> '') AS ct
+        |        FROM surv)),
+        |nonempty AS (SELECT doc_id, sh FROM docsh WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+        |kept AS (
+        |  SELECT v.doc_id, d.lang, v.cleaned_text
+        |  FROM surv v
+        |  JOIN documents d ON d.doc_id = v.doc_id
+        |  WHERE v.doc_id NOT IN (SELECT doc_id FROM drops)
+        |    AND substring(md5('mix1:' || CAST(v.doc_id AS VARCHAR)), 1, 8) < CASE d.lang
+        |      WHEN 'en' THEN '40000000'
+        |      WHEN 'de' THEN 'c0000000'
+        |      WHEN 'es' THEN 'c0000000'
+        |      WHEN 'fr' THEN 'c0000000'
+        |      WHEN 'zh' THEN 'ffffffff'
+        |      ELSE '00000000' END),
         |tk2 AS (
         |  SELECT doc_id, lang,
         |    CAST(len(list_filter(string_split(cleaned_text, ' '), x -> x <> ''))

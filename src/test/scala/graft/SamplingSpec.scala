@@ -237,4 +237,16 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(perDoc == want, "doc spans must reconstruct every doc exactly")
   }
+
+  test("q195 composes the fuzzy stage NON-vacuously: its survivor set " +
+      "is a strict subset of q193's (same chain minus fuzzy dedup)") {
+    val q193Ids = SamplingOps.paragraphCuration(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q195Ids = SamplingOps.fullCuration(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q195Ids.subsetOf(q193Ids),
+      "the fuzzy stage must only REMOVE docs from the q193 chain")
+    assert(q195Ids.size < q193Ids.size,
+      "fixture must exercise the fuzzy stage (no doc was fuzzy-dropped)")
+  }
 }
