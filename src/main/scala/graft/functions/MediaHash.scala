@@ -97,6 +97,54 @@ object MediaHashKernel {
   /** Column form: binary payload → long fingerprint (-1 sentinel). */
   def media_phash(payload: Column): Column =
     GraftSqlBridge.column(MediaPHash(GraftSqlBridge.expression(payload)))
+
+  /** WAV container → 60-bit AUDIO energy-profile fingerprint (the
+    * Haitsma & Kalker 2002 shape, energy-band differences → sign
+    * bits, reduced to one time-axis band): the data chunk's bytes are
+    * read as signed little-endian 16-bit PCM samples, the sample
+    * stream is cut into 61 equal time windows (sample j → window
+    * ⌊j·61/n⌋), per-window energy Σ s² accumulates in exact BIGINT,
+    * and bit i is set iff energy(i+1) > energy(i).
+    *
+    * Complementary to [[payloadPhash]]'s byte-gram SimHash, not a
+    * replacement: grams survive INSERTIONS but break under uniform
+    * GAIN (every byte changes); the energy-difference sign is
+    * invariant under any positive amplitude scaling (e_i ↦ c²·e_i
+    * preserves every comparison — spec-pinned) — the transform a
+    * re-encoded/normalized audio clone actually undergoes. All
+    * arithmetic is exact integer, so the DuckDB oracle reproduces the
+    * fingerprint bit-for-bit from `hex(body)`.
+    *
+    * Sentinel -1 for non-WAV containers, malformed headers, or fewer
+    * than 61 samples. */
+  def audioPhash(b: Array[Byte]): Long = {
+    if (b == null || b.length < 12 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return -1L
+    val off = graft.llm.MediaHeaders.bodyOffset(b)
+    if (off < 0) return -1L
+    val n = (b.length - off) / 2
+    val f = Bits + 1
+    if (n < f) return -1L
+    val e = new Array[Long](f)
+    var j = 0
+    while (j < n) {
+      val w = (j.toLong * f / n).toInt
+      val v = (((b(off + 2 * j + 1) & 0xff) << 8)
+        | (b(off + 2 * j) & 0xff)).toShort.toLong
+      e(w) += v * v
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < Bits) { if (e(i + 1) > e(i)) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  /** Column form: WAV payload → long audio fingerprint (-1 sentinel). */
+  def audio_phash(payload: Column): Column =
+    GraftSqlBridge.column(AudioPHash(GraftSqlBridge.expression(payload)))
 }
 
 /** Catalyst expression: binary container payload → 60-bit perceptual
@@ -111,6 +159,23 @@ case class MediaPHash(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.MediaHashKernel.payloadPhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: WAV container payload → 60-bit audio
+  * energy-profile fingerprint (-1 for non-WAV/malformed/too-short;
+  * null only for null input). */
+case class AudioPHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    MediaHashKernel.audioPhash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaHashKernel.audioPhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -301,6 +301,73 @@ object MultimodalOps {
     fpPairs(fps)
   }
 
+  /** The AUDIO corpus stand-in: EVERY document's bytes wrapped as a
+    * RIFF/WAVE asset (no codec ships in this environment — the data
+    * chunk is the document body, the doc-id-derived header fields make
+    * the kernel's header-exclusion walk load-bearing). Full-corpus
+    * rather than [[mediaTable]]'s wav quarter so the planted clone
+    * pairs land in scope and the q196 oracle is non-vacuous. */
+  private def audioTableOf(docs: DataFrame): DataFrame = {
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    val rate = (lit(8000) * (col("doc_id") % 5 + 1)).cast("int")
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("body"),
+        ch.as("ch"), rate.as("rate"))
+      .select(col("doc_id"),
+        concat(wavHeader(col("ch"), col("rate"), length(col("body"))),
+          col("body")).as("payload"))
+  }
+
+  /** (doc_id, fp) AUDIO fingerprints of an explicit documents frame —
+    * the energy-profile kernel
+    * ([[graft.functions.MediaHashKernel.audioPhash]]) over each wav
+    * asset's PCM samples, sentinels dropped. The audio sibling of
+    * [[mediaFps]]; same (id, long) shape, so it rides the SAME banded
+    * pair tail and could stage/stream through the same maintainer
+    * shape byte-for-byte. */
+  private[graft] def audioFps(docs: DataFrame): DataFrame = {
+    import graft.functions.MediaHashKernel.audio_phash
+    audioTableOf(docs)
+      .select(col("doc_id"), audio_phash(col("payload")).as("fp"))
+      .filter(col("fp") =!= -1L)
+  }
+
+  /** q196: perceptual near-dup over AUDIO payloads (VERDICT r14
+    * item 7) — q182's cascade with the sample-domain kernel: WAV data
+    * chunks are read as signed LE16 PCM, fingerprinted by the 61-window
+    * energy-difference sign profile (Haitsma & Kalker 2002's shape —
+    * invariant under uniform gain, the transform re-encoded/normalized
+    * audio clones actually undergo, where the byte-gram hash of q182
+    * flips every vote; MultimodalSpec pins the invariance on a 4×-gain
+    * clone), then the SAME combinatorial 3-of-6-block banding +
+    * exact-Hamming ≤ 3 verify tail ([[fpPairs]]) — pigeonhole exactness
+    * is a property of the 60-bit fingerprint width, not of what the
+    * bits mean, so the tail is shared verbatim.
+    *
+    * Output is one row per asset: fingerprint + its exact ≤ 3-Hamming
+    * neighbor count, NOT the bare pair listing — the fixture's planted
+    * clones are tail-INSERTIONS (q182's gram hash catches those; an
+    * insertion rescales this kernel's time windows by design), so the
+    * pair set alone would be an empty, vacuous oracle. The per-asset
+    * fingerprint column pins the kernel bit-for-bit against DuckDB's
+    * recomputation on every asset, clones or not, and the neighbor
+    * count pins the cascade through the same SQL. Same 100 TB posture
+    * as q182: identical fingerprints collapse before banding, only
+    * (id, long) rows ride any shuffle. */
+  def audioPerceptualNearDup(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.Materialize.stable(
+      audioFps(graft.Tables.tSpread(s, dir, "documents")))
+    val pairs = fpPairs(fps)
+    val cnt = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    fps.join(cnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("n"), lit(0L)).as("n_neighbors"))
+      .orderBy("doc_id")
+  }
+
   /** q186 — fingerprint-index maintenance: the q182 pair set over the
     * staged base fingerprints ([[MediaFpIndex]], the expensive byte-walk
     * hash paid once per corpus version) PLUS an un-indexed ingest batch
@@ -381,7 +448,8 @@ object MultimodalOps {
     "q52_frame_sample"  -> frameSamplePlan,
     "q53_resize_plan"   -> resizePlan,
     "q182_media_neardup" -> mediaPerceptualNearDup,
-    "q186_media_fp_add_batch" -> mediaFpAddBatch)
+    "q186_media_fp_add_batch" -> mediaFpAddBatch,
+    "q196_audio_neardup" -> audioPerceptualNearDup)
 
   // payload length = UTF-8 body + the per-format container header
   // (png 33 B, jpeg 39 B, wav 44 B, mp4 144 B — see the synth fns above)
@@ -447,7 +515,51 @@ object MultimodalOps {
     // q132/q170 add-batch contract): staged base ∪ hashed batch must
     // reproduce the full-corpus pair set bit-for-bit.
     "q186_media_fp_add_batch" -> mediaNearDupOracle,
-    "q182_media_neardup" -> mediaNearDupOracle)
+    "q182_media_neardup" -> mediaNearDupOracle,
+    // Brute-force twin of the banded audio plan (q196): every doc's
+    // body bytes as signed LE16 PCM samples decoded from hex(body)
+    // nibble arithmetic, 61 windows by w = j*61 // n,
+    // per-window energy as exact BIGINT Σ s², bit i set iff
+    // e(i+1) > e(i), then ALL-PAIRS Hamming ≤ 3 — banding is
+    // pigeonhole-exact, so the sets match pair-for-pair.
+    "q196_audio_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) // 2 AS n
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND octet_length(encode(text)) // 2 >= 61),
+        |samp AS (
+        |  SELECT doc_id, n, j.j AS j,
+        |      (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 3, 1)) - 1) * 4096
+        |    + (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 4, 1)) - 1) * 256
+        |    + (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 1, 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 2, 1)) - 1) AS v
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS j) j),
+        |en AS (
+        |  SELECT doc_id, CAST((j * 61) // n AS INT) AS w,
+        |    SUM(CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT)
+        |      * (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS e
+        |  FROM samp GROUP BY doc_id, w),
+        |fp AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN b.e > a.e
+        |        THEN CAST(1 AS BIGINT) << CAST(a.w AS INT) ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 60
+        |  GROUP BY a.doc_id),
+        |nb AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+        |  FROM (
+        |    SELECT a.doc_id FROM fp a JOIN fp b
+        |      ON a.doc_id <> b.doc_id
+        |     AND bit_count(xor(a.fp, b.fp)) <= 3
+        |  ) GROUP BY doc_id)
+        |SELECT f.doc_id, f.fp,
+        |  COALESCE(nb.n_neighbors, 0) AS n_neighbors
+        |FROM fp f LEFT JOIN nb ON nb.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin)
 
   private lazy val mediaNearDupOracle: String =
       """WITH m AS (

@@ -243,4 +243,31 @@ class MultimodalSpec extends AnyFunSuite {
     // exactly the shared low 30 bits
     assert(fired(0).getInt(0) == 0 && fired(0).getLong(1) == base.toLong)
   }
+
+  // ---- audio energy-profile fingerprint (q196) ---------------------------
+
+  test("audio fingerprint is gain-invariant (the Haitsma-Kalker property " +
+      "the byte-gram hash lacks) and rejects non-wav/short input") {
+    import graft.functions.MediaHashKernel.audioPhash
+    // 200 samples of a deterministic signed waveform, |s| <= 1000 so a
+    // 4x gain stays far from clipping
+    def pcm(gain: Int): Array[Byte] = (0 until 200).flatMap { j =>
+      val s = ((j * 37 % 101) - 50) * 20 * gain
+      le16(s & 0xffff).toSeq
+    }.toArray
+    val fp1 = audioPhash(wavWrap(pcm(1)))
+    val fp4 = audioPhash(wavWrap(pcm(4)))
+    assert(fp1 >= 0 && fp1 == fp4,
+      "uniform gain must not change the energy-difference sign profile")
+    // the byte-gram hash, by contrast, sees every byte change: far
+    // outside the Hamming-3 verify window (the documented complement)
+    val g1 = payloadPhash(wavWrap(pcm(1)))
+    val g4 = payloadPhash(wavWrap(pcm(4)))
+    assert(java.lang.Long.bitCount(g1 ^ g4) > 3,
+      "gain clone should NOT be a byte-gram near-dup (complementarity)")
+    // sentinels: non-wav container, too-short body
+    assert(audioPhash(pngWrap(pcm(1))) == -1L, "png must sentinel")
+    assert(audioPhash(wavWrap(pcm(1).take(100))) == -1L,
+      "fewer than 61 samples must sentinel")
+  }
 }
