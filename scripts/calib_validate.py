@@ -1,15 +1,19 @@
 #!/usr/bin/env python3
 """Validate BASELINE.md's calibration-normalization rule on a bench run
-(r13 verdict item 7): divide each per-query time by the run's machine-day
-factor (median(calib_start, calib_end) / calib_floor), ratio against the
-BASELINE floor column, and print the per-decile distribution. If the
-median normalized ratio sits near 1, the probe explains the machine-day
-drift; a fat upper tail names real regressions (or harness adjacency —
-see BASELINE.md's q93 note on post-probe JIT recovery and parallelism).
+(r13 verdict item 7; parallelism-keyed floors r14 verdict item 4):
+divide each per-query time by the run's machine-day factor
+(median(calib_start, calib_end) / calib_floor), ratio against the
+SAME-PARALLELISM floor column (floor4 for a local[4] run, floor32 for a
+local[32] run — read from the bench JSON's "cpus" field; cells missing
+a same-parallelism floor fall back to the all-runs baseline MIN), and
+print the per-decile distribution. If the median normalized ratio sits
+near 1, the probe explains the machine-day drift; a fat upper tail
+names real regressions. With same-parallelism floors the old prose
+adjudication for the mixed-keyed cells (q68, q92, q93, q54) is gone —
+a >2x cell is a finding, not a parallelism artifact.
 
 Usage: calib_validate.py BENCH_JSON [CALIB_FLOOR]
-       (default floor 0.81 = the local[32] calib floor; pass 1.228 for
-        a local[4] run — check the run's "cpus" field)
+       (default calib floor by cpus: 1.228 at 4, 0.81 at 32)
 """
 import json
 import re
@@ -17,19 +21,34 @@ import statistics
 import sys
 
 bench = json.load(open(sys.argv[1]))
-floor_calib = float(sys.argv[2]) if len(sys.argv) > 2 else 0.81
+cpus = int(bench.get("cpus") or 4)
+default_calib = {4: 1.228, 32: 0.81}.get(cpus, 0.81)
+floor_calib = float(sys.argv[2]) if len(sys.argv) > 2 else default_calib
 
+# Parse the floor table: header names the columns; take the
+# same-parallelism floor (floor4/floor32), falling back to baseline.
 floors = {}
+floor_col = "floor4" if cpus <= 4 else "floor32"
+cols = None
 for ln in open("BASELINE.md"):
-    m = re.match(r"\|\s*\d+\s*\|\s*(q\S+)\s*\|.*\|\s*([\d.]+)\s*\|\s*$", ln)
-    if m:
-        floors[m.group(1)] = float(m.group(2))
+    if ln.startswith("| # | query |"):
+        cols = [c.strip() for c in ln.strip().strip("|").split("|")]
+        continue
+    m = re.match(r"\|\s*\d+\s*\|\s*(q\S+)\s*\|(.*)\|\s*$", ln)
+    if m and cols:
+        cells = [c.strip() for c in m.group(2).split("|")]
+        row = dict(zip(cols[2:], cells))
+        v = row.get(floor_col, "") or row.get("baseline", "")
+        try:
+            floors[m.group(1)] = float(v)
+        except ValueError:
+            pass
 
 calib = statistics.median(
     [bench["calib_start_sec"], bench["calib_end_sec"]])
 day = calib / floor_calib
-print(f"cpus={bench.get('cpus', '?')} calib median {calib:.3f}s, "
-      f"floor {floor_calib}, day factor {day:.3f}")
+print(f"cpus={cpus} floor_col={floor_col} calib median {calib:.3f}s, "
+      f"calib floor {floor_calib}, day factor {day:.3f}")
 
 ratios = []
 for q, t in bench["queries"].items():

@@ -84,12 +84,11 @@ object StreamingBandMaintenance {
   private def emptyOf(s: SparkSession, schema: StructType): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** One delta sub-table (digests/dups/bands) from batches with id
-    * STRICTLY BELOW `batchId` — the corpus side a replaying batch must
-    * see (never its own failed attempt's segment). */
-  def deltaSeg(s: SparkSession, deltaDir: String, sub: String,
-      batchId: Long = Long.MaxValue): DataFrame =
-    DeltaDirs.readSegs(s, deltaDir, sub, segSchema(sub), batchId)
+  /** One delta sub-table (digests/dups/bands) across all landed
+    * batches — the probe-time read; the maintain path reads
+    * strictly-before state through the harness. */
+  def deltaSeg(s: SparkSession, deltaDir: String, sub: String): DataFrame =
+    MaintainerHarness.delta(s, deltaDir, sub, segSchema(sub))
 
   /** All flags emitted so far (union of per-batch listings). */
   def flags(s: SparkSession, outDir: String): DataFrame =
@@ -126,14 +125,17 @@ object StreamingBandMaintenance {
   def bandMaintain(baseIdx: String, corpusDocs: DataFrame,
       deltaDir: String, outDir: String, compactEvery: Int = 500)
       (batch: DataFrame, batchId: Long): Unit =
-      graft.Materialize.withTransient { stable =>
-    val s = batch.sparkSession
+    MaintainerHarness.maintain(
+      Seq("digests", "dups", "bands").map(x => x -> segSchema(x)),
+      deltaDir, compactEvery) { (ctx, rawBatch) =>
+    val s = rawBatch.sparkSession
+    val stable = ctx.pin
     val st = Seq("n_inter", "n_union", "jaccard").map(col)
     // A NULL text is not a document body (the dedupMaintain rule): its
     // NULL digest would null-reject out of the exact-match join yet
     // survive the left_anti into the banding path as a phantom rep.
     // Null bodies belong to the quarantine ingest path.
-    val probe = stable(batch.filter(col("text").isNotNull)
+    val probe = stable(rawBatch.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), md5(col("text")).as("digest")))
     // Each delta family is referenced by SEVERAL joins below (dups by
     // four, bands by three); without materialization every reference
@@ -143,9 +145,9 @@ object StreamingBandMaintenance {
     // base-index sides stay plain parquet scans (corpus-scale, columnar
     // on disk — checkpointing THOSE per batch would cost more than the
     // rescan).
-    val dDigests = stable(deltaSeg(s, deltaDir, "digests", batchId))
-    val dDups = stable(deltaSeg(s, deltaDir, "dups", batchId))
-    val dBands = stable(deltaSeg(s, deltaDir, "bands", batchId))
+    val dDigests = stable(ctx.earlier("digests"))
+    val dDups = stable(ctx.earlier("dups"))
+    val dBands = stable(ctx.earlier("bands"))
     val corpusDigests = s.read.parquet(s"$baseIdx/digests")
       .select("digest", "rep_id", "n_sh")
       .unionByName(dDigests)
@@ -252,30 +254,24 @@ object StreamingBandMaintenance {
       .unionByName(ooDirected("doc_a", "doc_b"))
       .unionByName(ooDirected("doc_b", "doc_a"))
       .dropDuplicates("new_doc", "old_doc")
-      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+      .write.mode("overwrite").parquet(s"$outDir/b${ctx.batchId}")
 
     // 5. grow the delta: first-seen groups' (digests, dups, bands),
     // plus matched docs as new members of their existing groups.
-    batchReps
-      .select(col("digest"), col("doc_id").as("rep_id"),
-        nShOf(col("text")).as("n_sh"))
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/digests")
-    batchDups
-      .unionByName(matched.select(col("rep_id"), col("new_doc").as("doc_id")))
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/dups")
-    val w = Window.partitionBy(col("band"))
-    batchBands
-      .withColumn("band_n", count(lit(1)).over(w).cast("long"))
-      .withColumn("hub_rank",
-        row_number().over(w.orderBy(col("doc_id"))).cast("long"))
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/bands")
-    // Fold segments strictly before the in-flight batch; bounds the
-    // per-batch listing + segment-read cost by the cadence
-    // ([[DeltaDirs.compact]]). Per-SEGMENT band stats stay per-segment
-    // rows through the row-preserving fold — the saturation guard's
+    // Per-SEGMENT band stats stay per-segment rows through the
+    // harness's row-preserving fold — the saturation guard's
     // conservative direction is unchanged.
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      DeltaDirs.compact(s, deltaDir,
-        Seq("digests", "dups", "bands").map(x => x -> segSchema(x)), batchId)
-  }
+    val w = Window.partitionBy(col("band"))
+    Map(
+      "digests" -> batchReps
+        .select(col("digest"), col("doc_id").as("rep_id"),
+          nShOf(col("text")).as("n_sh")),
+      "dups" -> batchDups
+        .unionByName(matched.select(col("rep_id"),
+          col("new_doc").as("doc_id"))),
+      "bands" -> batchBands
+        .withColumn("band_n", count(lit(1)).over(w).cast("long"))
+        .withColumn("hub_rank",
+          row_number().over(w.orderBy(col("doc_id"))).cast("long")))
+  }(batch, batchId)
 }

@@ -50,7 +50,7 @@ object StreamingClassifierMaintenance {
   /** The accumulated delta counts across all landed batches (additive
     * segments need no strictly-before filtering at probe time). */
   def deltaCounts(s: SparkSession, deltaDir: String): DataFrame =
-    DeltaDirs.readSegs(s, deltaDir, "counts", countsSchema)
+    MaintainerHarness.delta(s, deltaDir, "counts", countsSchema)
 
   /** The foreachBatch function: label + bucket-count the batch's
     * FIRST-SEEN docs, append their counts segment plus a `docs/`
@@ -81,32 +81,19 @@ object StreamingClassifierMaintenance {
     * batch-sized; at warehouse scale the base side is bucketed by
     * doc_id (the S7 layout) so the join co-locates. */
   def classifierMaintain(deltaDir: String, baseSeen: Option[DataFrame] = None,
-      compactEvery: Int = 500)(batch: DataFrame, batchId: Long): Unit = {
-    val s = batch.sparkSession
-    // withTransient, not raw stable: the fresh frame's checkpoint
-    // blocks are dead once both segment writes commit, and a
-    // continuous foreachBatch caller must release them per batch
-    // rather than wait for a GC-driven ContextCleaner pass (the
-    // Materialize.withTransient contract every multi-consumer
-    // maintainer follows; a 1500-batch soak showed 1-2 lingering
-    // blocks without it).
-    graft.Materialize.withTransient { st =>
-      val seenBefore =
-        DeltaDirs.readSegs(s, deltaDir, "docs", docsSchema, batchId)
-      val seen = baseSeen.fold(seenBefore)(b =>
-        seenBefore.unionByName(b.select(col("doc_id"))))
-      val fresh = st(
-        batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
-          .join(seen, Seq("doc_id"), "left_anti"))
-      graft.llm.SelectionOps.classifierCounts(fresh)
-        .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/counts")
-      fresh.select("doc_id")
-        .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/docs")
-    }
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      DeltaDirs.compact(batch.sparkSession, deltaDir,
-        Seq("counts" -> countsSchema, "docs" -> docsSchema), batchId)
-  }
+      compactEvery: Int = 500)(batch: DataFrame, batchId: Long): Unit =
+    MaintainerHarness.maintain(
+      Seq("counts" -> countsSchema, "docs" -> docsSchema), deltaDir,
+      compactEvery) { (ctx, b) =>
+      val seenBefore = ctx.earlier("docs")
+      val seen = baseSeen.fold(seenBefore)(x =>
+        seenBefore.unionByName(x.select(col("doc_id"))))
+      val fresh = ctx.pin(MaintainerHarness.firstSeen(
+        b.select(col("doc_id"), col("text")), "doc_id", seen))
+      Map(
+        "counts" -> graft.llm.SelectionOps.classifierCounts(fresh),
+        "docs" -> fresh.select("doc_id"))
+    }(batch, batchId)
 
   /** Refit over base ∪ delta counts and score the corpus at `dir` with
     * the fused kernel — q183's output shape, byte-for-byte q183's

@@ -72,30 +72,28 @@ object StreamingGraphMaintenance {
     * segments need no strictly-before filtering at probe time; the
     * probe's keyed dedup absorbs cross-segment repeats). */
   def deltaEdges(s: SparkSession, deltaDir: String): DataFrame =
-    DeltaDirs.readSegs(s, deltaDir, "edges", edgesSchema)
+    MaintainerHarness.delta(s, deltaDir, "edges", edgesSchema)
 
   /** The foreachBatch function: derive the batch's within-order edges —
     * repaired across batch boundaries for any order already partially
     * landed (scaladoc above) — and append its (u, v) segment plus the
-    * batch's (o, p) incidence segment. Every `compactEvery` batches the
-    * accumulated segments fold into tiered compacted dirs (0 disables). */
+    * batch's (o, p) incidence segment. Segment writes, strictly-before
+    * reads, and the compaction cadence are the shared
+    * [[MaintainerHarness]] skeleton. */
   def graphMaintain(deltaDir: String, compactEvery: Int = 500)
-      (batch: DataFrame, batchId: Long): Unit = {
-    val s = batch.sparkSession
-    graft.Materialize.withTransient { st =>
-      val bi = st(batch.select(col("o"), col("p")).distinct())
+      (batch: DataFrame, batchId: Long): Unit =
+    MaintainerHarness.maintain(
+      Seq("edges" -> edgesSchema, "inc" -> incSchema), deltaDir,
+      compactEvery) { (ctx, b) =>
+      val bi = ctx.pin(b.select(col("o"), col("p")).distinct())
       // earlier-landed lines of orders present in THIS batch: nonempty
       // only for split or re-delivered orders (ids-only semi-join)
-      val prior = DeltaDirs.readSegs(s, deltaDir, "inc", incSchema, batchId)
+      val prior = ctx.earlier("inc")
         .join(bi.select("o").distinct(), Seq("o"), "left_semi")
-      graft.ops.GraphOps.edgesOf(bi.unionByName(prior))
-        .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/edges")
-      bi.write.mode("overwrite").parquet(s"$deltaDir/b$batchId/inc")
-    }
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      DeltaDirs.compact(batch.sparkSession, deltaDir,
-        Seq("edges" -> edgesSchema, "inc" -> incSchema), batchId)
-  }
+      Map(
+        "edges" -> graft.ops.GraphOps.edgesOf(bi.unionByName(prior)),
+        "inc" -> bi)
+    }(batch, batchId)
 
   /** Degree profile over staged base ∪ streamed delta edges — q151's
     * output shape through its exact shared tail, byte-for-byte the

@@ -67,48 +67,47 @@ object StreamingIndexMaintenance {
     * by the cadence, not the stream's age (0 disables). */
   def dedupMaintain(baseDigests: DataFrame, deltaDir: String, outDir: String,
       compactEvery: Int = 500)
-      (batch: DataFrame, batchId: Long): Unit = {
-    val s = batch.sparkSession
-    // A NULL text is not a document body (the mediaTable rule): its
-    // md5 digest is NULL, which null-rejects out of the inner batchRep
-    // join — the row would silently VANISH from the flags output while
-    // its digest=NULL group polluted the delta with a row that can
-    // never match anything. Excluded here, loudly documented: null
-    // bodies belong to the quarantine ingest path, not the dedup
-    // index.
-    val probe = batch.filter(col("text").isNotNull)
-      .select(col("doc_id"), md5(col("text")).as("digest"))
-    // Known side: base ∪ delta from STRICTLY EARLIER batches — never
-    // this batch's own dir, which a failed prior attempt of the same
-    // batch may have left behind (see deltaDigestsBefore). Narrow
-    // (16-byte digest + id); at most one row per distinct text seen.
-    val known = baseDigests.select(col("digest"), col("rep_id"))
-      .unionByName(deltaDigestsBefore(s, deltaDir, batchId))
-    // Within-batch clones: the min doc_id per digest is the batch's own
-    // candidate representative.
-    val batchRep = probe.groupBy("digest").agg(min(col("doc_id")).as("batch_rep"))
-    val flags = probe
-      .join(known, Seq("digest"), "left")
-      .join(batchRep, Seq("digest"))
-      .select(col("doc_id"), col("digest"),
-        // dup iff known before, or a smaller id in this very batch
-        coalesce(col("rep_id"),
-          when(col("batch_rep") < col("doc_id"), col("batch_rep"))
-            .otherwise(lit(-1L))).as("rep_id"))
-      .select(col("doc_id"),
-        col("rep_id"),
-        (col("rep_id") =!= -1L).as("is_exact_dup"))
-    flags.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-    // First-seen digests join the index: not known, and this row is the
-    // batch representative for its digest.
-    val firstSeen = probe
-      .join(known.select(col("digest")), Seq("digest"), "left_anti")
-      .groupBy("digest").agg(min(col("doc_id")).as("rep_id"))
-    firstSeen.write.mode("overwrite").parquet(s"$deltaDir/b$batchId")
-    // After this batch's writes land: fold segments STRICTLY BEFORE the
-    // in-flight (uncommitted, possibly-replayed) batch — replay then
-    // reads the same rows through c<W> that it read through b dirs.
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      DeltaDirs.compact(s, deltaDir, Seq("" -> digestSchema), batchId)
-  }
+      (batch: DataFrame, batchId: Long): Unit =
+    MaintainerHarness.maintain(Seq("" -> digestSchema), deltaDir,
+      compactEvery) { (ctx, b) =>
+      // A NULL text is not a document body (the mediaTable rule): its
+      // md5 digest is NULL, which null-rejects out of the inner
+      // batchRep join — the row would silently VANISH from the flags
+      // output while its digest=NULL group polluted the delta with a
+      // row that can never match anything. Excluded here, loudly
+      // documented: null bodies belong to the quarantine ingest path,
+      // not the dedup index.
+      val probe = ctx.pin(b.filter(col("text").isNotNull)
+        .select(col("doc_id"), md5(col("text")).as("digest")))
+      // Known side: base ∪ delta from STRICTLY EARLIER batches — never
+      // this batch's own dir, which a failed prior attempt of the same
+      // batch may have left behind (the harness's strictly-before
+      // read). Narrow (16-byte digest + id); at most one row per
+      // distinct text seen. NOT pinned: the base side is corpus-scale
+      // columnar parquet — checkpointing it per batch would cost more
+      // than the rescan (the band family's rule).
+      val known = baseDigests.select(col("digest"), col("rep_id"))
+        .unionByName(ctx.earlier(""))
+      // Within-batch clones: the min doc_id per digest is the batch's
+      // own candidate representative.
+      val batchRep = probe.groupBy("digest")
+        .agg(min(col("doc_id")).as("batch_rep"))
+      probe
+        .join(known, Seq("digest"), "left")
+        .join(batchRep, Seq("digest"))
+        .select(col("doc_id"), col("digest"),
+          // dup iff known before, or a smaller id in this very batch
+          coalesce(col("rep_id"),
+            when(col("batch_rep") < col("doc_id"), col("batch_rep"))
+              .otherwise(lit(-1L))).as("rep_id"))
+        .select(col("doc_id"),
+          col("rep_id"),
+          (col("rep_id") =!= -1L).as("is_exact_dup"))
+        .write.mode("overwrite").parquet(s"$outDir/b${ctx.batchId}")
+      // First-seen digests join the index: not known, and this row is
+      // the batch representative for its digest.
+      Map("" -> probe
+        .join(known.select(col("digest")), Seq("digest"), "left_anti")
+        .groupBy("digest").agg(min(col("doc_id")).as("rep_id")))
+    }(batch, batchId)
 }

@@ -50,50 +50,41 @@ object StreamingIvfMaintenance {
     StructField("v", ArrayType(FloatType)),
     StructField("norm", DoubleType)))
 
-  /** Delta inverted-list rows across all landed batches. (No batch-id
-    * bound: the maintain function never reads the delta — its append
-    * is self-idempotent via the `b<id>` overwrite — so this is a
-    * probe-time read over everything landed.) */
+  /** Delta inverted-list rows across all landed batches — a probe-time
+    * read over everything landed. */
   def deltaLists(s: SparkSession, deltaDir: String): DataFrame =
-    DeltaDirs.readSegs(s, deltaDir, "lists", listSchema)
+    MaintainerHarness.delta(s, deltaDir, "lists", listSchema)
 
   /** The foreachBatch function: nearest-frozen-centroid assignment of
     * the batch's FIRST-SEEN vectors (scaladoc above), appended as one
     * delta segment. `centroids` is the staged (cell, centroid) table of
     * the published index; `baseSeen` carries the vec_ids the staged
     * base lists already hold (omitted, only intra-stream re-deliveries
-    * are excluded). */
+    * are excluded). Segment writes, strictly-before reads, and the
+    * compaction cadence are the shared [[MaintainerHarness]] skeleton. */
   def ivfMaintain(centroids: DataFrame, deltaDir: String,
       compactEvery: Int = 500, baseSeen: Option[DataFrame] = None)
-      (batch: DataFrame, batchId: Long): Unit = {
-    import graft.functions.VectorFunctions.dot_product
-    val s = batch.sparkSession
-    val dist = aggregate(
-      zip_with(col("v").cast("array<double>"), col("centroid"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
-    val seenBefore = DeltaDirs
-      .readSegs(s, deltaDir, "lists", listSchema, batchId)
-      .select(col("vec_id"))
-    val seen = baseSeen.fold(seenBefore)(b =>
-      seenBefore.unionByName(b.select(col("vec_id"))))
-    batch
-      .select(col("vec_id"), col("embedding").as("v"),
-        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
-      .dropDuplicates("vec_id")
-      .join(seen, Seq("vec_id"), "left_anti")
-      .crossJoin(broadcast(centroids))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
-      .filter(col("rk") === 1)
-      .select("vec_id", "cell", "v", "norm")
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/lists")
-    // Fold landed segments so probe-time listing stays bounded by the
-    // cadence, not the stream's age ([[DeltaDirs.compact]]).
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      DeltaDirs.compact(batch.sparkSession, deltaDir,
-        Seq("lists" -> listSchema), batchId)
-  }
+      (batch: DataFrame, batchId: Long): Unit =
+    MaintainerHarness.maintain(Seq("lists" -> listSchema), deltaDir,
+      compactEvery) { (ctx, b) =>
+      import graft.functions.VectorFunctions.dot_product
+      val dist = aggregate(
+        zip_with(col("v").cast("array<double>"), col("centroid"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+      val seenBefore = ctx.earlier("lists").select(col("vec_id"))
+      val seen = baseSeen.fold(seenBefore)(x =>
+        seenBefore.unionByName(x.select(col("vec_id"))))
+      Map("lists" -> MaintainerHarness.firstSeen(
+          b.select(col("vec_id"), col("embedding").as("v"),
+            sqrt(dot_product(col("embedding"), col("embedding"))).as("norm")),
+          "vec_id", seen)
+        .crossJoin(broadcast(centroids))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
+        .filter(col("rk") === 1)
+        .select("vec_id", "cell", "v", "norm"))
+    }(batch, batchId)
 
   /** Full probe (every vector with vec_id < 5 queries all cells, the
     * catalog's q67/q106 contract) over base lists ∪ streamed delta. */

@@ -43,20 +43,17 @@ object StreamingMediaMaintenance {
     * (additive segments need no strictly-before filtering at probe
     * time). */
   def deltaFps(s: SparkSession, deltaDir: String): DataFrame =
-    DeltaDirs.readSegs(s, deltaDir, "fps", fpsSchema)
+    MaintainerHarness.delta(s, deltaDir, "fps", fpsSchema)
 
   /** The foreachBatch function: fingerprint the batch's payloads,
     * append its (doc_id, fp) segment. Every frame derives from `batch`
-    * alone. Every `compactEvery` batches the accumulated segments fold
-    * into one compacted dir (0 disables). */
+    * alone; the rest is the shared [[MaintainerHarness]] skeleton. */
   def mediaMaintain(deltaDir: String, compactEvery: Int = 500)
-      (batch: DataFrame, batchId: Long): Unit = {
-    graft.llm.MultimodalOps.mediaFps(batch)
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/fps")
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      DeltaDirs.compact(batch.sparkSession, deltaDir,
-        Seq("fps" -> fpsSchema), batchId)
-  }
+      (batch: DataFrame, batchId: Long): Unit =
+    MaintainerHarness.maintain(Seq("fps" -> fpsSchema), deltaDir,
+      compactEvery) { (_, b) =>
+      Map("fps" -> graft.llm.MultimodalOps.mediaFps(b))
+    }(batch, batchId)
 
   /** Near-dup pairs over staged base ∪ streamed delta fingerprints —
     * q186's probe with the delta unioned in. Must pair exactly like a

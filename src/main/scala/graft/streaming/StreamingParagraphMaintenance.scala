@@ -47,21 +47,17 @@ object StreamingParagraphMaintenance {
     * segments need no strictly-before filtering at probe time, and the
     * presence algebra needs no distinct across segments). */
   def deltaDgs(s: SparkSession, deltaDir: String): DataFrame =
-    DeltaDirs.readSegs(s, deltaDir, "dgs", dgSchema)
+    MaintainerHarness.delta(s, deltaDir, "dgs", dgSchema)
 
   /** The foreachBatch function: split + digest the batch, append its
-    * digest segment. Every frame derives from `batch` alone. Every
-    * `compactEvery` batches the accumulated segments fold into tiered
-    * compacted dirs so listing cost is bounded by the cadence (0
-    * disables). */
+    * digest segment. Every frame derives from `batch` alone; the rest
+    * is the shared [[MaintainerHarness]] skeleton. */
   def paragraphMaintain(deltaDir: String, compactEvery: Int = 500)
-      (batch: DataFrame, batchId: Long): Unit = {
-    graft.llm.TextOps.paraDigests(batch)
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/dgs")
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      DeltaDirs.compact(batch.sparkSession, deltaDir,
-        Seq("dgs" -> dgSchema), batchId)
-  }
+      (batch: DataFrame, batchId: Long): Unit =
+    MaintainerHarness.maintain(Seq("dgs" -> dgSchema), deltaDir,
+      compactEvery) { (_, b) =>
+      Map("dgs" -> graft.llm.TextOps.paraDigests(b))
+    }(batch, batchId)
 
   /** Clean `probeDocs` against base ∪ delta digests — q189/q190's
     * output shape through their exact shared tail, byte-for-byte

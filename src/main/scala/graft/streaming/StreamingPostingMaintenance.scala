@@ -52,36 +52,34 @@ object StreamingPostingMaintenance {
       StructField("tot", LongType)))
   }
 
+  private val subs =
+    Seq("postings", "doclen", "df", "stats").map(x => x -> segSchema(x))
+
   /** One delta sub-table across ALL landed batches (additive segments
     * need no strictly-before filtering at probe time). */
   def deltaSeg(s: SparkSession, deltaDir: String, sub: String): DataFrame =
-    DeltaDirs.readSegs(s, deltaDir, sub, segSchema(sub))
+    MaintainerHarness.delta(s, deltaDir, sub, segSchema(sub))
 
   /** The foreachBatch function: tokenize the batch, append its posting
-    * slice. Every frame derives from `batch` alone. Every
-    * `compactEvery` batches the accumulated segments fold into one
-    * compacted dir ([[DeltaDirs.compact]]) so probe-time listing cost
-    * is bounded by the cadence, not the stream's age (0 disables). */
+    * slice. Every frame derives from `batch` alone; segment writes,
+    * transient release, and the compaction cadence are the shared
+    * [[MaintainerHarness]] skeleton. */
   def postingMaintain(deltaDir: String, compactEvery: Int = 500)
-      (batch: DataFrame, batchId: Long): Unit = {
-    val tf = graft.Materialize.stable(
-      batch.select(col("doc_id"),
-        explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    tf.withColumn("pbucket", substring(md5(col("term")), 1, 2))
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/postings")
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$deltaDir/b$batchId/doclen")
-    tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/df")
-    dl.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("tot"))
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/stats")
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      DeltaDirs.compact(batch.sparkSession, deltaDir,
-        Seq("postings", "doclen", "df", "stats").map(x => x -> segSchema(x)),
-        batchId)
-  }
+      (batch: DataFrame, batchId: Long): Unit =
+    MaintainerHarness.maintain(subs, deltaDir, compactEvery) { (ctx, b) =>
+      val tf = ctx.pin(
+        b.select(col("doc_id"),
+          explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      Map(
+        "postings" ->
+          tf.withColumn("pbucket", substring(md5(col("term")), 1, 2)),
+        "doclen" -> dl,
+        "df" -> tf.groupBy("term").agg(count(lit(1)).as("df")),
+        "stats" -> dl.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("tot")))
+    }(batch, batchId)
 
   /** BM25 ranking over base index ∪ streamed delta — q130's staged
     * probe with the delta unioned in: postings pruned by term (and by

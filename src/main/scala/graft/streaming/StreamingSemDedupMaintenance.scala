@@ -50,9 +50,9 @@ object StreamingSemDedupMaintenance {
       StructField("id_b", LongType)))
   }
 
-  private def deltaSeg(s: SparkSession, deltaDir: String, sub: String,
-      batchId: Long = Long.MaxValue): DataFrame =
-    DeltaDirs.readSegs(s, deltaDir, sub, segSchema(sub), batchId)
+  private def deltaSeg(s: SparkSession, deltaDir: String,
+      sub: String): DataFrame =
+    MaintainerHarness.delta(s, deltaDir, sub, segSchema(sub))
 
   private def withNorm(vecs: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
@@ -71,27 +71,28 @@ object StreamingSemDedupMaintenance {
     * embeddings prepare them once via [[prepared]]. */
   def semDedupMaintain(basePrepared: DataFrame, deltaDir: String,
       compactEvery: Int = 500)
-      (batch: DataFrame, batchId: Long): Unit = {
-    import graft.functions.VectorFunctions.dot_product
-    val s = batch.sparkSession
-    graft.Materialize.withTransient { st =>
+      (batch: DataFrame, batchId: Long): Unit =
+    MaintainerHarness.maintain(
+      Seq("edges", "vecs").map(x => x -> segSchema(x)), deltaDir,
+      compactEvery) { (ctx, raw) =>
+      import graft.functions.VectorFunctions.dot_product
       // First-seen enforcement (VERDICT r14 item 1's feeder audit):
       // the family's read path counts VEC ROWS (componentsWithDelta's
       // membership frame), so a vec_id re-delivered in a later batch —
       // recrawl steady state, not replay — would duplicate its vecs
       // row, double-count n_members, and grow state with deliveries
-      // rather than distinct vectors. The whole-arrival promise is now
+      // rather than distinct vectors. The whole-arrival promise is
       // code: the batch dedups on vec_id and anti-joins (ids-only)
       // against base ∪ strictly-earlier vecs before any edge work.
       // Replay stays idempotent — the exclusion reads only state a
       // replaying batch cannot have changed.
       val seenIds = basePrepared.select(col("vec_id"))
-        .unionByName(deltaSeg(s, deltaDir, "vecs", batchId).select("vec_id"))
-      val b = st(withNorm(batch).dropDuplicates("vec_id")
-        .join(seenIds, Seq("vec_id"), "left_anti")
-        .select("label", "vec_id", "v", "norm"))
+        .unionByName(ctx.earlier("vecs").select("vec_id"))
+      val b = ctx.pin(
+        MaintainerHarness.firstSeen(withNorm(raw), "vec_id", seenIds)
+          .select("label", "vec_id", "v", "norm"))
       val seen = basePrepared.select("label", "vec_id", "v", "norm")
-        .unionByName(deltaSeg(s, deltaDir, "vecs", batchId))
+        .unionByName(ctx.earlier("vecs"))
         .unionByName(b)
       val ba = b.select(col("label"), col("vec_id").as("id_a"),
         col("v").as("va"), col("norm").as("na"))
@@ -105,17 +106,8 @@ object StreamingSemDedupMaintenance {
             .as("sim"))
         .filter(col("sim") >= 0.35)
         .select(col("id_a"), col("id_b")).distinct()
-      edges.write.mode("overwrite").parquet(s"$deltaDir/b$batchId/edges")
-      b.select("label", "vec_id", "v", "norm")
-        .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/vecs")
-      // Fold segments strictly before the in-flight batch; bounds the
-      // per-batch listing + union cost by the cadence
-      // ([[DeltaDirs.compact]]).
-      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-        DeltaDirs.compact(s, deltaDir,
-          Seq("vecs", "edges").map(x => x -> segSchema(x)), batchId)
-    }
-  }
+      Map("edges" -> edges, "vecs" -> b.select("label", "vec_id", "v", "norm"))
+    }(batch, batchId)
 
   /** Prepare a raw (label, vec_id, embedding) corpus side ONCE for
     * [[semDedupMaintain]] — the inline stand-in for reading the staged

@@ -49,21 +49,17 @@ object StreamingSketchMaintenance {
     * (additive segments need no strictly-before filtering at probe
     * time, and the min algebra needs no dedup across segments). */
   def deltaSketches(s: SparkSession, deltaDir: String): DataFrame =
-    DeltaDirs.readSegs(s, deltaDir, "sketch", sketchSchema)
+    MaintainerHarness.delta(s, deltaDir, "sketch", sketchSchema)
 
   /** The foreachBatch function: shingle + min-sketch the batch, append
-    * its sketch segment. Every frame derives from `batch` alone. Every
-    * `compactEvery` batches the accumulated segments fold into tiered
-    * compacted dirs so listing cost is bounded by the cadence (0
-    * disables). */
+    * its sketch segment. Every frame derives from `batch` alone; the
+    * rest is the shared [[MaintainerHarness]] skeleton. */
   def sketchMaintain(deltaDir: String, compactEvery: Int = 500)
-      (batch: DataFrame, batchId: Long): Unit = {
-    graft.llm.CorpusAudit.sourceSketch(batch)
-      .write.mode("overwrite").parquet(s"$deltaDir/b$batchId/sketch")
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      DeltaDirs.compact(batch.sparkSession, deltaDir,
-        Seq("sketch" -> sketchSchema), batchId)
-  }
+      (batch: DataFrame, batchId: Long): Unit =
+    MaintainerHarness.maintain(Seq("sketch" -> sketchSchema), deltaDir,
+      compactEvery) { (_, b) =>
+      Map("sketch" -> graft.llm.CorpusAudit.sourceSketch(b))
+    }(batch, batchId)
 
   /** The all-pairs overlap estimate over staged base ∪ streamed delta
     * sketches — q192's output shape through its exact shared tail,
