@@ -28,33 +28,53 @@ object MediaFpIndex {
 
   private val LayoutVersion = 1
 
-  def indexDir(s: SparkSession, dir: String): String = {
+  /** One (doc_id, fp) fingerprint index per KIND — "mediafp" (the
+    * byte-gram SimHash over every container) and "audiofp" (the
+    * sample-domain energy profile over the wav rendering, q196/q197).
+    * The kinds share everything but the kernel: same narrow schema,
+    * same staging discipline, same probe tail — which is the point of
+    * the 60-bit fingerprint abstraction. */
+  private def dirOf(s: SparkSession, dir: String, kind: String): String = {
     val corpus = graft.SessionMemo.manifestDigest(s, s"$dir/documents.parquet")
-    graft.StagedAsset.dir("mediafp", s"$dir|$corpus|mediafp" +
+    graft.StagedAsset.dir(kind, s"$dir|$corpus|$kind" +
       s"|${NearDupOps.isNewDocKey}|v=$LayoutVersion")
   }
 
+  def indexDir(s: SparkSession, dir: String): String = dirOf(s, dir, "mediafp")
+
   /** Offline build over the corpus side (doc_id % 10 ≠ 7): hash every
-    * base asset, stage the (doc_id, fp) frame. Runs as a scheduled
-    * staging stage at scale; invoked lazily by [[ensure]] here. */
-  def build(s: SparkSession, dir: String): String = {
-    val idx = indexDir(s, dir)
+    * base asset with the kind's kernel, stage the (doc_id, fp) frame.
+    * Runs as a scheduled staging stage at scale; invoked lazily by the
+    * ensure paths here. */
+  private def buildKind(s: SparkSession, dir: String, kind: String,
+      fpsOf: DataFrame => DataFrame): String = {
+    val idx = dirOf(s, dir, kind)
     val tmp = graft.StagedAsset.tmpDir(idx)
-    MultimodalOps.mediaFps(graft.Tables.tSpread(s, dir, "documents")
+    fpsOf(graft.Tables.tSpread(s, dir, "documents")
         .filter(!NearDupOps.isNewDoc(col("doc_id"))))
       .write.mode("overwrite").parquet(s"$tmp/fps")
     graft.StagedAsset.publish(s, tmp, idx, "fps/_SUCCESS",
-      "media fingerprint index")
+      s"$kind fingerprint index")
     idx
   }
 
+  private def ensureKind(s: SparkSession, dir: String, kind: String,
+      fpsOf: DataFrame => DataFrame): String =
+    graft.StagedAsset.ensure(s, dirOf(s, dir, kind), "fps/_SUCCESS") {
+      buildKind(s, dir, kind, fpsOf)
+    }
+
   /** Build-if-absent, keyed by (corpus version, boundary, layout). */
   def ensure(s: SparkSession, dir: String): String =
-    graft.StagedAsset.ensure(s, indexDir(s, dir), "fps/_SUCCESS") {
-      build(s, dir)
-    }
+    ensureKind(s, dir, "mediafp", MultimodalOps.mediaFps)
 
   /** The staged base-side (doc_id, fp) frame (build-if-absent). */
   def fps(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${ensure(s, dir)}/fps")
+
+  /** The staged base-side AUDIO (doc_id, fp) frame (build-if-absent) —
+    * the q197 / streaming-audio-maintainer base. */
+  def audioFps(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(
+      s"${ensureKind(s, dir, "audiofp", MultimodalOps.audioFps)}/fps")
 }

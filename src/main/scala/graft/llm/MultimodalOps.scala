@@ -355,9 +355,15 @@ object MultimodalOps {
     * count pins the cascade through the same SQL. Same 100 TB posture
     * as q182: identical fingerprints collapse before banding, only
     * (id, long) rows ride any shuffle. */
-  def audioPerceptualNearDup(s: SparkSession, dir: String): DataFrame = {
-    val fps = graft.Materialize.stable(
-      audioFps(graft.Tables.tSpread(s, dir, "documents")))
+  def audioPerceptualNearDup(s: SparkSession, dir: String): DataFrame =
+    fpNeighborReport(graft.Materialize.stable(
+      audioFps(graft.Tables.tSpread(s, dir, "documents"))))
+
+  /** The per-asset fingerprint + exact ≤ 3-Hamming neighbor count over
+    * a pinned (doc_id, fp) frame — q196's output tail, shared by the
+    * staged q197 and the streaming audio maintainer's probe so the
+    * three forms can never drift. */
+  private[graft] def fpNeighborReport(fps: DataFrame): DataFrame = {
     val pairs = fpPairs(fps)
     val cnt = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
@@ -366,6 +372,20 @@ object MultimodalOps {
       .select(col("doc_id"), col("fp"),
         coalesce(col("n"), lit(0L)).as("n_neighbors"))
       .orderBy("doc_id")
+  }
+
+  /** q197 — audio fingerprint-index maintenance: q196's report over
+    * the staged base audio fingerprints ([[MediaFpIndex.audioFps]], the
+    * per-payload kernel paid once per corpus version) PLUS an
+    * un-indexed ingest batch fingerprinted in-plan — the q186 pattern
+    * applied to the audio kind. Shares q196's oracle BY DESIGN (the
+    * q132/q170/q186 add-batch contract): staged base ∪ hashed batch
+    * must report exactly like the fresh full-corpus run. */
+  def audioFpAddBatch(s: SparkSession, dir: String): DataFrame = {
+    val base = MediaFpIndex.audioFps(s, dir)
+    val batch = audioFps(graft.Tables.tSpread(s, dir, "documents")
+      .filter(NearDupOps.isNewDoc(col("doc_id"))))
+    fpNeighborReport(graft.Materialize.stable(base.unionByName(batch)))
   }
 
   /** q186 — fingerprint-index maintenance: the q182 pair set over the
@@ -449,7 +469,8 @@ object MultimodalOps {
     "q53_resize_plan"   -> resizePlan,
     "q182_media_neardup" -> mediaPerceptualNearDup,
     "q186_media_fp_add_batch" -> mediaFpAddBatch,
-    "q196_audio_neardup" -> audioPerceptualNearDup)
+    "q196_audio_neardup" -> audioPerceptualNearDup,
+    "q197_audio_fp_add_batch" -> audioFpAddBatch)
 
   // payload length = UTF-8 body + the per-format container header
   // (png 33 B, jpeg 39 B, wav 44 B, mp4 144 B — see the synth fns above)
@@ -521,8 +542,13 @@ object MultimodalOps {
     // nibble arithmetic, 61 windows by w = j*61 // n,
     // per-window energy as exact BIGINT Σ s², bit i set iff
     // e(i+1) > e(i), then ALL-PAIRS Hamming ≤ 3 — banding is
-    // pigeonhole-exact, so the sets match pair-for-pair.
-    "q196_audio_neardup" ->
+    // pigeonhole-exact, so the sets match pair-for-pair. q197 shares
+    // the SQL BY DESIGN (the q186 add-batch contract): staged base ∪
+    // hashed batch must report exactly like the full-corpus run.
+    "q197_audio_fp_add_batch" -> audioNearDupOracle,
+    "q196_audio_neardup" -> audioNearDupOracle)
+
+  private lazy val audioNearDupOracle: String =
       """WITH m AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) // 2 AS n
@@ -559,7 +585,7 @@ object MultimodalOps {
         |SELECT f.doc_id, f.fp,
         |  COALESCE(nb.n_neighbors, 0) AS n_neighbors
         |FROM fp f LEFT JOIN nb ON nb.doc_id = f.doc_id
-        |ORDER BY f.doc_id""".stripMargin)
+        |ORDER BY f.doc_id""".stripMargin
 
   private lazy val mediaNearDupOracle: String =
       """WITH m AS (

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Streaming maintenance of the AUDIO fingerprint state — the ELEVENTH
+  * member of the streaming-maintenance matrix, and the proof of the
+  * [[MaintainerHarness]] claim (VERDICT r14 item 6): a new family is
+  * CONFIG — one schema, one derivation line, one probe — not a copied
+  * skeleton. Per micro-batch of (doc_id, text) arrivals the maintainer
+  * runs the per-payload work for ONLY the batch (wav rendering +
+  * codegen'd energy-profile kernel,
+  * [[graft.llm.MultimodalOps.audioFps]]) and appends one `fps/` segment
+  * of (doc_id, fp). Purely additive presence algebra, exactly the media
+  * family's: replay is idempotent by batch-id-keyed overwrite; a
+  * re-delivered doc lands a duplicate keyed row the probe's dedup
+  * absorbs.
+  *
+  * [[reportProbe]] is the query path: staged base audio fingerprints
+  * ([[graft.llm.MediaFpIndex.audioFps]]) ∪ delta segments → keyed dedup
+  * → the SAME per-asset neighbor report as oracle-backed q196/q197
+  * ([[graft.llm.MultimodalOps.fpNeighborReport]]), so the streamed
+  * state must report EXACTLY like a fresh full-corpus run
+  * (StreamingAudioMaintenanceSpec pins it over three file arrivals
+  * plus replay and re-delivery legs).
+  *
+  * 100 TB posture: identical to the media family — one O(batch) narrow
+  * hash pass per batch, two longs per asset in segments, banding
+  * explodes distinct fingerprints only at probe time. */
+object StreamingAudioMaintenance {
+
+  private val fpsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fp", LongType)))
+
+  /** The accumulated delta fingerprints across all landed batches. */
+  def deltaFps(s: SparkSession, deltaDir: String): DataFrame =
+    MaintainerHarness.delta(s, deltaDir, "fps", fpsSchema)
+
+  /** The foreachBatch function — the family's entire maintain config. */
+  def audioMaintain(deltaDir: String, compactEvery: Int = 500)
+      (batch: DataFrame, batchId: Long): Unit =
+    MaintainerHarness.maintain(Seq("fps" -> fpsSchema), deltaDir,
+      compactEvery) { (_, b) =>
+      Map("fps" -> graft.llm.MultimodalOps.audioFps(b))
+    }(batch, batchId)
+
+  /** q196/q197's per-asset neighbor report over staged base ∪ streamed
+    * delta fingerprints (keys-only dedup absorbs re-delivery). */
+  def reportProbe(s: SparkSession, baseFps: DataFrame,
+      deltaDir: String): DataFrame =
+    graft.llm.MultimodalOps.fpNeighborReport(graft.Materialize.stable(
+      baseFps.unionByName(deltaFps(s, deltaDir))
+        .dropDuplicates("doc_id", "fp")))
+}

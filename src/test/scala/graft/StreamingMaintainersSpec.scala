@@ -201,6 +201,52 @@ class StreamingMediaMaintenanceSpec extends AnyFunSuite {
   }
 }
 
+/** The ELEVENTH maintainer family, added as harness CONFIG (r14
+  * verdict item 6's done-claim): streamed audio-fingerprint state must
+  * report exactly like the fresh full-corpus q196 (oracle-backed) and
+  * the staged add-batch q197. All three legs pinned. */
+class StreamingAudioMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchDocs = graft.Tables.tSpread(spark, dir, "documents")
+    .filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id", "text")
+
+  test("streamed audio fingerprints report exactly like the full corpus; " +
+      "replay and re-delivery both leave the report fixed") {
+    val root = java.nio.file.Files.createTempDirectory("sam").toString
+    val delta = s"$root/delta"
+    val base = MediaFpIndex.audioFps(spark, dir)
+    val ids = batchDocs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val fn = graft.streaming.StreamingAudioMaintenance.audioMaintain(delta) _
+    val thirds = ids.grouped((ids.length + 2) / 3).toSeq
+    thirds.zipWithIndex.foreach { case (part, i) =>
+      fn(batchDocs.filter(col("doc_id").isin(part: _*)), i.toLong)
+    }
+    def probe() = graft.streaming.StreamingAudioMaintenance
+      .reportProbe(spark, base, delta).collect().map(_.toSeq)
+    val want = MultimodalOps.audioPerceptualNearDup(spark, dir)
+      .collect().map(_.toSeq)
+    val got = probe()
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      "streamed audio report drifted from the full-corpus q196")
+    // replay: additive segments, batch-keyed overwrite ⇒ byte-identical
+    def snap() = spark.read.parquet(s"$delta/b1/fps").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val before = snap()
+    fn(batchDocs.filter(col("doc_id").isin(thirds(1): _*)), 1L)
+    assert(snap() == before, "replayed audio fps segment drifted")
+    assert(before.nonEmpty, "vacuous replay check")
+    // re-delivery: the SAME docs under a NEW batchId land duplicate
+    // keyed rows the probe's dedup must absorb (presence algebra)
+    fn(batchDocs.filter(col("doc_id").isin(thirds.head: _*)), 99L)
+    assert(probe().toSeq == want.toSeq,
+      "re-delivered docs corrupted the audio report")
+  }
+}
+
 class StreamingIvfMaintenanceSpec extends AnyFunSuite {
   import TestSpark._
 
