@@ -258,17 +258,32 @@ object StreamingBandMaintenance {
 
     // 5. grow the delta: first-seen groups' (digests, dups, bands),
     // plus matched docs as new members of their existing groups.
+    // Member-gain hygiene (round 15, found by StreamSoakAll's uniform
+    // DONE-probe): a RE-DELIVERED doc matches its own group, and the
+    // unfiltered form appended a degenerate (rep=X, doc=X) self-row on
+    // EVERY re-arrival — state growing with deliveries, not distinct
+    // docs (the exact anti-pattern the r14 feeder audit closed for
+    // IVF/semdedup), harmless to flags only because the output tail
+    // dedups. Self-rows carry nothing (the rep already pairs through
+    // the digests table) and are dropped; genuinely-new members
+    // anti-join the ids already recorded (earlier segments + staged
+    // base dups, ids-only) so a member lands exactly once.
     // Per-SEGMENT band stats stay per-segment rows through the
     // harness's row-preserving fold — the saturation guard's
     // conservative direction is unchanged.
+    val memberGains = matched
+      .filter(col("new_doc") =!= col("rep_id"))
+      .select(col("rep_id"), col("new_doc").as("doc_id"))
+      .join(dDups.select("doc_id")
+          .unionByName(s.read.parquet(s"$baseIdx/dups").select("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select("rep_id", "doc_id")
     val w = Window.partitionBy(col("band"))
     Map(
       "digests" -> batchReps
         .select(col("digest"), col("doc_id").as("rep_id"),
           nShOf(col("text")).as("n_sh")),
-      "dups" -> batchDups
-        .unionByName(matched.select(col("rep_id"),
-          col("new_doc").as("doc_id"))),
+      "dups" -> batchDups.unionByName(memberGains),
       "bands" -> batchBands
         .withColumn("band_n", count(lit(1)).over(w).cast("long"))
         .withColumn("hub_rank",

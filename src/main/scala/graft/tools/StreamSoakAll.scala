@@ -31,8 +31,14 @@ import org.apache.spark.sql.types._
   *   [nBatches] [rowsPerSecond] [reportEvery] [compactEvery] */
 object StreamSoakAll {
 
-  private val TextPool = 200000L
-  private val VecPool = 50000L
+  // Pool sizes bound the STATE each family accumulates (and therefore
+  // the per-batch cost of the families that re-materialize their
+  // accumulated delta, led by band): smaller than the single-family
+  // soaks' 200k because ten families share one JVM here and the run's
+  // purpose is fold interaction at high batch counts, not state scale
+  // (ScaleSoak owns state scale).
+  private val TextPool = 50000L
+  private val VecPool = 20000L
   private val IdOff = 10000000L
   private val VecOff = 20000000L
   private val OrdOff = 30000000L
@@ -70,8 +76,8 @@ object StreamSoakAll {
     val reportEvery = args.lift(2).map(_.toInt).getOrElse(100)
     val compactEvery = args.lift(3).map(_.toInt).getOrElse(200)
 
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
@@ -124,33 +130,46 @@ object StreamSoakAll {
     }
     val fns = fams.map(f => f -> fnOf(f, delta(f), compactEvery)).toMap
 
-    // --- the combined foreachBatch: all ten families per micro-batch ---
-    val famSecs = scala.collection.mutable.Map.empty[String, Double]
-      .withDefaultValue(0.0)
+    // --- the combined foreachBatch: all ten families per micro-batch,
+    // CONCURRENTLY — per-batch wall is max(family), not the sum, and
+    // concurrency is the point: the verdict's untested interaction is
+    // shared DeltaDirs I/O plus CONCURRENT tiered folds in one JVM
+    // (Spark job submission is thread-safe; each family owns its delta
+    // dir; the one cross-family dependency — posting consumes the
+    // digest family's first-seen segment — is an explicit future chain)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val famSecs = scala.collection.concurrent.TrieMap.empty[String, Double]
     def timed(f: String)(body: => Unit): Unit = {
       val t = System.nanoTime(); body
-      famSecs(f) += (System.nanoTime() - t) / 1e9
+      val dt = (System.nanoTime() - t) / 1e9
+      famSecs.updateWith(f) { v => Some(v.getOrElse(0.0) + dt) }
     }
     val combined: (DataFrame, Long) => Unit = { (raw, bid) =>
       val txt = shapeText(raw)
-      timed("digest")(fns("digest")(txt, bid))
-      // upstream-filter contract: posting sees only the batch's
-      // first-seen representatives, read from the digest segment the
-      // digest family JUST landed (one narrow semi-join, no recompute)
-      timed("posting") {
-        val freshIds = spark.read.schema(digestSchema)
-          .parquet(s"${delta("digest")}/b$bid")
-          .select(col("rep_id").as("doc_id"))
-        fns("posting")(txt.join(freshIds, Seq("doc_id"), "left_semi"), bid)
+      val digestThenPosting = Future {
+        timed("digest")(fns("digest")(txt, bid))
+        // upstream-filter contract: posting sees only the batch's
+        // first-seen representatives, read from the digest segment the
+        // digest family JUST landed (narrow semi-join, no recompute)
+        timed("posting") {
+          val freshIds = spark.read.schema(digestSchema)
+            .parquet(s"${delta("digest")}/b$bid")
+            .select(col("rep_id").as("doc_id"))
+          fns("posting")(txt.join(freshIds, Seq("doc_id"), "left_semi"), bid)
+        }
       }
-      timed("band")(fns("band")(txt, bid))
-      timed("classifier")(fns("classifier")(txt, bid))
-      timed("media")(fns("media")(txt, bid))
-      timed("paragraph")(fns("paragraph")(txt, bid))
-      timed("sketch")(fns("sketch")(shapeSketch(raw), bid))
-      timed("ivf")(fns("ivf")(shapeVec(raw), bid))
-      timed("semdedup")(fns("semdedup")(shapeVec(raw), bid))
-      timed("graph")(fns("graph")(shapeGraph(raw), bid))
+      val rest = Seq(
+        Future(timed("band")(fns("band")(txt, bid))),
+        Future(timed("classifier")(fns("classifier")(txt, bid))),
+        Future(timed("media")(fns("media")(txt, bid))),
+        Future(timed("paragraph")(fns("paragraph")(txt, bid))),
+        Future(timed("sketch")(fns("sketch")(shapeSketch(raw), bid))),
+        Future(timed("ivf")(fns("ivf")(shapeVec(raw), bid))),
+        Future(timed("semdedup")(fns("semdedup")(shapeVec(raw), bid))),
+        Future(timed("graph")(fns("graph")(shapeGraph(raw), bid))))
+      Await.result(Future.sequence(digestThenPosting +: rest), Duration.Inf)
       if (bid > 0 && bid % 10 == 0) {
         val tot = famSecs.values.sum
         println("[soak-all] fam-cumsec " + famSecs.toSeq.sortBy(-_._2)
@@ -210,7 +229,22 @@ object StreamSoakAll {
       totalRows += rp.numInputRows; accounted = rp.batchId
     }
     val (nRdd, mem, disk) = storage
-    println(f"[soak-all] DONE batches=$lastBatch total_rows=$totalRows " +
+    // numInputRows is INFLATED under multi-action foreachBatch (each
+    // family's actions re-read the rate batch and each read counts —
+    // measured ~9× here), so the DELIVERED value range is derived from
+    // committed state instead: graph orders are 1:1 with rate values
+    // and whole-per-row, so max(o) over the committed inc segments
+    // (strictly below accounted+1) names the exact consecutive prefix
+    // of values every family received.
+    val deliveredRows = {
+      val mx = graft.streaming.DeltaDirs.readSegs(spark, delta("graph"),
+          "inc", StructType.fromDDL("o bigint, p bigint"), accounted + 1)
+        .agg(max(col("o"))).head()
+      if (mx.isNullAt(0)) 0L else mx.getLong(0) - OrdOff + 1
+    }
+    println(f"[soak-all] DONE batches=$lastBatch " +
+      f"delivered_rows=$deliveredRows (raw numInputRows=$totalRows, " +
+      f"inflated by per-family re-reads) " +
       f"persistent_rdds=$nRdd storage_mem=${mem / 1024 / 1024}MB " +
       f"storage_disk=${disk / 1024 / 1024}MB " +
       f"total=${(System.nanoTime() - t0) / 1e9}%.0fs dir=$root")
@@ -220,7 +254,7 @@ object StreamSoakAll {
     // delivered pool = committed batches 0..accounted only; a batch
     // that wrote some segments but never committed is excluded from
     // BOTH sides (streamed reads are bounded below `accounted + 1`).
-    val delivered = spark.range(0, totalRows).select(col("id").as("value"))
+    val delivered = spark.range(0, deliveredRows).select(col("id").as("value"))
     val twinId = 999999L
     val twinFns = fams.map(f => f -> fnOf(f, twin(f), 0)).toMap
     val txtAll = shapeText(delivered).dropDuplicates("doc_id")
