@@ -238,6 +238,12 @@ object MultimodalOps {
     * and therefore ≥ 1 full key (pigeonhole; see the q182 scaladoc).
     * Shared by the batch query and the streaming fingerprint maintainer
     * so the two sides can never band differently. */
+  /** The exact-retrieval Hamming bound of the fingerprint pair tail —
+    * pigeonhole-tied to the 3-of-6-block banding (≤ 3 flipped bits
+    * leave ≥ 3 intact blocks). Shared by the Spark verify filter and
+    * the DuckDB oracles so the threshold can never drift one-sided. */
+  private[graft] val HammingMax = 3
+
   private[graft] val HammingBandCount: Int =
     (0 until 6).combinations(3).size // 20
 
@@ -446,7 +452,7 @@ object MultimodalOps {
       .dropDuplicates("fp_a", "fp_b")
       .withColumn("hamming",
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= HammingMax)
     // member expansion: cross-group pairs via id joins; identical-
     // fingerprint members pair at distance 0 (the collapsed groups)
     val cross = closeFp
@@ -548,44 +554,51 @@ object MultimodalOps {
     "q197_audio_fp_add_batch" -> audioNearDupOracle,
     "q196_audio_neardup" -> audioNearDupOracle)
 
-  private lazy val audioNearDupOracle: String =
-      """WITH m AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |         octet_length(encode(text)) // 2 AS n
-        |  FROM documents
-        |  WHERE text IS NOT NULL
-        |    AND octet_length(encode(text)) // 2 >= 61),
-        |samp AS (
-        |  SELECT doc_id, n, j.j AS j,
-        |      (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 3, 1)) - 1) * 4096
-        |    + (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 4, 1)) - 1) * 256
-        |    + (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 1, 1)) - 1) * 16
-        |    + (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 2, 1)) - 1) AS v
-        |  FROM m, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS j) j),
-        |en AS (
-        |  SELECT doc_id, CAST((j * 61) // n AS INT) AS w,
-        |    SUM(CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT)
-        |      * (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS e
-        |  FROM samp GROUP BY doc_id, w),
-        |fp AS (
-        |  SELECT a.doc_id,
-        |    CAST(SUM(CASE WHEN b.e > a.e
-        |        THEN CAST(1 AS BIGINT) << CAST(a.w AS INT) ELSE 0 END)
-        |      AS BIGINT) AS fp
-        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
-        |  WHERE a.w < 60
-        |  GROUP BY a.doc_id),
-        |nb AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
-        |  FROM (
-        |    SELECT a.doc_id FROM fp a JOIN fp b
-        |      ON a.doc_id <> b.doc_id
-        |     AND bit_count(xor(a.fp, b.fp)) <= 3
-        |  ) GROUP BY doc_id)
-        |SELECT f.doc_id, f.fp,
-        |  COALESCE(nb.n_neighbors, 0) AS n_neighbors
-        |FROM fp f LEFT JOIN nb ON nb.doc_id = f.doc_id
-        |ORDER BY f.doc_id""".stripMargin
+  // Window count / bit count / Hamming bound interpolate from the
+  // kernel and pair-tail constants (the SketchK lesson, ADVICE r14):
+  // changing MediaHashKernel.Bits or the verify threshold can never
+  // silently skew only the oracle.
+  private lazy val audioNearDupOracle: String = {
+    val bits = graft.functions.MediaHashKernel.Bits
+    val win = bits + 1
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) // 2 AS n
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND octet_length(encode(text)) // 2 >= $win),
+       |samp AS (
+       |  SELECT doc_id, n, j.j AS j,
+       |      (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 3, 1)) - 1) * 4096
+       |    + (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 4, 1)) - 1) * 256
+       |    + (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 1, 1)) - 1) * 16
+       |    + (strpos('0123456789ABCDEF', substr(hx, 4 * j.j + 2, 1)) - 1) AS v
+       |  FROM m, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS j) j),
+       |en AS (
+       |  SELECT doc_id, CAST((j * $win) // n AS INT) AS w,
+       |    SUM(CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT)
+       |      * (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS e
+       |  FROM samp GROUP BY doc_id, w),
+       |fp AS (
+       |  SELECT a.doc_id,
+       |    CAST(SUM(CASE WHEN b.e > a.e
+       |        THEN CAST(1 AS BIGINT) << CAST(a.w AS INT) ELSE 0 END)
+       |      AS BIGINT) AS fp
+       |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+       |  WHERE a.w < $bits
+       |  GROUP BY a.doc_id),
+       |nb AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+       |  FROM (
+       |    SELECT a.doc_id FROM fp a JOIN fp b
+       |      ON a.doc_id <> b.doc_id
+       |     AND bit_count(xor(a.fp, b.fp)) <= $HammingMax
+       |  ) GROUP BY doc_id)
+       |SELECT f.doc_id, f.fp,
+       |  COALESCE(nb.n_neighbors, 0) AS n_neighbors
+       |FROM fp f LEFT JOIN nb ON nb.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
 
   private lazy val mediaNearDupOracle: String =
       """WITH m AS (
@@ -611,6 +624,6 @@ object MultimodalOps {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |WHERE bit_count(xor(a.fp, b.fp)) <= """.stripMargin +
+      s"$HammingMax\nORDER BY doc_a, doc_b"
 }
