@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *      (the BandIndex contract) can be sized, not a guess.
   *
   * Usage: runMain graft.tools.StreamSoak
-  *   [digest|band|posting|ivf|semdedup|classifier|media|paragraph|sketch|graph]
+  *   [digest|band|posting|ivf|semdedup|classifier|media|audio|paragraph|sketch|graph]
   *   [nBatches] [rowsPerSecond] [reportEvery] [compactEvery]
   *
   * `compactEvery` (default 500, 0 = off) is the maintainer's
@@ -160,6 +160,9 @@ object StreamSoak {
       case "media" =>
         graft.streaming.StreamingMediaMaintenance.mediaMaintain(
           delta, compactEvery) _
+      case "audio" =>
+        graft.streaming.StreamingAudioMaintenance.audioMaintain(
+          delta, compactEvery) _
       case "paragraph" =>
         graft.streaming.StreamingParagraphMaintenance.paragraphMaintain(
           delta, compactEvery) _
@@ -170,7 +173,7 @@ object StreamSoak {
         graft.streaming.StreamingGraphMaintenance.graphMaintain(
           delta, compactEvery) _
       case other => sys.error(s"unknown maintainer: $other " +
-        "(digest|band|posting|ivf|semdedup|classifier|media|paragraph|sketch|graph)")
+        "(digest|band|posting|ivf|semdedup|classifier|media|audio|paragraph|sketch|graph)")
     }
 
     def loadavg: String =
