@@ -370,6 +370,31 @@ object ScaleSoak {
       val nHot = graft.llm.MultimodalOps.saturatedMediaBuckets(mfps).count()
       println(s"[soak] media_saturated_buckets  n=$nHot  load=$loadavg")
     }
+    // Audio energy-profile family (q196/q197, round 15): same 60-bit
+    // banding math as media, different kernel — one O(bytes) PCM pass
+    // per doc, then the shared pair tail. Wall time must stay ~linear
+    // per decade; the saturated-bucket count is the same early-warning
+    // dial.
+    if (only.forall(_.contains("audio_neardup"))) {
+      val afps = graft.Materialize.stable(graft.llm.MultimodalOps.audioFps(
+        spark.read.parquet(s"$dir/documents.parquet")))
+      time("audio_neardup") {
+        graft.llm.MultimodalOps.fpNeighborReport(afps)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val nFp = afps.select("fp").distinct().count()
+      val nHot = graft.llm.MultimodalOps.saturatedMediaBuckets(afps).count()
+      println(s"[soak] audio_fps                n_fp=$nFp " +
+        s"saturated_buckets=$nHot  load=$loadavg")
+    }
+    // q195 (round 15): the full CCNet+fuzzy curation capstone — five
+    // chained stages whose every shuffle carries ids/digests; the
+    // decade slope must track the corpus (paragraph digesting + the
+    // banding of exact-survivor cleaned texts dominate).
+    time("full_curation") {
+      graft.llm.SamplingOps.fullCuration(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
     // ExactSubstr (q85) — the steepest inherent curve in the catalog:
     // the sampled-gram digest shuffle is O(corpus bytes / 16) by
     // construction, so its soak slope must stay ~linear per decade and
