@@ -258,6 +258,30 @@ object MultimodalOps {
     }: _*)
   }
 
+  /** The WIDE banding — the PartEnum dial turned one notch: ten 6-bit
+    * blocks, one 42-bit key per C(10,7)=120 block 7-subsets.
+    * Pigeonhole exactness at Hamming ≤ [[HammingMax]] is preserved
+    * (≤ 3 flipped bits touch ≤ 3 blocks, leaving ≥ 7 intact, and every
+    * 7-subset of intact blocks is one of the keys), bucket space grows
+    * 2^30 → 2^42 for 6× the explode rows. This is the named mitigation
+    * when [[saturatedMediaBuckets]] fires — measured on the audio
+    * kernel, whose energy-sign bits CORRELATE on homogeneous corpora
+    * (ScaleSoak `audio_neardup`: 3587 saturated narrow buckets at 500k
+    * synthetic docs; `audio_neardup_wide` re-measures with this
+    * banding). Selected per call site via [[fpPairs]]'s `wide` flag —
+    * a plan choice, not an index rebuild (fingerprints are
+    * banding-agnostic state). */
+  private[graft] def hammingBandKeysWide(fp: Column): Column = {
+    val blk = (0 until 10).map(i =>
+      shiftright(fp, i * 6).bitwiseAND(lit(0x3FL)))
+    val subsets = (0 until 10).combinations(7).toSeq
+    array(subsets.zipWithIndex.map { case (t, bno) =>
+      struct(lit(bno).as("bno"),
+        t.zipWithIndex.map { case (b, k) => shiftleft(blk(b), 6 * k) }
+          .reduce(_.bitwiseOR(_)).as("bval"))
+    }: _*)
+  }
+
   /** q182: perceptual near-dup over media payloads — the multimodal
     * member of the dedup family (text has MinHash/SimHash/substring,
     * embeddings have LSH/SemDeDup; this covers the media payload bytes
@@ -369,8 +393,9 @@ object MultimodalOps {
     * a pinned (doc_id, fp) frame — q196's output tail, shared by the
     * staged q197 and the streaming audio maintainer's probe so the
     * three forms can never drift. */
-  private[graft] def fpNeighborReport(fps: DataFrame): DataFrame = {
-    val pairs = fpPairs(fps)
+  private[graft] def fpNeighborReport(fps: DataFrame,
+      wide: Boolean = false): DataFrame = {
+    val pairs = fpPairs(fps, wide)
     val cnt = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -440,10 +465,12 @@ object MultimodalOps {
     * maintainer — one tail, so the three paths cannot band or verify
     * differently. Callers must pass a materialized frame (each side of
     * the expansion re-references it). */
-  private[graft] def fpPairs(fps: DataFrame): DataFrame = {
+  private[graft] def fpPairs(fps: DataFrame,
+      wide: Boolean = false): DataFrame = {
     val distinctFp = fps.select("fp").distinct()
-    val bands = distinctFp.select(col("fp"),
-      explode(hammingBandKeys(col("fp"))).as("bd"))
+    val keys = if (wide) hammingBandKeysWide(col("fp"))
+      else hammingBandKeys(col("fp"))
+    val bands = distinctFp.select(col("fp"), explode(keys).as("bd"))
       .select(col("fp"), col("bd.bno").as("bno"), col("bd.bval").as("bval"))
     val closeFp = bands.as("a")
       .join(bands.as("b"), col("a.bno") === col("b.bno") &&

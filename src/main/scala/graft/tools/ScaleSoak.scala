@@ -387,6 +387,17 @@ object ScaleSoak {
       println(s"[soak] audio_fps                n_fp=$nFp " +
         s"saturated_buckets=$nHot  load=$loadavg")
     }
+    // The widening dial under the SAME corpus: 7-of-10 banding must
+    // flatten the decade where the narrow 3-of-6 buckets saturate
+    // (identical output — banding is exact either way).
+    if (only.forall(_.contains("audio_neardup_wide"))) {
+      val afps = graft.Materialize.stable(graft.llm.MultimodalOps.audioFps(
+        spark.read.parquet(s"$dir/documents.parquet")))
+      time("audio_neardup_wide") {
+        graft.llm.MultimodalOps.fpNeighborReport(afps, wide = true)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // q195 (round 15): the full CCNet+fuzzy curation capstone — five
     // chained stages whose every shuffle carries ids/digests; the
     // decade slope must track the corpus (paragraph digesting + the

@@ -270,4 +270,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(audioPhash(wavWrap(pcm(1).take(100))) == -1L,
       "fewer than 61 samples must sentinel")
   }
+
+  test("wide 7-of-10 banding: pigeonhole-exact at Hamming <= 3 " +
+      "(adversarial flips) and pair-identical to the narrow banding") {
+    import spark.implicits._
+    // adversarial: flip every 3-subset of bit positions spread across
+    // three DIFFERENT 6-bit blocks (the worst case for block survival)
+    val base = 0x0FA3C5196E2D7BL & ((1L << 60) - 1)
+    val flips = Seq(Seq(1, 13, 47), Seq(0, 59, 30), Seq(5, 11, 17),
+      Seq(58, 52, 46), Seq(2, 3, 4))
+    val fps = (base +: flips.map(_.foldLeft(base)((f, b) => f ^ (1L << b))))
+      .zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+      .toDF("doc_id", "fp")
+    val widePairs = MultimodalOps.fpPairs(fps, wide = true)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every flipped variant is within Hamming 3 of base -> must pair
+    flips.indices.foreach { i =>
+      assert(widePairs.contains((0L, (i + 1).toLong)),
+        s"wide banding missed a Hamming-3 pair (flip set $i)")
+    }
+    // and on the fixture the two bandings emit the SAME report
+    // (banding is retrieval, not semantics)
+    val afps = MultimodalOps.audioFps(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val narrow = MultimodalOps.fpNeighborReport(afps)
+      .collect().map(_.toSeq).toSeq
+    val wide = MultimodalOps.fpNeighborReport(afps, wide = true)
+      .collect().map(_.toSeq).toSeq
+    assert(narrow.nonEmpty && narrow == wide,
+      "wide and narrow bandings must produce identical reports")
+  }
 }
