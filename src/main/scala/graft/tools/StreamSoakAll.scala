@@ -37,8 +37,8 @@ object StreamSoakAll {
   // soaks' 200k because ten families share one JVM here and the run's
   // purpose is fold interaction at high batch counts, not state scale
   // (ScaleSoak owns state scale).
-  private val TextPool = 50000L
-  private val VecPool = 20000L
+  private val TextPool = 20000L
+  private val VecPool = 10000L
   private val IdOff = 10000000L
   private val VecOff = 20000000L
   private val OrdOff = 30000000L
@@ -76,8 +76,14 @@ object StreamSoakAll {
     val reportEvery = args.lift(2).map(_.toInt).getOrElse(100)
     val compactEvery = args.lift(3).map(_.toInt).getOrElse(200)
 
+    // local[16] for cross-family job overlap; shuffle partitions 4
+    // because per-batch frames are tiny (≤ pool-sized) and the soak's
+    // fixed cost is TASK COUNT — ten families × ~10 jobs × partitions
+    // per batch. 16-way tiny shuffles measured ~6 s/batch of pure
+    // scheduling; 4-way cuts the task count 4× at identical state.
     val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.default.parallelism", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
