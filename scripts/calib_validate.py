@@ -38,11 +38,15 @@ for ln in open("BASELINE.md"):
     if m and cols:
         cells = [c.strip() for c in m.group(2).split("|")]
         row = dict(zip(cols[2:], cells))
-        v = row.get(floor_col, "") or row.get("baseline", "")
-        try:
-            floors[m.group(1)] = float(v)
-        except ValueError:
-            pass
+        # same-parallelism floor first; a MISSING OR NON-NUMERIC cell
+        # ('', '-', 'n/a' ...) falls back to the all-runs baseline MIN
+        # instead of silently dropping the query (ADVICE r15)
+        for v in (row.get(floor_col, ""), row.get("baseline", "")):
+            try:
+                floors[m.group(1)] = float(v)
+                break
+            except ValueError:
+                continue
 
 calib = statistics.median(
     [bench["calib_start_sec"], bench["calib_end_sec"]])

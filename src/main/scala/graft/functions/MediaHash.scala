@@ -124,7 +124,11 @@ object MediaHashKernel {
       return -1L
     val off = graft.llm.MediaHeaders.bodyOffset(b)
     if (off < 0) return -1L
-    val n = (b.length - off) / 2
+    // bound by the data chunk's DECLARED size, not end-of-payload: a
+    // valid WAV may carry trailing LIST/INFO chunks after `data`, and
+    // those bytes are metadata, not PCM (ADVICE r15)
+    val n = math.min(b.length - off,
+      graft.llm.MediaHeaders.wavDataLen(b, off)) / 2
     val f = Bits + 1
     if (n < f) return -1L
     val e = new Array[Long](f)

@@ -100,6 +100,16 @@ object MediaHeaders {
     } else -1
   }
 
+  /** Declared byte length of the WAV `data` chunk whose payload starts
+    * at `off` (a WAV [[bodyOffset]] return value — the chunk-size field
+    * is the 4 bytes immediately before the payload). PCM walks must
+    * bound themselves by it, not by end-of-payload: a valid WAV may
+    * carry trailing chunks after `data` (LIST/INFO, id3 …) whose bytes
+    * are metadata, not samples (ADVICE r15). [[bodyOffset]] already
+    * validated `off + size <= b.length`, so the value is safe to trust
+    * as an upper bound. */
+  def wavDataLen(b: Array[Byte], off: Int): Int = le32(b, off - 4)
+
   /** PNG: 8-byte signature, then the IHDR chunk (must be first):
     * length(4) "IHDR" width(4 BE) height(4 BE) bitdepth(1) … */
   private def parsePng(b: Array[Byte]): Parsed = {

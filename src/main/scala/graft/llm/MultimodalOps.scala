@@ -268,9 +268,12 @@ object MultimodalOps {
     * kernel, whose energy-sign bits CORRELATE on homogeneous corpora
     * (ScaleSoak `audio_neardup`: 3587 saturated narrow buckets at 500k
     * synthetic docs; `audio_neardup_wide` re-measures with this
-    * banding). Selected per call site via [[fpPairs]]'s `wide` flag —
-    * a plan choice, not an index rebuild (fingerprints are
-    * banding-agnostic state). */
+    * banding). Selected by the ENGINE at plan time — every production
+    * pairing path goes through [[fpPairsAuto]]/[[fpNeighborReportAuto]],
+    * which run the [[wideBandingNeeded]] band-stat pre-pass and pick
+    * the width; [[fpPairs]]'s explicit `wide` flag remains for specs
+    * and the soak's A/B measurement. A plan choice, not an index
+    * rebuild (fingerprints are banding-agnostic state). */
   private[graft] def hammingBandKeysWide(fp: Column): Column = {
     val blk = (0 until 10).map(i =>
       shiftright(fp, i * 6).bitwiseAND(lit(0x3FL)))
@@ -328,7 +331,7 @@ object MultimodalOps {
     // pinned frame is (id, long) — bytes never survive past this line.
     val fps = graft.Materialize.stable(
       mediaFps(graft.Tables.tSpread(s, dir, "documents")))
-    fpPairs(fps)
+    fpPairsAuto(fps)
   }
 
   /** The AUDIO corpus stand-in: EVERY document's bytes wrapped as a
@@ -386,7 +389,7 @@ object MultimodalOps {
     * as q182: identical fingerprints collapse before banding, only
     * (id, long) rows ride any shuffle. */
   def audioPerceptualNearDup(s: SparkSession, dir: String): DataFrame =
-    fpNeighborReport(graft.Materialize.stable(
+    fpNeighborReportAuto(graft.Materialize.stable(
       audioFps(graft.Tables.tSpread(s, dir, "documents"))))
 
   /** The per-asset fingerprint + exact ≤ 3-Hamming neighbor count over
@@ -416,7 +419,7 @@ object MultimodalOps {
     val base = MediaFpIndex.audioFps(s, dir)
     val batch = audioFps(graft.Tables.tSpread(s, dir, "documents")
       .filter(NearDupOps.isNewDoc(col("doc_id"))))
-    fpNeighborReport(graft.Materialize.stable(base.unionByName(batch)))
+    fpNeighborReportAuto(graft.Materialize.stable(base.unionByName(batch)))
   }
 
   /** q186 — fingerprint-index maintenance: the q182 pair set over the
@@ -432,7 +435,7 @@ object MultimodalOps {
     val base = MediaFpIndex.fps(s, dir)
     val batch = mediaFps(graft.Tables.tSpread(s, dir, "documents")
       .filter(NearDupOps.isNewDoc(col("doc_id"))))
-    fpPairs(graft.Materialize.stable(base.unionByName(batch)))
+    fpPairsAuto(graft.Materialize.stable(base.unionByName(batch)))
   }
 
   /** Observability for the banding candidate budget on the shared
@@ -457,6 +460,69 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n_fps"))
       .filter(col("n_fps") > SaturatedBucket)
       .orderBy("bno", "bval")
+
+  /** Wide banding's extra explode rows per distinct fingerprint:
+    * C(10,7) − C(6,3) = 120 − 20 = 100 more band keys. This is the
+    * break-even constant of [[wideBandingNeeded]]: widening is worth
+    * paying exactly when the narrow bucket join would emit MORE
+    * candidate rows than the widening adds band rows (both are rows
+    * through the same shuffle-join machinery), i.e. when
+    * Σ n·(n−1)/2 over narrow buckets > 100 · |distinct fps|. */
+  private[graft] val WideKeySurcharge: Long =
+    (0 until 10).combinations(7).size.toLong - HammingBandCount
+
+  /** The PLAN-TIME banding decision (round-15 verdict item 1 — the
+    * `wide` flag was a compile-time call-site dial; a correlated
+    * fingerprint corpus saturates narrow 3-of-6 banding — the round-15
+    * audio soak measured 3,587 hot buckets at 500k docs — and candidate
+    * generation goes quadratic until a human flips it). This pre-pass
+    * is the [[saturatedMediaBuckets]] aggregation taken one step
+    * further: build the narrow bucket histogram over DISTINCT
+    * fingerprints (8-byte keys only, reuses the caller's pin) and
+    * compare the exact narrow candidate count Σ n·(n−1)/2 against the
+    * wide explode surcharge [[WideKeySurcharge]] · D. One tiny driver-
+    * side Row — a stats probe in the AQE spirit, not a collect loop.
+    *
+    * Calibration against the round-15 soak: at 500k correlated audio
+    * docs narrow ran 34 s vs wide 141.9 s (narrow still wins despite
+    * 3,587 saturated buckets), and this rule votes NARROW there
+    * (C_narrow ≈ 18M < 100·D = 50M); the quadratic C_narrow term
+    * overtakes 100·D in the low-millions decade, exactly where the
+    * wide constant must take over. Pigeonhole exactness holds for both
+    * bandings, so the choice can never change the answer — spec-pinned
+    * report-identical in MultimodalSpec. */
+  /** The decision's inputs, exposed for observability (the ScaleSoak
+    * decades print them next to the narrow/wide wall times):
+    * (narrow candidate pairs Σ n·(n−1)/2, distinct fingerprints). */
+  private[graft] def narrowBandStats(fps: DataFrame): (Long, Long) = {
+    val row = fps.select("fp").distinct()
+      .select(explode(hammingBandKeys(col("fp"))).as("bd"))
+      .groupBy(col("bd.bno"), col("bd.bval"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).as("cand2"),
+        coalesce(sum(col("n")), lit(0L)).as("band_rows"))
+      .head()
+    (row.getLong(0) / 2, row.getLong(1) / HammingBandCount)
+  }
+
+  private[graft] def wideBandingNeeded(fps: DataFrame): Boolean = {
+    val (narrowCandidates, nDistinctFp) = narrowBandStats(fps)
+    narrowCandidates > WideKeySurcharge * nDistinctFp
+  }
+
+  /** [[fpPairs]] with the banding width chosen by the engine
+    * ([[wideBandingNeeded]]) instead of the call site — the production
+    * entry for every fingerprint pairing path (q182/q186 and the
+    * streaming media maintainer). Requires a pinned frame, same as
+    * [[fpPairs]] (the stats pre-pass is one extra scan of the pin). */
+  private[graft] def fpPairsAuto(fps: DataFrame): DataFrame =
+    fpPairs(fps, wide = wideBandingNeeded(fps))
+
+  /** [[fpNeighborReport]] with engine-chosen banding width — the
+    * production entry for the audio report paths (q196/q197 and the
+    * streaming audio maintainer). */
+  private[graft] def fpNeighborReportAuto(fps: DataFrame): DataFrame =
+    fpNeighborReport(fps, wide = wideBandingNeeded(fps))
 
   /** The collapse-then-band pair tail over a PINNED (doc_id, fp) frame:
     * band distinct fingerprints, bucket-join, exact-Hamming verify,

@@ -49,7 +49,7 @@ object StreamingAudioMaintenance {
     * delta fingerprints (keys-only dedup absorbs re-delivery). */
   def reportProbe(s: SparkSession, baseFps: DataFrame,
       deltaDir: String): DataFrame =
-    graft.llm.MultimodalOps.fpNeighborReport(graft.Materialize.stable(
+    graft.llm.MultimodalOps.fpNeighborReportAuto(graft.Materialize.stable(
       baseFps.unionByName(deltaFps(s, deltaDir))
         .dropDuplicates("doc_id", "fp")))
 }

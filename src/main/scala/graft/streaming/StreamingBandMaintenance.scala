@@ -271,9 +271,15 @@ object StreamingBandMaintenance {
     // Per-SEGMENT band stats stay per-segment rows through the
     // harness's row-preserving fold — the saturation guard's
     // conservative direction is unchanged.
+    // … and dedup WITHIN the batch too (ADVICE r15): the anti-join
+    // only screens ids from strictly-earlier segments, so a doc
+    // delivered twice in ONE batch that matches an existing group
+    // would otherwise land two identical (rep_id, doc_id) rows in the
+    // same segment — cross-batch hygiene with a within-batch hole.
     val memberGains = matched
       .filter(col("new_doc") =!= col("rep_id"))
       .select(col("rep_id"), col("new_doc").as("doc_id"))
+      .dropDuplicates("rep_id", "doc_id")
       .join(dDups.select("doc_id")
           .unionByName(s.read.parquet(s"$baseIdx/dups").select("doc_id")),
         Seq("doc_id"), "left_anti")

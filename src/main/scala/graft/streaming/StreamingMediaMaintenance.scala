@@ -70,7 +70,7 @@ object StreamingMediaMaintenance {
     * nothing payload-sized. */
   def pairsProbe(s: SparkSession, baseFps: DataFrame,
       deltaDir: String): DataFrame =
-    graft.llm.MultimodalOps.fpPairs(graft.Materialize.stable(
+    graft.llm.MultimodalOps.fpPairsAuto(graft.Materialize.stable(
       baseFps.unionByName(deltaFps(s, deltaDir))
         .dropDuplicates("doc_id", "fp")))
 }

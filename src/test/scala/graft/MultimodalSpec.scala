@@ -269,6 +269,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(audioPhash(pngWrap(pcm(1))) == -1L, "png must sentinel")
     assert(audioPhash(wavWrap(pcm(1).take(100))) == -1L,
       "fewer than 61 samples must sentinel")
+    // trailing chunks after `data` are metadata, not PCM (ADVICE r15):
+    // the walk is bounded by the data chunk's DECLARED size, so an
+    // appended LIST/INFO chunk must not perturb the fingerprint
+    val withList = wavWrap(pcm(1)) ++ "LIST".getBytes ++ le32(8) ++
+      "INFOjunk".getBytes
+    assert(audioPhash(withList) == fp1,
+      "trailing LIST chunk bytes must not hash as PCM samples")
   }
 
   test("wide 7-of-10 banding: pigeonhole-exact at Hamming <= 3 " +
@@ -299,5 +306,47 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(narrow.nonEmpty && narrow == wide,
       "wide and narrow bandings must produce identical reports")
+  }
+
+  test("banding width is a plan-time decision (r15 verdict item 1): " +
+      "sparse and break-even corpora stay narrow, a saturating corpus " +
+      "arms the wide path, and the auto output is banding-invariant") {
+    import spark.implicits._
+    // the shipped fixture bands sparsely -> narrow
+    val fixtureFps = MultimodalOps.audioFps(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    assert(!MultimodalOps.wideBandingNeeded(fixtureFps),
+      "sparse fixture must choose narrow banding")
+    // a hot bucket below break-even: 151 fps share one (0,1,2)-triple
+    // bucket -> the saturation COUNTER fires (151 > 100) but the
+    // candidate surplus 151*150/2 = 11,325 is under the wide explode
+    // surcharge 100*151 = 15,100 -> the engine still (correctly) votes
+    // narrow. Saturation observability and the width decision are
+    // different thresholds by design: the decision is cost break-even,
+    // not hot-bucket presence (the r15 soak's measured point — 3,587
+    // hot buckets at 500k docs yet narrow 34 s beat wide 141.9 s).
+    def hotCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val base = 0x15A4E35L
+      (1 to n)
+        .map(i => base | (i.toLong << 30) | (i.toLong << 40) | (i.toLong << 50))
+        .toDF("fp").withColumn("doc_id", col("fp"))
+        .select("doc_id", "fp")
+    }
+    val breakEven = hotCorpus(151)
+    assert(MultimodalOps.saturatedMediaBuckets(breakEven).count() == 1L)
+    assert(!MultimodalOps.wideBandingNeeded(breakEven),
+      "below break-even the narrow candidate surplus does not pay for widening")
+    // past break-even: 250 fps in one bucket -> 250*249/2 = 31,125
+    // candidates > 100*250 = 25,000 -> the engine arms the wide path
+    val saturating = hotCorpus(250)
+    assert(MultimodalOps.wideBandingNeeded(saturating),
+      "a saturating corpus must arm the wide banding automatically")
+    // exactness is banding-independent: the auto plan's pairs on the
+    // saturating corpus equal both explicit widths pair-for-pair
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val auto = pairSet(MultimodalOps.fpPairsAuto(saturating))
+    assert(auto == pairSet(MultimodalOps.fpPairs(saturating, wide = true)))
+    assert(auto == pairSet(MultimodalOps.fpPairs(saturating)))
   }
 }
