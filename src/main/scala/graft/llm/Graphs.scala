@@ -24,6 +24,14 @@ object Graphs {
     *         component = min vertex id reachable. Isolated vertices
     *         (absent from `pairs`) are absent — callers left-join and
     *         coalesce to the vertex's own id. */
+  /** Edge-count gate for the local fast path: at or below it the
+    * symmetrized edge list (two longs per row) is ≲ 6 MiB — the same
+    * order as Spark's own broadcast-join threshold, which is the
+    * precedent for pulling a bounded small side to the driver. Above
+    * it the distributed propagation loop runs unchanged, so the gate
+    * changes the constant factor, never the scale ceiling. */
+  private[graft] val SmallGraphEdges = 200000L
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val p = pairs.toDF("src", "dst")
     // Materialize the edge list once: every propagation round joins
@@ -31,6 +39,20 @@ object Graphs {
     // whole upstream pipeline that produced the pairs.
     val edges = graft.Materialize.stable(
       p.union(p.select(col("dst"), col("src"))).toDF("src", "dst"))
+    // ADAPTIVE small-graph fast path (r15 verdict item 4): dup/merge
+    // graphs are usually TINY relative to the corpus (the staged
+    // semdedup probe's contracted graph measured 81 edges at sf0.1),
+    // and each propagation round below costs a fixed ~0.3 s of job
+    // scheduling + checkpoint latency regardless of size — the loop
+    // was 4 rounds × fixed cost on an 81-edge input. Like a broadcast
+    // join, a graph KNOWN to be bounded (the frame is already pinned,
+    // so the count is free) is solved locally in one pass and shipped
+    // back as a local relation; the result is identical (component =
+    // min reachable id) and the gate keeps the path honest at scale.
+    val nEdges = edges.count()
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && nEdges <= SmallGraphEdges * 2) return localComponents(edges)
     var labels = graft.Materialize.stable(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
@@ -56,5 +78,36 @@ object Graphs {
       throw new IllegalStateException(
         s"connectedComponents: no convergence in $maxRounds rounds")
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** One-pass union-find over a gate-bounded, already-pinned edge
+    * list — the local half of the adaptive split. Output contract is
+    * identical to the propagation loop: (id, component = min reachable
+    * vertex id) for every vertex appearing in an edge. The result is a
+    * local relation of vertex-count rows, which downstream joins treat
+    * as broadcast-sized — exactly the shape the callers (dup groups,
+    * merge graphs) want. */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val rows = edges
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val parent = new scala.collection.mutable.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root so the final root IS the component label
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.map(v => (v, find(v))).toDF("id", "component")
   }
 }

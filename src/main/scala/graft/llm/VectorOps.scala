@@ -760,10 +760,11 @@ object VectorOps {
       Some(SemDedupIndex.corpus(s, dir)))
 
   /** The shared add-batch probe: batch × same-cluster-key sims, then
-    * components over the staged partition's star edges + the new
-    * edges. O(batch · cluster width) similarity work, never old×old.
-    * `stagedCorpus`, when given, replaces the corpus side of the join
-    * (and its norm computation) with the prepared staged frame. */
+    * components over the staged partition CONTRACTED to one node per
+    * staged component + the new edges. O(batch · cluster width)
+    * similarity work, never old×old. `stagedCorpus`, when given,
+    * replaces the corpus side of the join (and its norm computation)
+    * with the prepared staged frame. */
   private def semDedupProbe(s: SparkSession, dir: String,
       staged: DataFrame, stagedCorpus: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
@@ -771,7 +772,11 @@ object VectorOps {
     val e = t(s, dir, "embeddings")
       .select(col("label"), col("vec_id"), col("embedding").as("v"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
-    val batch = e.filter(isNew)
+    // Pinned once: the batch's norm kernel feeds BOTH sides of the
+    // edge join (id_a, and the batch half of id_b) — without the pin
+    // the per-row kernel runs twice over the batch (r15 verdict
+    // item 4; the q76/q182 pin recipe).
+    val batch = graft.Materialize.stable(e.filter(isNew))
     val ba = batch.select(col("label"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
     // id_b side = batch ∪ corpus (batch×batch edges matter: two new
@@ -792,11 +797,46 @@ object VectorOps {
           .as("sim"))
       .filter(col("sim") >= 0.35)
       .select(col("id_a"), col("id_b")).distinct()
-    val starEdges = staged
-      .filter(col("vec_id") =!= col("component"))
-      .select(col("component").as("id_a"), col("vec_id").as("id_b"))
-    val comp = Graphs.connectedComponents(starEdges.unionByName(newEdges))
-      .select(col("id").as("vec_id"), col("component"))
+    // Contract each staged component to its representative BEFORE the
+    // iterative step (r15 verdict item 4 — CC over star ∪ new edges
+    // was the probe's dominant cost: every propagation round re-joined
+    // the corpus-dup-sized star list even when the batch touched three
+    // components). Contracting known-connected vertices preserves the
+    // quotient connectivity, so CC runs on the O(|new edges|)
+    // contracted graph only: map each new-edge endpoint to its staged
+    // component id (batch ids, disjoint from the staged corpus by the
+    // ingest boundary, map to themselves), drop the self-loops that
+    // fold into one component, and propagate labels there. Labels stay
+    // the TRUE global min vec_id: a staged component's id is already
+    // the min of its members, so min over contracted nodes = min over
+    // all merged members.
+    val stagedMap = staged.select(col("vec_id"), col("component"))
+    def contracted(end: String): Column = coalesce(col("component"), col(end))
+    val contractedEdges = newEdges
+      .join(stagedMap.withColumnRenamed("vec_id", "id_a"), Seq("id_a"), "left")
+      .select(contracted("id_a").as("ca"), col("id_b"))
+      .join(stagedMap.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left")
+      .select(col("ca"), contracted("id_b").as("cb"))
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("id_a"),
+        greatest(col("ca"), col("cb")).as("id_b"))
+      .distinct()
+    val ccSmall = Graphs.connectedComponents(contractedEdges)
+      .select(col("id").as("node"), col("component").as("merged"))
+    // Expand back: staged members ride their component's (possibly
+    // merged) label; every contracted node NOT in the staged map —
+    // batch vertices AND old singletons a new edge just touched, both
+    // their own contracted nodes — reads its label directly. The
+    // anti-join split is exact: a contracted node in the staged map is
+    // always a component representative, whose row the first branch
+    // already emits, so the union cannot double-emit a vertex.
+    val comp = stagedMap
+      .join(ccSmall.withColumnRenamed("node", "component"), Seq("component"), "left")
+      .select(col("vec_id"),
+        coalesce(col("merged"), col("component")).as("component"))
+      .unionByName(ccSmall
+        .join(stagedMap.select(col("vec_id").as("node")), Seq("node"), "left_anti")
+        .select(col("node").as("vec_id"), col("merged").as("component")))
     val wc = Window.partitionBy("cluster_id")
     e.select(col("vec_id"), col("label"))
       .join(comp, Seq("vec_id"), "left")
