@@ -571,7 +571,82 @@ object TextOps {
       t(s, dir, "documents").filter(NearDupOps.isNewDoc(col("doc_id"))),
       ParaDigestIndex.dgs(s, dir))
 
+  /** q198 — corpus-wide duplicated-SPAN mining (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better": the
+    * ExactSubstr family's REPORTING form — not pairwise overlap like
+    * q85, not paragraph-boundary like q187, but the global repeated
+    * ≥k-token span inventory with removal stats per source, the audit
+    * a pipeline runs before deciding to cut repeated spans at all).
+    *
+    * Spark-native approximation of the suffix-array scan: a k-token
+    * shingle is DUPLICATED iff its digest occurs ≥ 2 times corpus-wide
+    * (within-doc repeats count, as in the paper's "appears more than
+    * once in the corpus"); a doc's duplicated shingle positions merge
+    * into maximal runs (gaps-and-islands: pos − row_number per doc),
+    * each run [s..e] covering tokens [s, e+k−1]; runs whose token
+    * intervals still overlap (gap < k) are union-merged by a per-doc
+    * LAG clip, so dup_tokens is the EXACT size of the covered-token
+    * union, never double-counted. Every maximal repeated span of
+    * ≥ k tokens is a run by construction (each of its k-windows is
+    * duplicated), so the inventory is exact at granularity k.
+    *
+    * Scale shape: grams ride the shuffle as 16-byte md5 digests with
+    * (doc_id, pos) — one corpus-sized hash agg for the ≥2 filter, one
+    * semi-join back; the run/merge windows partition on doc_id (each
+    * partition ≤ doc token count); the gram frame is pinned once for
+    * its two references (count + position join), ids/digests only.
+    * k = 8 matches the decontamination gram width (q68); production
+    * sweeps k per the paper (they use 50 BPE tokens). */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val docs = graft.Tables.tSpread(s, dir, "documents")
+    // positional grams composed from built-ins (NOT the fused
+    // shingle_array kernel, which dedups within-doc by design for the
+    // decontamination/minhash semantics — span mining needs every
+    // occurrence at its position)
+    val grams = graft.Materialize.stable(docs
+      .select(col("doc_id"), tokens(col("text")).as("tks"))
+      .filter(size(col("tks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tks")) - k),
+        i => array_join(slice(col("tks"), i + 1, lit(k)), " ")))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("gram")).as("dg")))
+    val dupDg = grams.groupBy("dg")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("dg")
+    val dupPos = grams.join(dupDg, Seq("dg"), "left_semi")
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+    val ws = Window.partitionBy("doc_id").orderBy("s")
+    val perDoc = runs
+      .withColumn("cover", col("e") + (k - 1) - greatest(col("s"),
+        coalesce(lag(col("e"), 1).over(ws) + k, col("s"))) + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("cover")).as("dup_tokens"))
+    val totals = docs.select(col("doc_id"), col("source"),
+      when(col("text").isNotNull,
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long"))
+        .as("n_tokens"))
+    totals.join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dup_tokens")).as("n_dup_docs"),
+        coalesce(sum(col("n_spans")), lit(0L)).as("n_spans"),
+        coalesce(sum(col("dup_tokens")), lit(0L)).as("dup_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_dup_spans" -> dupSpans,
     "q187_paragraph_dedup" -> ((s, dir) => paragraphDedup(s, dir)),
     "q189_paragraph_dedup_incremental" -> paragraphDedupIncremental,
     "q190_paragraph_staged" -> paragraphDedupStaged,
@@ -783,6 +858,45 @@ object TextOps {
         |SELECT bucket_lo, n_docs,
         |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS BIGINT) AS share
         |FROM h ORDER BY bucket_lo""".stripMargin,
+    "q198_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, UNNEST(generate_series(1, len(tks) - 7)) AS i, tks
+        |  FROM tk WHERE len(tks) >= 8),
+        |gg AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||
+        |      tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7] AS gram
+        |  FROM g),
+        |dup AS (SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM gg WHERE gram IN (SELECT gram FROM dup)),
+        |runs AS (
+        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+        |  FROM (SELECT doc_id, pos,
+        |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM dp)
+        |  GROUP BY doc_id, grp),
+        |cov AS (
+        |  SELECT doc_id, e + 7 - GREATEST(s,
+        |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s) + 8, s)) + 1 AS cover
+        |  FROM runs),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(cover) AS BIGINT) AS dup_tokens
+        |  FROM cov GROUP BY doc_id),
+        |tot AS (SELECT doc_id, source, CAST(len(tks) AS BIGINT) AS n_tokens FROM tk)
+        |SELECT t.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(p.dup_tokens) AS BIGINT) AS n_dup_docs,
+        |  CAST(COALESCE(SUM(p.n_spans), 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+        |  CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+        |  ROUND(COALESCE(SUM(p.dup_tokens), 0) / SUM(t.n_tokens), 6) AS dup_frac
+        |FROM tot t LEFT JOIN perdoc p USING (doc_id)
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
     "q68_decontaminate" ->
       """WITH grams AS (
         |  SELECT doc_id,

@@ -382,10 +382,15 @@ object ScaleSoak {
         graft.llm.MultimodalOps.fpNeighborReport(afps)
           .write.format("noop").mode("overwrite").save()
       }
-      val nFp = afps.select("fp").distinct().count()
       val nHot = graft.llm.MultimodalOps.saturatedMediaBuckets(afps).count()
+      // the r16 plan-time decision's inputs + what it would choose:
+      // wide arms once cand > 100 * n_fp (the explode-surcharge
+      // break-even); printed per decade so the crossover is observed
+      val (cand, nFp) = graft.llm.MultimodalOps.narrowBandStats(afps)
+      val arm = cand > graft.llm.MultimodalOps.WideKeySurcharge * nFp
       println(s"[soak] audio_fps                n_fp=$nFp " +
-        s"saturated_buckets=$nHot  load=$loadavg")
+        s"saturated_buckets=$nHot narrow_cand=$cand " +
+        s"auto_chooses=${if (arm) "wide" else "narrow"}  load=$loadavg")
     }
     // The widening dial under the SAME corpus: 7-of-10 banding must
     // flatten the decade where the narrow 3-of-6 buckets saturate
@@ -404,6 +409,15 @@ object ScaleSoak {
     // banding of exact-survivor cleaned texts dominate).
     time("full_curation") {
       graft.llm.SamplingOps.fullCuration(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // q198 (round 16): duplicated-span mining — one positional-gram
+    // digest agg (O(corpus tokens) rows of 16-byte keys), a semi-join
+    // back, per-doc run windows. The decade slope must track corpus
+    // tokens; there is no quadratic term to watch, the readout is the
+    // gram-shuffle constant.
+    time("dup_spans") {
+      graft.llm.TextOps.dupSpans(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
     // ExactSubstr (q85) — the steepest inherent curve in the catalog:
