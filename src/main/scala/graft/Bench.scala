@@ -208,8 +208,55 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fails = failures.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Self-normalization (r15 verdict item 7): fold the calibration
+    // rule BASELINE.md documents (and scripts/calib_validate.py
+    // re-derives) into the artifact itself, so a run taken on a hot
+    // machine self-annotates: divide each per-query median by the
+    // machine-day factor (median calib probe / the parallelism-keyed
+    // calib floor) and ratio against the same-parallelism floor column
+    // of BASELINE.md's table ('' / non-numeric floor cells fall back
+    // to the baseline MIN column — the ADVICE r15 rule). Emits
+    // normalized_total, the median/p100 normalized ratio, and the
+    // >2x-floor list; all null when BASELINE.md is absent (fresh
+    // checkout) or the calib probes failed.
+    val floorCalib = if (cpus.toInt <= 4) 1.228 else 0.81
+    val floorCol = if (cpus.toInt <= 4) "floor4" else "floor32"
+    val floors: Map[String, Double] = try {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("BASELINE.md")).toArray(Array.empty[String])
+      val hdrIdx = lines.indexWhere(_.startsWith("| # | query |"))
+      if (hdrIdx < 0) Map.empty else {
+        val cols = lines(hdrIdx).stripPrefix("|").stripSuffix("|")
+          .split("\\|").map(_.trim)
+        val fi = cols.indexOf(floorCol); val bi = cols.indexOf("baseline")
+        lines.drop(hdrIdx + 2).takeWhile(_.startsWith("|")).flatMap { ln =>
+          val cells = ln.stripPrefix("|").stripSuffix("|").split("\\|").map(_.trim)
+          if (cells.length <= math.max(fi, bi) || !cells(1).startsWith("q")) None
+          else Seq(fi, bi).filter(_ >= 0).view
+            .flatMap(i => cells(i).toDoubleOption).headOption
+            .map(cells(1) -> _)
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val calibOk = calibStart > 0 && calibEnd > 0
+    val dayFactor =
+      if (calibOk) medianOf(Seq(calibStart, calibEnd)) / floorCalib else -1.0
+    val normalized = if (calibOk && floors.nonEmpty)
+      results.toSeq.collect {
+        case (q, t) if floors.get(q).exists(_ > 0) && t > 0 =>
+          (q, t / dayFactor, t / dayFactor / floors(q))
+      } else Seq.empty
+    val normJson = if (normalized.isEmpty)
+      """"day_factor":null,"normalized_total":null,"norm_ratio_med":null,"norm_ratio_max":null,"over2x":{}"""
+    else {
+      val ratios = normalized.map(_._3)
+      val over2 = normalized.filter(_._3 > 2.0).sortBy(-_._3)
+        .map { case (q, _, r) => "\"" + q + "\":" + f"$r%.2f" }
+        .mkString("{", ",", "}")
+      f""""day_factor":$dayFactor%.3f,"normalized_total":${normalized.map(_._2).sum}%.1f,"norm_ratio_med":${medianOf(ratios)}%.3f,"norm_ratio_max":${ratios.max}%.2f,"over2x":$over2%s"""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failures":${failures.reverse.distinct.size},"failures":$fails,"repeats":$repeats,"cpus":$cpus,"parallelism":${spark.sparkContext.defaultParallelism},"loadavg_1m":$loadavg,"loadavg_start":$loadavgStart,"loadavg_max":$loadavgMax,"ext_load_med":$extLoadMed,"steal_frac":$stealFrac,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"hot_machine":${loadavgStart > 5.0 || extLoadMed > 2.0 || stealFrac > 0.10}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failures":${failures.reverse.distinct.size},"failures":$fails,"repeats":$repeats,"cpus":$cpus,"parallelism":${spark.sparkContext.defaultParallelism},"loadavg_1m":$loadavg,"loadavg_start":$loadavgStart,"loadavg_max":$loadavgMax,"ext_load_med":$extLoadMed,"steal_frac":$stealFrac,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,$normJson,"hot_machine":${loadavgStart > 5.0 || extLoadMed > 2.0 || stealFrac > 0.10}}"""
     // The driver greps a 2000-char stdout tail where sbt/log4j noise can
     // interleave with (or truncate) the metric line, so ALSO persist it
     // to a file and make the line itself the final stdout output.

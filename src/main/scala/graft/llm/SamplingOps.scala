@@ -173,15 +173,27 @@ object SamplingOps {
     * here it falls out of the CCNet order for free. */
   def fullCuration(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // ONE text-carrying pin for the whole cascade (r15 verdict item 6
+    // — the first cut pinned survivor text TWICE: once here and once
+    // as a separate survivors checkpoint). The exact-dup digest is
+    // folded into this pin so the keep decision and both survivor
+    // consumers (the fuzzy cascade, the pack tail) all read the same
+    // single materialization. Storage posture: localCheckpoint pins at
+    // MEMORY_AND_DISK, so the frame — bounded by paragraph-dedup
+    // survivor count × document size — SPILLS rather than OOMs when
+    // the cleaned corpus outgrows executor memory; the ScaleSoak
+    // full_curation decades record the bound holding at 500k docs.
     val cleaned = graft.Materialize.stable(
       graft.llm.TextOps.paragraphDedup(docs)
         .filter(col("n_kept") > 0)
-        .select(col("doc_id"), col("cleaned_text")))
-    val keepIds = cleaned
-      .select(col("doc_id"), md5(col("cleaned_text")).as("dg"))
-      .groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
-    val survivors = graft.Materialize.stable(cleaned
-      .join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), col("cleaned_text"),
+          md5(col("cleaned_text")).as("dg")))
+    // ids-only (16-byte digest + id) pin: both survivor references
+    // re-join through it without re-running the keep aggregation
+    val keepIds = graft.Materialize.stable(
+      cleaned.groupBy("dg").agg(min(col("doc_id")).as("doc_id")))
+    val survivors = cleaned
+      .join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
     val fuzzyDrops = NearDupOps.fuzzyDropIds(
       survivors.select(col("doc_id"), col("cleaned_text").as("text")))
     val kept = survivors
