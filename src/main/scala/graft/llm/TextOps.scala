@@ -591,12 +591,17 @@ object TextOps {
     * duplicated), so the inventory is exact at granularity k.
     *
     * Scale shape: grams ride the shuffle as 16-byte md5 digests with
-    * (doc_id, pos) — one corpus-sized hash agg for the ≥2 filter, one
+    * (doc_id, pos) — one corpus-sized hash agg for the ≥2 filter
+    * (map-side partials, so a boilerplate digest repeated 10⁹ times
+    * costs one combiner row per task, never a collected list), one
     * semi-join back; the run/merge windows partition on doc_id (each
-    * partition ≤ doc token count); the gram frame is pinned once for
-    * its two references (count + position join), ids/digests only.
-    * k = 8 matches the decontamination gram width (q68); production
-    * sweeps k per the paper (they use 50 BPE tokens). */
+    * partition ≤ doc token count). The gram frame is deliberately NOT
+    * pinned for its two references: a (doc_id, pos, digest) row is
+    * ~32 B per corpus TOKEN — several times the text bytes themselves
+    * at 100 TB — so re-running the codegen'd tokenize+md5 scan twice
+    * (two linear passes, zero storage) beats materializing a frame
+    * larger than the corpus. k = 8 matches the decontamination gram
+    * width (q68); production sweeps k per the paper (50 BPE tokens). */
   def dupSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 8
@@ -605,7 +610,7 @@ object TextOps {
     // shingle_array kernel, which dedups within-doc by design for the
     // decontamination/minhash semantics — span mining needs every
     // occurrence at its position)
-    val grams = graft.Materialize.stable(docs
+    val grams = docs
       .select(col("doc_id"), tokens(col("text")).as("tks"))
       .filter(size(col("tks")) >= k)
       .select(col("doc_id"), posexplode(transform(
@@ -613,7 +618,7 @@ object TextOps {
         i => array_join(slice(col("tks"), i + 1, lit(k)), " ")))
         .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(col("gram")).as("dg")))
+        md5(col("gram")).as("dg"))
     val dupDg = grams.groupBy("dg")
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("dg")
     val dupPos = grams.join(dupDg, Seq("dg"), "left_semi")
