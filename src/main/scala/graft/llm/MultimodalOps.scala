@@ -462,14 +462,32 @@ object MultimodalOps {
       .orderBy("bno", "bval")
 
   /** Wide banding's extra explode rows per distinct fingerprint:
-    * C(10,7) − C(6,3) = 120 − 20 = 100 more band keys. This is the
-    * break-even constant of [[wideBandingNeeded]]: widening is worth
-    * paying exactly when the narrow bucket join would emit MORE
-    * candidate rows than the widening adds band rows (both are rows
-    * through the same shuffle-join machinery), i.e. when
-    * Σ n·(n−1)/2 over narrow buckets > 100 · |distinct fps|. */
+    * C(10,7) − C(6,3) = 120 − 20 = 100 more band keys. */
   private[graft] val WideKeySurcharge: Long =
     (0 until 10).combinations(7).size.toLong - HammingBandCount
+
+  /** The MEASURED break-even of [[wideBandingNeeded]], in narrow
+    * candidate pairs per distinct fingerprint. The naive model —
+    * candidates and band rows cost the same, so widen when
+    * C > [[WideKeySurcharge]]·D — mispredicts: a band-explode row
+    * (shuffled, sorted, hash-joined) costs ~15× a candidate row (join
+    * OUTPUT filtered in place, never shuffled). Fit from the ScaleSoak
+    * audio decades, both widths measured on the same correlated
+    * synthetic corpus (narrow/wide: 34 / 141.9 s at 500k docs,
+    * 125 / 339 s at 2M docs with C = 1.57e9, D = 1.75M — narrow still
+    * 2.7× faster at C/D ≈ 900): per-row costs solve to
+    * a ≈ 2.9 µs/band-row, b ≈ 0.19 µs/candidate, break-even
+    * C/D = WideKeySurcharge · a/b ≈ 1500, crossover ≈ 3M docs on that
+    * corpus's correlation profile. Mispredictions are asymmetric —
+    * arming late pays the quadratic candidate term, arming early pays
+    * at most the ~2.7× wide constant — so the dial sits AT the fit,
+    * not above it. */
+  private[graft] val WideBreakEvenCandPerFp: Long = 1500L
+
+  /** The decision rule, one place for the query path, the streaming
+    * probes, and the soak's per-decade printout. */
+  private[graft] def wideWorthIt(narrowCandidates: Long, nFp: Long): Boolean =
+    narrowCandidates > WideBreakEvenCandPerFp * nFp
 
   /** The PLAN-TIME banding decision (round-15 verdict item 1 — the
     * `wide` flag was a compile-time call-site dial; a correlated
@@ -480,15 +498,10 @@ object MultimodalOps {
     * further: build the narrow bucket histogram over DISTINCT
     * fingerprints (8-byte keys only, reuses the caller's pin) and
     * compare the exact narrow candidate count Σ n·(n−1)/2 against the
-    * wide explode surcharge [[WideKeySurcharge]] · D. One tiny driver-
-    * side Row — a stats probe in the AQE spirit, not a collect loop.
-    *
-    * Calibration against the round-15 soak: at 500k correlated audio
-    * docs narrow ran 34 s vs wide 141.9 s (narrow still wins despite
-    * 3,587 saturated buckets), and this rule votes NARROW there
-    * (C_narrow ≈ 18M < 100·D = 50M); the quadratic C_narrow term
-    * overtakes 100·D in the low-millions decade, exactly where the
-    * wide constant must take over. Pigeonhole exactness holds for both
+    * MEASURED break-even [[WideBreakEvenCandPerFp]] · D (provenance at
+    * the constant: both widths timed on the same 500k / 2M correlated
+    * corpora). One tiny driver-side Row — a stats probe in the AQE
+    * spirit, not a collect loop. Pigeonhole exactness holds for both
     * bandings, so the choice can never change the answer — spec-pinned
     * report-identical in MultimodalSpec. */
   /** The decision's inputs, exposed for observability (the ScaleSoak
@@ -507,7 +520,7 @@ object MultimodalOps {
 
   private[graft] def wideBandingNeeded(fps: DataFrame): Boolean = {
     val (narrowCandidates, nDistinctFp) = narrowBandStats(fps)
-    narrowCandidates > WideKeySurcharge * nDistinctFp
+    wideWorthIt(narrowCandidates, nDistinctFp)
   }
 
   /** [[fpPairs]] with the banding width chosen by the engine

@@ -383,11 +383,11 @@ object ScaleSoak {
           .write.format("noop").mode("overwrite").save()
       }
       val nHot = graft.llm.MultimodalOps.saturatedMediaBuckets(afps).count()
-      // the r16 plan-time decision's inputs + what it would choose:
-      // wide arms once cand > 100 * n_fp (the explode-surcharge
-      // break-even); printed per decade so the crossover is observed
+      // the r16 plan-time decision's inputs + what it chooses (wide
+      // arms at the measured break-even cand > 1500 * n_fp); printed
+      // per decade so the crossover stays observed as corpora grow
       val (cand, nFp) = graft.llm.MultimodalOps.narrowBandStats(afps)
-      val arm = cand > graft.llm.MultimodalOps.WideKeySurcharge * nFp
+      val arm = graft.llm.MultimodalOps.wideWorthIt(cand, nFp)
       println(s"[soak] audio_fps                n_fp=$nFp " +
         s"saturated_buckets=$nHot narrow_cand=$cand " +
         s"auto_chooses=${if (arm) "wide" else "narrow"}  load=$loadavg")

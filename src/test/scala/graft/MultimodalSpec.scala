@@ -319,34 +319,41 @@ class MultimodalSpec extends AnyFunSuite {
       "sparse fixture must choose narrow banding")
     // a hot bucket below break-even: 151 fps share one (0,1,2)-triple
     // bucket -> the saturation COUNTER fires (151 > 100) but the
-    // candidate surplus 151*150/2 = 11,325 is under the wide explode
-    // surcharge 100*151 = 15,100 -> the engine still (correctly) votes
-    // narrow. Saturation observability and the width decision are
-    // different thresholds by design: the decision is cost break-even,
-    // not hot-bucket presence (the r15 soak's measured point — 3,587
-    // hot buckets at 500k docs yet narrow 34 s beat wide 141.9 s).
+    // candidate-per-fp ratio ~75 is far under the MEASURED break-even
+    // of 1500 (a band-explode row costs ~15 candidate rows — see
+    // WideBreakEvenCandPerFp's provenance: narrow beat wide 125 s to
+    // 339 s even at C/D ~900 on the 2M-doc soak corpus) -> the engine
+    // still votes narrow. Saturation observability and the width
+    // decision are different thresholds by design.
     def hotCorpus(n: Int): org.apache.spark.sql.DataFrame = {
       val base = 0x15A4E35L
       (1 to n)
-        .map(i => base | (i.toLong << 30) | (i.toLong << 40) | (i.toLong << 50))
+        .map(i => base | (i.toLong << 30))
         .toDF("fp").withColumn("doc_id", col("fp"))
         .select("doc_id", "fp")
     }
+    // 151 fps varying only in bits 30-37 share blocks {0,1,2,4,5} ->
+    // all C(5,3) = 10 triples over the shared blocks saturate (the
+    // candidate sum counts each pair once per shared bucket, exactly
+    // like the bucket join emits them: C/D = 10*11,325/151 = 750)
     val breakEven = hotCorpus(151)
-    assert(MultimodalOps.saturatedMediaBuckets(breakEven).count() == 1L)
+    assert(MultimodalOps.saturatedMediaBuckets(breakEven).count() == 10L)
     assert(!MultimodalOps.wideBandingNeeded(breakEven),
       "below break-even the narrow candidate surplus does not pay for widening")
-    // past break-even: 250 fps in one bucket -> 250*249/2 = 31,125
-    // candidates > 100*250 = 25,000 -> the engine arms the wide path
-    val saturating = hotCorpus(250)
+    // past break-even: 3100 fps sharing the low 30 bits put
+    // 3100*3099/2 = 4.80M candidates in the (0,1,2) bucket ->
+    // C/D ~1550 > 1500 -> the engine arms the wide path
+    val saturating = hotCorpus(3100)
     assert(MultimodalOps.wideBandingNeeded(saturating),
       "a saturating corpus must arm the wide banding automatically")
-    // exactness is banding-independent: the auto plan's pairs on the
-    // saturating corpus equal both explicit widths pair-for-pair
+    // exactness is banding-independent on the break-even corpus (the
+    // saturating corpus is pair-equal too, but its wide side explodes
+    // 8 shared-block hot buckets — the adversarial pigeonhole spec
+    // above owns exactness; this pins the small corpus cheaply)
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val auto = pairSet(MultimodalOps.fpPairsAuto(saturating))
-    assert(auto == pairSet(MultimodalOps.fpPairs(saturating, wide = true)))
-    assert(auto == pairSet(MultimodalOps.fpPairs(saturating)))
+    val auto = pairSet(MultimodalOps.fpPairsAuto(breakEven))
+    assert(auto == pairSet(MultimodalOps.fpPairs(breakEven, wide = true)))
+    assert(auto == pairSet(MultimodalOps.fpPairs(breakEven)))
   }
 }
