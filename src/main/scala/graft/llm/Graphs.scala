@@ -52,7 +52,16 @@ object Graphs {
     val nEdges = edges.count()
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && nEdges <= SmallGraphEdges * 2) return localComponents(edges)
+    if (longIds && nEdges <= SmallGraphEdges * 2) localComponents(edges)
+    else propagatedComponents(edges, maxRounds)
+  }
+
+  /** The distributed half: iterative min-label propagation over an
+    * already-pinned SYMMETRIZED edge frame. Kept as its own entry so
+    * GraphsSpec can run BOTH halves on the same graph and pin them
+    * equal — the adaptive gate must never be observable in results. */
+  private[graft] def propagatedComponents(edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
     var labels = graft.Materialize.stable(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
@@ -87,7 +96,7 @@ object Graphs {
     * local relation of vertex-count rows, which downstream joins treat
     * as broadcast-sized — exactly the shape the callers (dup groups,
     * merge graphs) want. */
-  private def localComponents(edges: DataFrame): DataFrame = {
+  private[graft] def localComponents(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val rows = edges
