@@ -249,11 +249,16 @@ object Bench {
     val normJson = if (normalized.isEmpty)
       """"day_factor":null,"normalized_total":null,"norm_ratio_med":null,"norm_ratio_max":null,"over2x":{}"""
     else {
+      // Locale.ROOT formatting (ADVICE r16): the f"" interpolator uses
+      // the JVM default locale, and a comma decimal separator would
+      // emit invalid JSON into the machine-parsed metric line.
+      def num(digits: Int, x: Double): String =
+        String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
       val ratios = normalized.map(_._3)
       val over2 = normalized.filter(_._3 > 2.0).sortBy(-_._3)
-        .map { case (q, _, r) => "\"" + q + "\":" + f"$r%.2f" }
+        .map { case (q, _, r) => "\"" + q + "\":" + num(2, r) }
         .mkString("{", ",", "}")
-      f""""day_factor":$dayFactor%.3f,"normalized_total":${normalized.map(_._2).sum}%.1f,"norm_ratio_med":${medianOf(ratios)}%.3f,"norm_ratio_max":${ratios.max}%.2f,"over2x":$over2%s"""
+      s""""day_factor":${num(3, dayFactor)},"normalized_total":${num(1, normalized.map(_._2).sum)},"norm_ratio_med":${num(3, medianOf(ratios))},"norm_ratio_max":${num(2, ratios.max)},"over2x":$over2"""
     }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failures":${failures.reverse.distinct.size},"failures":$fails,"repeats":$repeats,"cpus":$cpus,"parallelism":${spark.sparkContext.defaultParallelism},"loadavg_1m":$loadavg,"loadavg_start":$loadavgStart,"loadavg_max":$loadavgMax,"ext_load_med":$extLoadMed,"steal_frac":$stealFrac,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,$normJson,"hot_machine":${loadavgStart > 5.0 || extLoadMed > 2.0 || stealFrac > 0.10}}"""

@@ -29,8 +29,20 @@ object Graphs {
     * order as Spark's own broadcast-join threshold, which is the
     * precedent for pulling a bounded small side to the driver. Above
     * it the distributed propagation loop runs unchanged, so the gate
-    * changes the constant factor, never the scale ceiling. */
+    * changes the constant factor, never the scale ceiling.
+    *
+    * This is the DEFAULT: the value trades THIS machine's per-round
+    * job-scheduling latency against driver memory; a real cluster's
+    * ratios differ, so deployments override it with
+    * `spark.graft.localCcEdges` (r16 verdict item 4). */
   private[graft] val SmallGraphEdges = 200000L
+
+  /** The conf knob for the local-CC gate, measured default unchanged. */
+  private[graft] def localCcGate(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.localCcEdges").map(_.toLong)
+      .getOrElse(SmallGraphEdges)
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val p = pairs.toDF("src", "dst")
@@ -52,7 +64,14 @@ object Graphs {
     val nEdges = edges.count()
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && nEdges <= SmallGraphEdges * 2) localComponents(edges)
+    val gate = localCcGate(pairs.sparkSession)
+    val local = longIds && nEdges <= gate * 2
+    // observable on the query path, not only in specs (r16 verdict
+    // item 4) — nEdges counts the symmetrized list, gate the input one
+    log.info(s"connectedComponents decision: sym_edges=$nEdges " +
+      s"gate=$gate long_ids=$longIds " +
+      s"chose=${if (local) "local" else "distributed"}")
+    if (local) localComponents(edges)
     else propagatedComponents(edges, maxRounds)
   }
 

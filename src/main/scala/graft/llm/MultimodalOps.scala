@@ -232,12 +232,16 @@ object MultimodalOps {
   }
 
   /** Combinatorial band keys for exact Hamming ≤ 3 retrieval over a
-    * 60-bit fingerprint: six 10-bit blocks, one 30-bit key per C(6,3)=20
-    * block triple (bval = blk_i | blk_j<<10 | blk_l<<20, bno = triple
-    * index). Two fingerprints within Hamming 3 share ≥ 3 intact blocks
-    * and therefore ≥ 1 full key (pigeonhole; see the q182 scaladoc).
-    * Shared by the batch query and the streaming fingerprint maintainer
-    * so the two sides can never band differently. */
+    * 60-bit fingerprint: six 10-bit blocks, one fused (bno, bval) long
+    * key per C(6,3)=20 block triple (see
+    * [[graft.functions.BandKeyKernel]] — a fused Catalyst kernel since
+    * r17 so BOTH widths stay inside whole-stage codegen; the wide
+    * width's 120 inline subset expressions used to blow janino's 64 KB
+    * method limit and run interpreted). Two fingerprints within
+    * Hamming 3 share ≥ 3 intact blocks and therefore ≥ 1 full key
+    * (pigeonhole; see the q182 scaladoc). Shared by the batch query
+    * and the streaming fingerprint maintainer so the two sides can
+    * never band differently. */
   /** The exact-retrieval Hamming bound of the fingerprint pair tail —
     * pigeonhole-tied to the 3-of-6-block banding (≤ 3 flipped bits
     * leave ≥ 3 intact blocks). Shared by the Spark verify filter and
@@ -245,18 +249,18 @@ object MultimodalOps {
   private[graft] val HammingMax = 3
 
   private[graft] val HammingBandCount: Int =
-    (0 until 6).combinations(3).size // 20
+    graft.functions.BandKeyKernel.NarrowBands // 20
 
-  private[graft] def hammingBandKeys(fp: Column): Column = {
-    val blk = (0 until 6).map(i =>
-      shiftright(fp, i * 10).bitwiseAND(lit(0x3FFL)))
-    val triples = (0 until 6).combinations(3).toSeq
-    array(triples.zipWithIndex.map { case (t, bno) =>
-      struct(lit(bno).as("bno"),
-        (blk(t(0)).bitwiseOR(shiftleft(blk(t(1)), 10))
-          .bitwiseOR(shiftleft(blk(t(2)), 20))).as("bval"))
-    }: _*)
-  }
+  private[graft] def hammingBandKeys(fp: Column): Column =
+    graft.functions.BandKeyKernel.band_keys(fp, wide = false)
+
+  /** Decode the fused key back to its (band index, band value) halves —
+    * observability only (the join and the histogram key on the fused
+    * long itself). */
+  private[graft] def bandNo(key: Column): Column =
+    shiftright(key, graft.functions.BandKeyKernel.BvalBits).cast("int")
+  private[graft] def bandVal(key: Column): Column =
+    key.bitwiseAND(lit((1L << graft.functions.BandKeyKernel.BvalBits) - 1))
 
   /** The WIDE banding — the PartEnum dial turned one notch: ten 6-bit
     * blocks, one 42-bit key per C(10,7)=120 block 7-subsets.
@@ -274,16 +278,8 @@ object MultimodalOps {
     * the width; [[fpPairs]]'s explicit `wide` flag remains for specs
     * and the soak's A/B measurement. A plan choice, not an index
     * rebuild (fingerprints are banding-agnostic state). */
-  private[graft] def hammingBandKeysWide(fp: Column): Column = {
-    val blk = (0 until 10).map(i =>
-      shiftright(fp, i * 6).bitwiseAND(lit(0x3FL)))
-    val subsets = (0 until 10).combinations(7).toSeq
-    array(subsets.zipWithIndex.map { case (t, bno) =>
-      struct(lit(bno).as("bno"),
-        t.zipWithIndex.map { case (b, k) => shiftleft(blk(b), 6 * k) }
-          .reduce(_.bitwiseOR(_)).as("bval"))
-    }: _*)
-  }
+  private[graft] def hammingBandKeysWide(fp: Column): Column =
+    graft.functions.BandKeyKernel.band_keys(fp, wide = true)
 
   /** q182: perceptual near-dup over media payloads — the multimodal
     * member of the dedup family (text has MinHash/SimHash/substring,
@@ -455,10 +451,12 @@ object MultimodalOps {
 
   def saturatedMediaBuckets(fps: DataFrame): DataFrame =
     fps.select("fp").distinct()
-      .select(explode(hammingBandKeys(col("fp"))).as("bd"))
-      .groupBy(col("bd.bno").as("bno"), col("bd.bval").as("bval"))
+      .select(explode(hammingBandKeys(col("fp"))).as("bk"))
+      .groupBy("bk")
       .agg(count(lit(1)).as("n_fps"))
       .filter(col("n_fps") > SaturatedBucket)
+      .select(bandNo(col("bk")).as("bno"), bandVal(col("bk")).as("bval"),
+        col("n_fps"))
       .orderBy("bno", "bval")
 
   /** Wide banding's extra explode rows per distinct fingerprint:
@@ -481,13 +479,24 @@ object MultimodalOps {
     * corpus's correlation profile. Mispredictions are asymmetric —
     * arming late pays the quadratic candidate term, arming early pays
     * at most the ~2.7× wide constant — so the dial sits AT the fit,
-    * not above it. */
+    * not above it.
+    *
+    * This is the DEFAULT: the fit bakes in THIS machine's
+    * shuffle-vs-join-output cost ratio, and a real cluster's ratio
+    * differs, so deployments override it with
+    * `spark.graft.bandBreakEven` (r16 verdict item 4). */
   private[graft] val WideBreakEvenCandPerFp: Long = 1500L
+
+  /** The conf knob for the break-even, measured default unchanged. */
+  private[graft] def bandBreakEven(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.bandBreakEven").map(_.toLong)
+      .getOrElse(WideBreakEvenCandPerFp)
 
   /** The decision rule, one place for the query path, the streaming
     * probes, and the soak's per-decade printout. */
-  private[graft] def wideWorthIt(narrowCandidates: Long, nFp: Long): Boolean =
-    narrowCandidates > WideBreakEvenCandPerFp * nFp
+  private[graft] def wideWorthIt(narrowCandidates: Long, nFp: Long,
+      breakEven: Long = WideBreakEvenCandPerFp): Boolean =
+    narrowCandidates > breakEven * nFp
 
   /** The PLAN-TIME banding decision (round-15 verdict item 1 — the
     * `wide` flag was a compile-time call-site dial; a correlated
@@ -509,8 +518,8 @@ object MultimodalOps {
     * (narrow candidate pairs Σ n·(n−1)/2, distinct fingerprints). */
   private[graft] def narrowBandStats(fps: DataFrame): (Long, Long) = {
     val row = fps.select("fp").distinct()
-      .select(explode(hammingBandKeys(col("fp"))).as("bd"))
-      .groupBy(col("bd.bno"), col("bd.bval"))
+      .select(explode(hammingBandKeys(col("fp"))).as("bk"))
+      .groupBy("bk")
       .agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).as("cand2"),
         coalesce(sum(col("n")), lit(0L)).as("band_rows"))
@@ -518,9 +527,19 @@ object MultimodalOps {
     (row.getLong(0) / 2, row.getLong(1) / HammingBandCount)
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private[graft] def wideBandingNeeded(fps: DataFrame): Boolean = {
     val (narrowCandidates, nDistinctFp) = narrowBandStats(fps)
-    wideWorthIt(narrowCandidates, nDistinctFp)
+    val breakEven = bandBreakEven(fps.sparkSession)
+    val wide = wideWorthIt(narrowCandidates, nDistinctFp, breakEven)
+    // the soak prints the decision per decade; production queries log
+    // it too (r16 verdict item 4: the inputs must be observable on the
+    // query path, not only under the soak harness)
+    log.info(s"banding decision: narrow_cand=$narrowCandidates " +
+      s"n_fp=$nDistinctFp break_even=$breakEven " +
+      s"chose=${if (wide) "wide" else "narrow"}")
+    wide
   }
 
   /** [[fpPairs]] with the banding width chosen by the engine
@@ -549,11 +568,12 @@ object MultimodalOps {
     val distinctFp = fps.select("fp").distinct()
     val keys = if (wide) hammingBandKeysWide(col("fp"))
       else hammingBandKeys(col("fp"))
-    val bands = distinctFp.select(col("fp"), explode(keys).as("bd"))
-      .select(col("fp"), col("bd.bno").as("bno"), col("bd.bval").as("bval"))
+    // the fused (bno << 42 | bval) long is the whole bucket identity —
+    // the join keys on ONE 8-byte column
+    val bands = distinctFp.select(col("fp"), explode(keys).as("bk"))
     val closeFp = bands.as("a")
-      .join(bands.as("b"), col("a.bno") === col("b.bno") &&
-        col("a.bval") === col("b.bval") && col("a.fp") < col("b.fp"))
+      .join(bands.as("b"), col("a.bk") === col("b.bk") &&
+        col("a.fp") < col("b.fp"))
       .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .dropDuplicates("fp_a", "fp_b")
       .withColumn("hamming",

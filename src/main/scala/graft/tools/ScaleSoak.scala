@@ -353,11 +353,9 @@ object ScaleSoak {
       }
       val bkeys = graft.llm.MultimodalOps.hammingBandKeys(col("fp"))
       val bands = mfps.select("fp").distinct()
-        .select(col("fp"), explode(bkeys).as("bd"))
-        .select(col("fp"), col("bd.bno").as("bno"), col("bd.bval").as("bval"))
+        .select(col("fp"), explode(bkeys).as("bk"))
       val nCand = bands.as("a").join(bands.as("b"),
-        col("a.bno") === col("b.bno") && col("a.bval") === col("b.bval") &&
-          col("a.fp") < col("b.fp"))
+        col("a.bk") === col("b.bk") && col("a.fp") < col("b.fp"))
         .select(col("a.fp"), col("b.fp")).distinct().count()
       val nFp = mfps.select("fp").distinct().count()
       println(s"[soak] media_candidates         n_fp=$nFp n_cand=$nCand" +
@@ -387,7 +385,8 @@ object ScaleSoak {
       // arms at the measured break-even cand > 1500 * n_fp); printed
       // per decade so the crossover stays observed as corpora grow
       val (cand, nFp) = graft.llm.MultimodalOps.narrowBandStats(afps)
-      val arm = graft.llm.MultimodalOps.wideWorthIt(cand, nFp)
+      val arm = graft.llm.MultimodalOps.wideWorthIt(cand, nFp,
+        graft.llm.MultimodalOps.bandBreakEven(spark))
       println(s"[soak] audio_fps                n_fp=$nFp " +
         s"saturated_buckets=$nHot narrow_cand=$cand " +
         s"auto_chooses=${if (arm) "wide" else "narrow"}  load=$loadavg")

@@ -37,6 +37,29 @@ class GraphsSpec extends AnyFunSuite {
     assert(loc(510L) == 500L && loc(211L) == 200L && loc(901L) == 900L)
   }
 
+  test("spark.graft.localCcEdges flips the local-vs-distributed gate " +
+      "on the same fixture, results unchanged (r16 verdict item 4)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val p = edges.toDF("src", "dst")
+    // default: 3 edges <= 200k gate -> local
+    assert(graft.llm.Graphs.localCcGate(spark) ==
+      graft.llm.Graphs.SmallGraphEdges)
+    val viaDefault = graft.llm.Graphs.connectedComponents(p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDistributed = try {
+      // gate 0 -> even a 3-edge graph takes the distributed loop
+      spark.conf.set("spark.graft.localCcEdges", "0")
+      assert(graft.llm.Graphs.localCcGate(spark) == 0L)
+      graft.llm.Graphs.connectedComponents(p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally spark.conf.unset("spark.graft.localCcEdges")
+    assert(graft.llm.Graphs.localCcGate(spark) ==
+      graft.llm.Graphs.SmallGraphEdges, "unset must restore the default")
+    assert(viaDefault == viaDistributed, "gate must be invisible in results")
+    assert(viaDefault == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("local union-find equals distributed propagation on seeded random graphs") {
     val rnd = new scala.util.Random(41)
     for (trial <- 1 to 3) {

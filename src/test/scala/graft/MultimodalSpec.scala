@@ -203,19 +203,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!sharesKey(spread4))
   }
 
-  test("column-form band keys agree with the scala twin") {
+  test("column-form band keys agree with the scala twin (fused-key " +
+      "kernel decodes to the same (bno, bval) pairs)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode}
     val fps = (0 until 128).map(i =>
       (0x0123456789ABCDEFL * (i + 1) + 0x9E3779B97F4A7C15L * i) &
         ((1L << 60) - 1))
     val got = fps.toDF("fp")
-      .select(col("fp"), explode(MultimodalOps.hammingBandKeys(col("fp"))).as("bd"))
-      .select(col("fp"), col("bd.bno"), col("bd.bval"))
+      .select(col("fp"), explode(MultimodalOps.hammingBandKeys(col("fp"))).as("bk"))
+      .select(col("fp"), MultimodalOps.bandNo(col("bk")),
+        MultimodalOps.bandVal(col("bk")))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val want = fps.flatMap(fp =>
       scalaBandKeys(fp).map { case (bno, bval) => (fp, bno, bval) }).toSet
     assert(got == want)
+    // the wide kernel's 120 keys: C(10,7) subsets in combinations
+    // order, 6-bit blocks packed low-to-high — pin one fingerprint
+    // against an independent scala recomputation
+    val fp0 = fps.head
+    val wideGot = Seq(fp0).toDF("fp")
+      .select(explode(MultimodalOps.hammingBandKeysWide(col("fp"))).as("bk"))
+      .select(MultimodalOps.bandNo(col("bk")), MultimodalOps.bandVal(col("bk")))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val wideWant = (0 until 10).combinations(7).toSeq.zipWithIndex.map {
+      case (t, bno) =>
+        (bno, t.zipWithIndex.map { case (b, k) =>
+          ((fp0 >>> (b * 6)) & 0x3FL) << (6 * k) }.reduce(_ | _))
+    }.toSet
+    assert(wideGot == wideWant)
   }
 
   test("saturated-bucket counter: empty on the fixture, fires on a " +
@@ -308,52 +324,90 @@ class MultimodalSpec extends AnyFunSuite {
       "wide and narrow bandings must produce identical reports")
   }
 
-  test("banding width is a plan-time decision (r15 verdict item 1): " +
-      "sparse and break-even corpora stay narrow, a saturating corpus " +
-      "arms the wide path, and the auto output is banding-invariant") {
+  test("wide band stage stays inside codegen (r16 verdict item 1: the " +
+      "120 inline subset expressions used to blow janino's 64 KB method " +
+      "limit and run interpreted; the fused kernel must not)") {
     import spark.implicits._
+    val fps = graft.Materialize.stable(
+      (1 to 500).map(i => (i.toLong, (i.toLong * 0x9E3779B97F4A7C15L) &
+        ((1L << 60) - 1))).toDF("doc_id", "fp"))
+    try {
+      // make any codegen failure (janino limits included) throw instead
+      // of silently falling back to interpreted execution
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      assert(MultimodalOps.fpPairs(fps, wide = true).count() >= 0L)
+      assert(MultimodalOps.fpNeighborReport(fps, wide = true).count() == 500L)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("banding width is a plan-time decision (r15 verdict item 1): " +
+      "sparse and below-break-even corpora stay narrow, a saturating " +
+      "corpus arms the wide path, the auto output is banding-invariant, " +
+      "and spark.graft.bandBreakEven flips the decision (r16 item 4)") {
+    import spark.implicits._
+    val BE = MultimodalOps.WideBreakEvenCandPerFp
     // the shipped fixture bands sparsely -> narrow
     val fixtureFps = MultimodalOps.audioFps(
       spark.read.parquet(s"$sfDir/documents.parquet"))
     assert(!MultimodalOps.wideBandingNeeded(fixtureFps),
       "sparse fixture must choose narrow banding")
-    // a hot bucket below break-even: 151 fps share one (0,1,2)-triple
-    // bucket -> the saturation COUNTER fires (151 > 100) but the
-    // candidate-per-fp ratio ~75 is far under the MEASURED break-even
-    // of 1500 (a band-explode row costs ~15 candidate rows — see
-    // WideBreakEvenCandPerFp's provenance: narrow beat wide 125 s to
-    // 339 s even at C/D ~900 on the 2M-doc soak corpus) -> the engine
-    // still votes narrow. Saturation observability and the width
-    // decision are different thresholds by design.
+    // hotCorpus(n): n fps varying ONLY in bits 30-39 (narrow block 3,
+    // requires n <= 1023) share blocks {0,1,2,4,5} -> exactly the
+    // C(5,3) = 10 triples avoiding block 3 each collapse to ONE bucket
+    // of n fps (every triple touching block 3 scatters), so the narrow
+    // candidate sum is exactly 10 * n(n-1)/2 and C/D = 10(n-1)/2 —
+    // the fixture arithmetic is exact, not approximate (ADVICE r16:
+    // the old 3100-fp fixture leaked into block 4 and its comment
+    // understated C/D ~4x).
     def hotCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+      require(n <= 1023, "hotCorpus must stay within one 10-bit block")
       val base = 0x15A4E35L
       (1 to n)
         .map(i => base | (i.toLong << 30))
         .toDF("fp").withColumn("doc_id", col("fp"))
         .select("doc_id", "fp")
     }
-    // 151 fps varying only in bits 30-37 share blocks {0,1,2,4,5} ->
-    // all C(5,3) = 10 triples over the shared blocks saturate (the
-    // candidate sum counts each pair once per shared bucket, exactly
-    // like the bucket join emits them: C/D = 10*11,325/151 = 750)
-    val breakEven = hotCorpus(151)
-    assert(MultimodalOps.saturatedMediaBuckets(breakEven).count() == 10L)
-    assert(!MultimodalOps.wideBandingNeeded(breakEven),
+    // below break-even: C/D = 10(n-1)/2 ~ BE/2 -> the saturation
+    // COUNTER fires (n > SaturatedBucket = 100 in all 10 shared-triple
+    // buckets) but the candidate surplus does not pay for widening (a
+    // band-explode row costs ~15 candidate rows — see
+    // WideBreakEvenCandPerFp's provenance). Saturation observability
+    // and the width decision are different thresholds by design.
+    val nBelow = math.max(151, (BE / 10).toInt + 1) // C/D ~ BE/2
+    val below = hotCorpus(nBelow)
+    assert(MultimodalOps.saturatedMediaBuckets(below).count() == 10L)
+    assert(!MultimodalOps.wideBandingNeeded(below),
       "below break-even the narrow candidate surplus does not pay for widening")
-    // past break-even: 3100 fps sharing the low 30 bits put
-    // 3100*3099/2 = 4.80M candidates in the (0,1,2) bucket ->
-    // C/D ~1550 > 1500 -> the engine arms the wide path
-    val saturating = hotCorpus(3100)
-    assert(MultimodalOps.wideBandingNeeded(saturating),
+    // just past break-even: C/D = 10(n-1)/2 > BE -> wide armed
+    val nPast = (2 * BE / 10).toInt + 2
+    val past = hotCorpus(nPast)
+    assert(MultimodalOps.wideBandingNeeded(past),
       "a saturating corpus must arm the wide banding automatically")
-    // exactness is banding-independent on the break-even corpus (the
+    // the conf knob flips BOTH decisions on the SAME fixtures
+    // (r16 verdict item 4: the measured default is this machine's
+    // shuffle-cost ratio; a cluster overrides it)
+    try {
+      spark.conf.set("spark.graft.bandBreakEven", (20 * BE).toString)
+      assert(!MultimodalOps.wideBandingNeeded(past),
+        "a raised break-even must keep the saturating corpus narrow")
+      spark.conf.set("spark.graft.bandBreakEven", (BE / 20).toString)
+      assert(MultimodalOps.wideBandingNeeded(below),
+        "a lowered break-even must arm wide on the below-default corpus")
+    } finally spark.conf.unset("spark.graft.bandBreakEven")
+    assert(!MultimodalOps.wideBandingNeeded(below),
+      "unsetting the conf must restore the measured default")
+    // exactness is banding-independent on the below corpus (the
     // saturating corpus is pair-equal too, but its wide side explodes
-    // 8 shared-block hot buckets — the adversarial pigeonhole spec
+    // 10 shared-block hot buckets — the adversarial pigeonhole spec
     // above owns exactness; this pins the small corpus cheaply)
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val auto = pairSet(MultimodalOps.fpPairsAuto(breakEven))
-    assert(auto == pairSet(MultimodalOps.fpPairs(breakEven, wide = true)))
-    assert(auto == pairSet(MultimodalOps.fpPairs(breakEven)))
+    val auto = pairSet(MultimodalOps.fpPairsAuto(below))
+    assert(auto == pairSet(MultimodalOps.fpPairs(below, wide = true)))
+    assert(auto == pairSet(MultimodalOps.fpPairs(below)))
   }
 }
