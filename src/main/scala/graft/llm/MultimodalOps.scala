@@ -467,25 +467,33 @@ object MultimodalOps {
   /** The MEASURED break-even of [[wideBandingNeeded]], in narrow
     * candidate pairs per distinct fingerprint. The naive model —
     * candidates and band rows cost the same, so widen when
-    * C > [[WideKeySurcharge]]·D — mispredicts: a band-explode row
-    * (shuffled, sorted, hash-joined) costs ~15× a candidate row (join
-    * OUTPUT filtered in place, never shuffled). Fit from the ScaleSoak
-    * audio decades, both widths measured on the same correlated
-    * synthetic corpus (narrow/wide: 34 / 141.9 s at 500k docs,
-    * 125 / 339 s at 2M docs with C = 1.57e9, D = 1.75M — narrow still
-    * 2.7× faster at C/D ≈ 900): per-row costs solve to
-    * a ≈ 2.9 µs/band-row, b ≈ 0.19 µs/candidate, break-even
-    * C/D = WideKeySurcharge · a/b ≈ 1500, crossover ≈ 3M docs on that
-    * corpus's correlation profile. Mispredictions are asymmetric —
-    * arming late pays the quadratic candidate term, arming early pays
-    * at most the ~2.7× wide constant — so the dial sits AT the fit,
-    * not above it.
+    * C > [[WideKeySurcharge]]·D — mispredicts badly: a band-explode
+    * row (shuffled, sorted, hash-joined) costs ~40× a candidate row
+    * (join OUTPUT filtered in place, never shuffled).
+    *
+    * Provenance (r17 re-fit, `docs/soak_r17_scale.log` — the r16 fit
+    * of 1500 was measured with the wide arm running INTERPRETED past
+    * janino's 64 KB limit; with both arms codegen'd through the fused
+    * [[graft.functions.BandKeyKernel]] the audio two-width decades
+    * measure narrow/wide 17.6 / 45.2 s at 500k docs, 50.8 / 138.7 s at
+    * 2M, 291.2 / 558.9 s at 5M — narrow still 1.9× faster at
+    * C/D = 1783, directly refuting 1500): the two clean decades solve
+    * to a ≈ 0.64 µs/band-row, b ≈ 0.016 µs/candidate — the codegen fix
+    * cut the band row ~4.5× but the fused single-long bucket key cut
+    * the candidate ~12×, so the break-even RISES —
+    * C/D = WideKeySurcharge · a/b ≈ 4100, shipped as 4000. The 5M
+    * point's residual (wide under-predicted by ~110 s: at 86k
+    * saturated narrow buckets the wide arm's own candidate term stops
+    * being negligible) says the true crossover sits above the fit, so
+    * 4000 errs on the cheap side of the asymmetry — arming early pays
+    * at most the ~2× wide constant, arming late pays the quadratic
+    * candidate term.
     *
     * This is the DEFAULT: the fit bakes in THIS machine's
     * shuffle-vs-join-output cost ratio, and a real cluster's ratio
     * differs, so deployments override it with
     * `spark.graft.bandBreakEven` (r16 verdict item 4). */
-  private[graft] val WideBreakEvenCandPerFp: Long = 1500L
+  private[graft] val WideBreakEvenCandPerFp: Long = 4000L
 
   /** The conf knob for the break-even, measured default unchanged. */
   private[graft] def bandBreakEven(s: SparkSession): Long =

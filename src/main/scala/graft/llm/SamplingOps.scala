@@ -131,10 +131,16 @@ object SamplingOps {
     * packing is the `Prefix` two-level scan. */
   def paragraphCuration(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // n_tokens is computed ONCE, at pin time (r16 verdict item 6: the
+    // pack tail used to re-run the tokenize kernel over survivor text
+    // after the pin had already scanned it) — 8 bytes/row on the pin
+    // buys back a whole survivor-corpus kernel pass
     val cleaned = graft.Materialize.stable(
       graft.llm.TextOps.paragraphDedup(docs)
         .filter(col("n_kept") > 0)
-        .select(col("doc_id"), col("cleaned_text")))
+        .select(col("doc_id"), col("cleaned_text"),
+          size(graft.functions.Tokenize.tokens(col("cleaned_text")))
+            .cast("long").as("n_tokens")))
     val keepIds = cleaned
       .select(col("doc_id"), md5(col("cleaned_text")).as("dg"))
       .groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
@@ -142,10 +148,7 @@ object SamplingOps {
       .join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
     packByBudget(
-      mixtureFilter(kept)
-        .select(col("doc_id"), col("lang"),
-          size(graft.functions.Tokenize.tokens(col("cleaned_text")))
-            .cast("long").as("n_tokens")),
+      mixtureFilter(kept).select("doc_id", "lang", "n_tokens"),
       budget = 2000L)
   }
 
@@ -183,11 +186,17 @@ object SamplingOps {
     // survivor count × document size — SPILLS rather than OOMs when
     // the cleaned corpus outgrows executor memory; the ScaleSoak
     // full_curation decades record the bound holding at 500k docs.
+    // n_tokens rides the pin too (r16 verdict item 6): the pack tail
+    // used to re-run the tokenize kernel over survivor cleaned text
+    // after this pin had already scanned every byte of it — one
+    // 8-byte column removes that whole second kernel pass
     val cleaned = graft.Materialize.stable(
       graft.llm.TextOps.paragraphDedup(docs)
         .filter(col("n_kept") > 0)
         .select(col("doc_id"), col("cleaned_text"),
-          md5(col("cleaned_text")).as("dg")))
+          md5(col("cleaned_text")).as("dg"),
+          size(graft.functions.Tokenize.tokens(col("cleaned_text")))
+            .cast("long").as("n_tokens")))
     // ids-only (16-byte digest + id) pin: both survivor references
     // re-join through it without re-running the keep aggregation
     val keepIds = graft.Materialize.stable(
@@ -200,10 +209,7 @@ object SamplingOps {
       .join(fuzzyDrops, Seq("doc_id"), "left_anti")
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
     packByBudget(
-      mixtureFilter(kept)
-        .select(col("doc_id"), col("lang"),
-          size(graft.functions.Tokenize.tokens(col("cleaned_text")))
-            .cast("long").as("n_tokens")),
+      mixtureFilter(kept).select("doc_id", "lang", "n_tokens"),
       budget = 2000L)
   }
 

@@ -602,15 +602,14 @@ object TextOps {
     * (two linear passes, zero storage) beats materializing a frame
     * larger than the corpus. k = 8 matches the decontamination gram
     * width (q68); production sweeps k per the paper (50 BPE tokens). */
-  def dupSpans(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = 8
-    val docs = graft.Tables.tSpread(s, dir, "documents")
-    // positional grams composed from built-ins (NOT the fused
-    // shingle_array kernel, which dedups within-doc by design for the
-    // decontamination/minhash semantics — span mining needs every
-    // occurrence at its position)
-    val grams = docs
+  /** (doc_id, pos, dg) positional k-gram digests — every occurrence at
+    * its token position. Composed from built-ins (NOT the fused
+    * shingle_array kernel, which dedups within-doc by design for the
+    * decontamination/minhash semantics — span mining needs every
+    * occurrence). Shared by q198 (inventory) and q199 (removal) so the
+    * two forms can never gram differently. */
+  private[graft] def positionalGrams(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("tks"))
       .filter(size(col("tks")) >= k)
       .select(col("doc_id"), posexplode(transform(
@@ -619,25 +618,34 @@ object TextOps {
         .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(col("gram")).as("dg"))
-    val dupDg = grams.groupBy("dg")
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("dg")
-    val dupPos = grams.join(dupDg, Seq("dg"), "left_semi")
-      .select("doc_id", "pos")
+
+  /** Gaps-and-islands: duplicated gram positions (doc_id, pos) →
+    * maximal position runs (doc_id, s, e). The window partitions on
+    * doc_id, so each task is bounded by one doc's token count. Shared
+    * by q198, q199 and the staged q200 probe. */
+  private[graft] def spanRuns(dupPos: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = dupPos
+    dupPos
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  /** q198's report tail over an explicit run set: per-doc LAG clip
+    * (overlapping token intervals union-merge, never double-counted),
+    * then the per-source rollup. Shared by q198 and the staged q200
+    * probe so the two forms can never aggregate differently. */
+  private[graft] def spanReport(runs: DataFrame, totals: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ws = Window.partitionBy("doc_id").orderBy("s")
     val perDoc = runs
       .withColumn("cover", col("e") + (k - 1) - greatest(col("s"),
         coalesce(lag(col("e"), 1).over(ws) + k, col("s"))) + 1)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("cover")).as("dup_tokens"))
-    val totals = docs.select(col("doc_id"), col("source"),
-      when(col("text").isNotNull,
-        size(graft.functions.Tokenize.tokens(col("text"))).cast("long"))
-        .as("n_tokens"))
     totals.join(perDoc, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -650,8 +658,176 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** (doc_id, source, n_tokens) per doc — the denominator side of the
+    * span report (null n_tokens for null text, exactly the q198 SQL). */
+  private[graft] def spanTotals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      when(col("text").isNotNull,
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long"))
+        .as("n_tokens"))
+
+  /** q198 over an explicit documents frame — the seam the staged≡fresh
+    * equivalence spec drives. */
+  private[graft] def dupSpansOf(docs: DataFrame, k: Int): DataFrame = {
+    val grams = positionalGrams(docs, k)
+    val dupDg = grams.groupBy("dg")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("dg")
+    val dupPos = grams.join(dupDg, Seq("dg"), "left_semi")
+      .select("doc_id", "pos")
+    spanReport(spanRuns(dupPos), spanTotals(docs), k)
+  }
+
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansOf(graft.Tables.tSpread(s, dir, "documents"), k = 8)
+
+  /** The incremental span accounting over explicit index frames — the
+    * seam the re-delivery spec drives directly. Answer contract: equal
+    * to [[dupSpans]] run fresh over (indexed corpus ∪ batch).
+    *
+    * Why each piece is O(batch + dup-state), never O(corpus text):
+    * only the BATCH is grammed; the corpus rides in as its staged
+    * per-distinct-digest counts. A batch gram makes a corpus position
+    * newly-duplicated ONLY by flipping an n = 1 digest, and the index
+    * carries exactly those positions — so the affected corpus docs'
+    * runs are rebuilt from (their staged runs exploded back to
+    * positions ∪ the flipped positions), both output-sized, and every
+    * other corpus doc's staged runs pass through untouched.
+    *
+    * Re-delivery guard (the q190 idempotence contract, SUM-shaped
+    * here): a batch doc already present in the index is EXCLUDED
+    * up front — grammed twice, its unique grams would spuriously count
+    * as duplicated (counts are not presence; duplication would
+    * corrupt), so the exclusion is enforced in code and spec-pinned. */
+  private[graft] def dupSpansAgainst(dgn: DataFrame, baseRuns: DataFrame,
+      baseTotals: DataFrame, batch: DataFrame, k: Int): DataFrame = {
+    val batchDocs = batch
+      .join(baseTotals.select("doc_id"), Seq("doc_id"), "left_anti")
+    val grams = positionalGrams(batchDocs, k)
+    val batchCnt = grams.groupBy("dg").agg(count(lit(1)).as("bn"))
+    // a batch position is duplicated iff its digest occurs >= 2 times
+    // corpus-wide: >= 2 within the batch, or >= 1 in the corpus
+    val dupBatchDg = batchCnt
+      .join(dgn.select(col("dg"), col("n")), Seq("dg"), "left")
+      .filter(col("bn") >= 2 || coalesce(col("n"), lit(0L)) >= 1)
+      .select("dg")
+    val batchDupPos = grams.join(dupBatchDg, Seq("dg"), "left_semi")
+      .select("doc_id", "pos")
+    // corpus positions the batch flips from unique to duplicated
+    val flipped = dgn.filter(col("n") === 1)
+      .join(batchCnt.select("dg"), Seq("dg"), "left_semi")
+      .select(col("doc1").as("doc_id"), col("pos1").as("pos"))
+    val affected = flipped.select("doc_id").distinct()
+    // rebuild runs only for affected corpus docs: staged runs back to
+    // positions (output-sized) ∪ flipped positions (disjoint by
+    // construction — an n=1 digest's position was never in a run)
+    val affectedPos = baseRuns.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+      .unionByName(flipped)
+    val runsAll = baseRuns.join(affected, Seq("doc_id"), "left_anti")
+      .unionByName(spanRuns(affectedPos))
+      .unionByName(spanRuns(batchDupPos))
+    spanReport(runsAll,
+      baseTotals.unionByName(spanTotals(batchDocs)), k)
+  }
+
+  /** q200 — staged-index incremental duplicated-span accounting: q198
+    * over (staged corpus ∪ un-indexed ingest batch) with the corpus
+    * side's gram scan paid ONCE per corpus version
+    * ([[SpanDigestIndex]] — the q190/q186 pattern applied to the span
+    * family; the cross-snapshot provenance form of r16 verdict
+    * item 8: a recrawl's report shows whether it re-delivered known
+    * spans or created new duplication, without re-reading kept
+    * shards). Integrity contract: shares q198's oracle BY DESIGN —
+    * the staged plan must reproduce the fresh full-corpus report
+    * bit-for-bit, so a digest count lost by the index round-trip, a
+    * missed unique→duplicated flip, or a double-counted re-delivery
+    * is a hash mismatch. */
+  def dupSpansIncremental(s: SparkSession, dir: String): DataFrame =
+    dupSpansAgainst(
+      SpanDigestIndex.dgn(s, dir),
+      SpanDigestIndex.runs(s, dir),
+      SpanDigestIndex.totals(s, dir),
+      graft.Tables.tSpread(s, dir, "documents")
+        .filter(NearDupOps.isNewDoc(col("doc_id"))),
+      SpanDigestIndex.K)
+
+  /** q199 — duplicated-span REMOVAL (q198's action form; Lee et al.
+    * 2021 §4: keep ONE copy of each duplicated span, cut the rest).
+    * The deterministic rule, consistent with the q187/q189 paragraph
+    * precedence: a k-gram occurrence is PROTECTED iff it is the
+    * corpus-global first occurrence of its digest in (doc_id, pos)
+    * order; a token is CUT iff it is covered by at least one
+    * NON-first occurrence of a duplicated gram (coverage beats
+    * protection — the overlap-union rule, so a token inside both a
+    * first and a repeat window is still cut; only the span whose every
+    * window is globally first survives verbatim). Output per doc:
+    * token counts, maximal cut-run count, and the cleaned text
+    * (surviving tokens joined by single spaces — the q187
+    * whitespace-normalized contract).
+    *
+    * Scale shape: same as q198 — grams shuffle as 16-byte digests; the
+    * first-occurrence rule is ONE hash agg per digest (count + min
+    * struct(doc_id, pos), both map-side partial-aggregable — never a
+    * window over the corpus gram stream, which would shuffle every
+    * gram row un-combined), a join back on digest, run windows
+    * partitioned on doc_id, and the cut itself is a per-row lambda
+    * over the doc's own runs array (runs per doc, not corpus state).
+    * Text rides no shuffle except the output ordering.
+    *
+    * @param k gram width (r16 verdict item 2: parameterized; q199
+    *          fixes 8 to share q198's granularity, production sweeps
+    *          ~50 BPE tokens per the paper). */
+  private[graft] def dupSpanRemove(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = positionalGrams(docs, k)
+    // one agg: digest -> (occurrence count, global first occurrence)
+    val dupFirst = grams.groupBy("dg")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("n") >= 2)
+      .select(col("dg"), col("first.doc_id").as("fdoc"),
+        col("first.pos").as("fpos"))
+    // non-first occurrences of duplicated grams = the cut windows
+    val cutPos = grams.join(dupFirst, Seq("dg"))
+      .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
+      .select("doc_id", "pos")
+    // maximal runs of cut windows (gaps-and-islands, as in q198)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = cutPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cut_runs"),
+        collect_list(struct(col("s"), (col("e") + (k - 1)).as("e")))
+          .as("cut"))
+    docs
+      // null text tokenizes to the empty vector (cleaned_text '', counts
+      // 0) — the q187 COALESCE contract, oracle-matched
+      .select(col("doc_id"),
+        tokens(coalesce(col("text"), lit(""))).as("tks"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("tks")).cast("long").as("n_tokens"),
+        coalesce(col("n_cut_runs"), lit(0L)).as("n_cut_runs"),
+        when(col("cut").isNull, col("tks"))
+          .otherwise(filter(col("tks"), (_, i) =>
+            !exists(col("cut"), r => i >= r("s") && i <= r("e"))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_cut_runs"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_cut_tokens"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q199 over the documents table at the q198 gram width. */
+  def dupSpanRemoveQuery(s: SparkSession, dir: String): DataFrame =
+    dupSpanRemove(graft.Tables.tSpread(s, dir, "documents"), k = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_dup_spans" -> dupSpans,
+    "q199_dup_span_remove" -> dupSpanRemoveQuery,
+    "q200_dup_spans_incremental" -> dupSpansIncremental,
     "q187_paragraph_dedup" -> ((s, dir) => paragraphDedup(s, dir)),
     "q189_paragraph_dedup_incremental" -> paragraphDedupIncremental,
     "q190_paragraph_staged" -> paragraphDedupStaged,
@@ -677,6 +853,48 @@ object TextOps {
 
   /** q189's oracle, shared verbatim by q190: the staged-index plan must
     * produce the EXACT rows the split-everything plan produces. */
+  /** q198's oracle, shared verbatim by q200: the staged-index plan
+    * must reproduce the fresh full-corpus span report. */
+  private val q198OracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, UNNEST(generate_series(1, len(tks) - 7)) AS i, tks
+      |  FROM tk WHERE len(tks) >= 8),
+      |gg AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||
+      |      tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7] AS gram
+      |  FROM g),
+      |dup AS (SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2),
+      |dp AS (SELECT doc_id, pos FROM gg WHERE gram IN (SELECT gram FROM dup)),
+      |runs AS (
+      |  SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+      |  FROM (SELECT doc_id, pos,
+      |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |        FROM dp)
+      |  GROUP BY doc_id, grp),
+      |cov AS (
+      |  SELECT doc_id, e + 7 - GREATEST(s,
+      |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s) + 8, s)) + 1 AS cover
+      |  FROM runs),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(SUM(cover) AS BIGINT) AS dup_tokens
+      |  FROM cov GROUP BY doc_id),
+      |tot AS (SELECT doc_id, source, CAST(len(tks) AS BIGINT) AS n_tokens FROM tk)
+      |SELECT t.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(p.dup_tokens) AS BIGINT) AS n_dup_docs,
+      |  CAST(COALESCE(SUM(p.n_spans), 0) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+      |  CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+      |  ROUND(COALESCE(SUM(p.dup_tokens), 0) / SUM(t.n_tokens), 6) AS dup_frac
+      |FROM tot t LEFT JOIN perdoc p USING (doc_id)
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   private val q189OracleSql: String =
     """WITH tk AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -863,10 +1081,19 @@ object TextOps {
         |SELECT bucket_lo, n_docs,
         |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS BIGINT) AS share
         |FROM h ORDER BY bucket_lo""".stripMargin,
-    "q198_dup_spans" ->
+    "q198_dup_spans" -> q198OracleSql,
+    // q200 (staged index form) shares it BY DESIGN — same answer over
+    // staged corpus ∪ batch, different plan.
+    "q200_dup_spans_incremental" -> q198OracleSql,
+    // q199: the removal twin — same positional grams (the oracle keys
+    // on the gram STRING where the plan keys on its md5, the q198
+    // equivalence), first occurrence via ROW_NUMBER over (doc_id, pos)
+    // per gram = the plan's min(struct) rule, cut coverage replayed by
+    // a NOT EXISTS interval probe per token.
+    "q199_dup_span_remove" ->
       """WITH tk AS (
-        |  SELECT doc_id, source,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS tks
+        |  SELECT doc_id,
+        |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS tks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, UNNEST(generate_series(1, len(tks) - 7)) AS i, tks
@@ -876,32 +1103,39 @@ object TextOps {
         |    tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||
         |      tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7] AS gram
         |  FROM g),
-        |dup AS (SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2),
-        |dp AS (SELECT doc_id, pos FROM gg WHERE gram IN (SELECT gram FROM dup)),
+        |fo AS (
+        |  SELECT doc_id, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM gg),
+        |cut AS (SELECT doc_id, pos FROM fo WHERE rn >= 2),
         |runs AS (
-        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
         |  FROM (SELECT doc_id, pos,
         |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |        FROM dp)
+        |        FROM cut)
         |  GROUP BY doc_id, grp),
-        |cov AS (
-        |  SELECT doc_id, e + 7 - GREATEST(s,
-        |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s) + 8, s)) + 1 AS cover
-        |  FROM runs),
-        |perdoc AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-        |    CAST(SUM(cover) AS BIGINT) AS dup_tokens
-        |  FROM cov GROUP BY doc_id),
-        |tot AS (SELECT doc_id, source, CAST(len(tks) AS BIGINT) AS n_tokens FROM tk)
-        |SELECT t.source,
-        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(COUNT(p.dup_tokens) AS BIGINT) AS n_dup_docs,
-        |  CAST(COALESCE(SUM(p.n_spans), 0) AS BIGINT) AS n_spans,
-        |  CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens,
-        |  CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
-        |  ROUND(COALESCE(SUM(p.dup_tokens), 0) / SUM(t.n_tokens), 6) AS dup_frac
-        |FROM tot t LEFT JOIN perdoc p USING (doc_id)
-        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+        |nr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_runs
+        |       FROM runs GROUP BY doc_id),
+        |toks AS (
+        |  SELECT doc_id, UNNEST(tks) AS tok,
+        |    CAST(UNNEST(generate_series(0, len(tks) - 1)) AS BIGINT) AS tpos
+        |  FROM tk),
+        |kept AS (
+        |  SELECT t.doc_id, t.tok, t.tpos FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM runs r
+        |    WHERE r.doc_id = t.doc_id AND t.tpos BETWEEN r.s AND r.e)),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    COALESCE(string_agg(tok, ' ' ORDER BY tpos), '') AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT k.doc_id, CAST(len(k.tks) AS BIGINT) AS n_tokens,
+        |  COALESCE(nr.n_cut_runs, 0) AS n_cut_runs,
+        |  CAST(len(k.tks) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_cut_tokens,
+        |  COALESCE(a.cleaned, '') AS cleaned_text
+        |FROM tk k
+        |LEFT JOIN nr USING (doc_id)
+        |LEFT JOIN agg a ON a.doc_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     "q68_decontaminate" ->
       """WITH grams AS (
         |  SELECT doc_id,

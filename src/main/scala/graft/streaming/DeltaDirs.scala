@@ -180,6 +180,20 @@ object DeltaDirs {
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Live (uncovered) `b<id>` segment count below `batchId` — the
+    * observed state-read amplification the size-triggered fold bounds
+    * (r16 verdict item 3). One listing; no data read. Byte totals are
+    * deliberately NOT probed: folds are row-preserving, so folding
+    * never shrinks state bytes — what it cuts is the per-read DIR
+    * count (listing + file-open overhead, the ~1.7 ms/dir the r10 soak
+    * measured and the between-fold growth the r16 ce=200 attempt
+    * re-measured at 2 → 8.8 s/batch), and dir count is exactly what
+    * this returns. */
+  def liveBCount(s: SparkSession, deltaDir: String, batchId: Long): Int = {
+    val (p, fs) = fsOf(s, deltaDir)
+    layout(fs, p, batchId)._2.length
+  }
+
   /** Read `deltaDir/b<id>[/sub]` for every id < `batchId` — through the
     * compacted segments where they cover a prefix — as one frame with
     * the given schema; empty-frame-safe when nothing has landed. */

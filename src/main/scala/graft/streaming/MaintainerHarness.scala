@@ -27,9 +27,15 @@ import org.apache.spark.sql.types.StructType
   *     family takes is unpersisted the moment the batch's writes
   *     commit, not when a GC-driven ContextCleaner pass notices (the
   *     1500-batch soak lesson);
-  *   - **tiered compaction cadence** — every `compactEvery` batches the
-  *     landed segments fold through [[DeltaDirs.compact]]'s LSM-style
-  *     tiers, bounding listing cost by the cadence, not stream age.
+  *   - **size-triggered tiered compaction** — the landed segments fold
+  *     through [[DeltaDirs.compact]]'s LSM-style tiers when the
+  *     OBSERVED live-segment count reaches `foldSegments`
+  *     ([[DeltaDirs.liveBCount]]), not on a batch modulus (r16 verdict
+  *     item 3: the ce=200 long-run attempt measured per-batch cost
+  *     climbing 2 → 8.8 s because FOLD DENSITY, not wall time, bounds
+  *     between-fold segment growth — a fixed modulus lets a sparse
+  *     schedule starve the fold; a count trigger cannot, and a family
+  *     that lands nothing folds nothing).
   *
   * What stays in the family module: its algebra. The matrix spans three
   * shapes — set PRESENCE (digests, bands, media fps, paragraph digests,
@@ -54,13 +60,19 @@ object MaintainerHarness {
       earlier: String => DataFrame,
       batchId: Long)
 
+  /** The measured fold density: the r15/r16 combined soaks stayed flat
+    * at ~25 landed segments per fold, and the r16 ce=200 attempt (8×
+    * sparser) measured the climb that refutes sparser settings. */
+  val FoldSegmentsDefault = 25
+
   /** Run one micro-batch of a family: derive its segment frames, land
-    * them as batch-id-keyed overwrites, fold on cadence. `derive`
+    * them as batch-id-keyed overwrites, fold when the live-segment
+    * count reaches `foldSegments` (≤ 0 disables folding). `derive`
     * returns one frame per sub-table it wants written this batch
     * (unknown names are an error; omitted names write nothing, which
     * readers degrade to missing rows — the half-written-batch rule). */
   def maintain(subs: Seq[(String, StructType)], deltaDir: String,
-      compactEvery: Int)
+      foldSegments: Int)
       (derive: (BatchCtx, DataFrame) => Map[String, DataFrame])
       (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
@@ -78,7 +90,12 @@ object MaintainerHarness {
           .parquet(segPath(deltaDir, batchId, sub)))
       }
     }
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+    // fold only ids STRICTLY BELOW the in-flight batch (its own segment
+    // may replay), exactly as the old modulus did; the trigger is the
+    // observed live count, so a replayed batch re-lands its dir and the
+    // count logic is unchanged
+    if (foldSegments > 0 &&
+        DeltaDirs.liveBCount(s, deltaDir, batchId) >= foldSegments)
       DeltaDirs.compact(s, deltaDir, subs, batchId)
   }
 

@@ -38,10 +38,10 @@ object StreamingAudioMaintenance {
     MaintainerHarness.delta(s, deltaDir, "fps", fpsSchema)
 
   /** The foreachBatch function — the family's entire maintain config. */
-  def audioMaintain(deltaDir: String, compactEvery: Int = 500)
+  def audioMaintain(deltaDir: String, foldSegments: Int = MaintainerHarness.FoldSegmentsDefault)
       (batch: DataFrame, batchId: Long): Unit =
     MaintainerHarness.maintain(Seq("fps" -> fpsSchema), deltaDir,
-      compactEvery) { (_, b) =>
+      foldSegments) { (_, b) =>
       Map("fps" -> graft.llm.MultimodalOps.audioFps(b))
     }(batch, batchId)
 

@@ -123,11 +123,11 @@ object StreamingBandMaintenance {
     * directory (the frozen corpus side); `corpusDocs` the (doc_id, text)
     * document store for candidate verification. */
   def bandMaintain(baseIdx: String, corpusDocs: DataFrame,
-      deltaDir: String, outDir: String, compactEvery: Int = 500)
+      deltaDir: String, outDir: String, foldSegments: Int = MaintainerHarness.FoldSegmentsDefault)
       (batch: DataFrame, batchId: Long): Unit =
     MaintainerHarness.maintain(
       Seq("digests", "dups", "bands").map(x => x -> segSchema(x)),
-      deltaDir, compactEvery) { (ctx, rawBatch) =>
+      deltaDir, foldSegments) { (ctx, rawBatch) =>
     val s = rawBatch.sparkSession
     val stable = ctx.pin
     val st = Seq("n_inter", "n_union", "jaccard").map(col)

@@ -54,7 +54,7 @@ object StreamingClassifierMaintenance {
 
   /** The foreachBatch function: label + bucket-count the batch's
     * FIRST-SEEN docs, append their counts segment plus a `docs/`
-    * segment of the ids it counted. Every `compactEvery` batches the
+    * segment of the ids it counted. When `foldSegments` live segments accumulate the
     * accumulated segments fold into tiered compacted dirs so listing
     * cost is bounded by the cadence (0 disables).
     *
@@ -81,10 +81,10 @@ object StreamingClassifierMaintenance {
     * batch-sized; at warehouse scale the base side is bucketed by
     * doc_id (the S7 layout) so the join co-locates. */
   def classifierMaintain(deltaDir: String, baseSeen: Option[DataFrame] = None,
-      compactEvery: Int = 500)(batch: DataFrame, batchId: Long): Unit =
+      foldSegments: Int = MaintainerHarness.FoldSegmentsDefault)(batch: DataFrame, batchId: Long): Unit =
     MaintainerHarness.maintain(
       Seq("counts" -> countsSchema, "docs" -> docsSchema), deltaDir,
-      compactEvery) { (ctx, b) =>
+      foldSegments) { (ctx, b) =>
       val seenBefore = ctx.earlier("docs")
       val seen = baseSeen.fold(seenBefore)(x =>
         seenBefore.unionByName(x.select(col("doc_id"))))

@@ -80,11 +80,11 @@ object StreamingGraphMaintenance {
     * batch's (o, p) incidence segment. Segment writes, strictly-before
     * reads, and the compaction cadence are the shared
     * [[MaintainerHarness]] skeleton. */
-  def graphMaintain(deltaDir: String, compactEvery: Int = 500)
+  def graphMaintain(deltaDir: String, foldSegments: Int = MaintainerHarness.FoldSegmentsDefault)
       (batch: DataFrame, batchId: Long): Unit =
     MaintainerHarness.maintain(
       Seq("edges" -> edgesSchema, "inc" -> incSchema), deltaDir,
-      compactEvery) { (ctx, b) =>
+      foldSegments) { (ctx, b) =>
       val bi = ctx.pin(b.select(col("o"), col("p")).distinct())
       // earlier-landed lines of orders present in THIS batch: nonempty
       // only for split or re-delivered orders (ids-only semi-join)

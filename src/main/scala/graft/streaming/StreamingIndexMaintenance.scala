@@ -61,15 +61,15 @@ object StreamingIndexMaintenance {
 
   /** The foreachBatch function. `baseDigests` is the staged corpus-side
     * digest table (narrow: digest, rep_id); `deltaDir`/`outDir` are the
-    * growing index side and the flag sink. Every `compactEvery` batches
+    * growing index side and the flag sink. When `foldSegments` live segments accumulate
     * the accumulated delta segments fold into one compacted dir
     * ([[DeltaDirs.compact]]) so the per-batch listing cost is bounded
     * by the cadence, not the stream's age (0 disables). */
   def dedupMaintain(baseDigests: DataFrame, deltaDir: String, outDir: String,
-      compactEvery: Int = 500)
+      foldSegments: Int = MaintainerHarness.FoldSegmentsDefault)
       (batch: DataFrame, batchId: Long): Unit =
     MaintainerHarness.maintain(Seq("" -> digestSchema), deltaDir,
-      compactEvery) { (ctx, b) =>
+      foldSegments) { (ctx, b) =>
       // A NULL text is not a document body (the mediaTable rule): its
       // md5 digest is NULL, which null-rejects out of the inner
       // batchRep join — the row would silently VANISH from the flags

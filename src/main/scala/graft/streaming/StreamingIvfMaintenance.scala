@@ -63,10 +63,10 @@ object StreamingIvfMaintenance {
     * are excluded). Segment writes, strictly-before reads, and the
     * compaction cadence are the shared [[MaintainerHarness]] skeleton. */
   def ivfMaintain(centroids: DataFrame, deltaDir: String,
-      compactEvery: Int = 500, baseSeen: Option[DataFrame] = None)
+      foldSegments: Int = MaintainerHarness.FoldSegmentsDefault, baseSeen: Option[DataFrame] = None)
       (batch: DataFrame, batchId: Long): Unit =
     MaintainerHarness.maintain(Seq("lists" -> listSchema), deltaDir,
-      compactEvery) { (ctx, b) =>
+      foldSegments) { (ctx, b) =>
       import graft.functions.VectorFunctions.dot_product
       val dist = aggregate(
         zip_with(col("v").cast("array<double>"), col("centroid"),

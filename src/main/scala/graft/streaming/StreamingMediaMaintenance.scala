@@ -48,10 +48,10 @@ object StreamingMediaMaintenance {
   /** The foreachBatch function: fingerprint the batch's payloads,
     * append its (doc_id, fp) segment. Every frame derives from `batch`
     * alone; the rest is the shared [[MaintainerHarness]] skeleton. */
-  def mediaMaintain(deltaDir: String, compactEvery: Int = 500)
+  def mediaMaintain(deltaDir: String, foldSegments: Int = MaintainerHarness.FoldSegmentsDefault)
       (batch: DataFrame, batchId: Long): Unit =
     MaintainerHarness.maintain(Seq("fps" -> fpsSchema), deltaDir,
-      compactEvery) { (_, b) =>
+      foldSegments) { (_, b) =>
       Map("fps" -> graft.llm.MultimodalOps.mediaFps(b))
     }(batch, batchId)
 

@@ -52,10 +52,10 @@ object StreamingParagraphMaintenance {
   /** The foreachBatch function: split + digest the batch, append its
     * digest segment. Every frame derives from `batch` alone; the rest
     * is the shared [[MaintainerHarness]] skeleton. */
-  def paragraphMaintain(deltaDir: String, compactEvery: Int = 500)
+  def paragraphMaintain(deltaDir: String, foldSegments: Int = MaintainerHarness.FoldSegmentsDefault)
       (batch: DataFrame, batchId: Long): Unit =
     MaintainerHarness.maintain(Seq("dgs" -> dgSchema), deltaDir,
-      compactEvery) { (_, b) =>
+      foldSegments) { (_, b) =>
       Map("dgs" -> graft.llm.TextOps.paraDigests(b))
     }(batch, batchId)
 

@@ -64,9 +64,9 @@ object StreamingPostingMaintenance {
     * slice. Every frame derives from `batch` alone; segment writes,
     * transient release, and the compaction cadence are the shared
     * [[MaintainerHarness]] skeleton. */
-  def postingMaintain(deltaDir: String, compactEvery: Int = 500)
+  def postingMaintain(deltaDir: String, foldSegments: Int = MaintainerHarness.FoldSegmentsDefault)
       (batch: DataFrame, batchId: Long): Unit =
-    MaintainerHarness.maintain(subs, deltaDir, compactEvery) { (ctx, b) =>
+    MaintainerHarness.maintain(subs, deltaDir, foldSegments) { (ctx, b) =>
       val tf = ctx.pin(
         b.select(col("doc_id"),
           explode(graft.functions.Tokenize.tokens(col("text"))).as("term"))

@@ -70,11 +70,11 @@ object StreamingSemDedupMaintenance {
     * full-corpus norm pass every batch). Callers with only raw
     * embeddings prepare them once via [[prepared]]. */
   def semDedupMaintain(basePrepared: DataFrame, deltaDir: String,
-      compactEvery: Int = 500)
+      foldSegments: Int = MaintainerHarness.FoldSegmentsDefault)
       (batch: DataFrame, batchId: Long): Unit =
     MaintainerHarness.maintain(
       Seq("edges", "vecs").map(x => x -> segSchema(x)), deltaDir,
-      compactEvery) { (ctx, raw) =>
+      foldSegments) { (ctx, raw) =>
       import graft.functions.VectorFunctions.dot_product
       // First-seen enforcement (VERDICT r14 item 1's feeder audit):
       // the family's read path counts VEC ROWS (componentsWithDelta's

@@ -54,10 +54,10 @@ object StreamingSketchMaintenance {
   /** The foreachBatch function: shingle + min-sketch the batch, append
     * its sketch segment. Every frame derives from `batch` alone; the
     * rest is the shared [[MaintainerHarness]] skeleton. */
-  def sketchMaintain(deltaDir: String, compactEvery: Int = 500)
+  def sketchMaintain(deltaDir: String, foldSegments: Int = MaintainerHarness.FoldSegmentsDefault)
       (batch: DataFrame, batchId: Long): Unit =
     MaintainerHarness.maintain(Seq("sketch" -> sketchSchema), deltaDir,
-      compactEvery) { (_, b) =>
+      foldSegments) { (_, b) =>
       Map("sketch" -> graft.llm.CorpusAudit.sourceSketch(b))
     }(batch, batchId)
 

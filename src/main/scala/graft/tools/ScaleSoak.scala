@@ -382,7 +382,7 @@ object ScaleSoak {
       }
       val nHot = graft.llm.MultimodalOps.saturatedMediaBuckets(afps).count()
       // the r16 plan-time decision's inputs + what it chooses (wide
-      // arms at the measured break-even cand > 1500 * n_fp); printed
+      // arms at the measured break-even, r17 re-fit: cand > 4000 * n_fp);
       // per decade so the crossover stays observed as corpora grow
       val (cand, nFp) = graft.llm.MultimodalOps.narrowBandStats(afps)
       val arm = graft.llm.MultimodalOps.wideWorthIt(cand, nFp,
@@ -417,6 +417,14 @@ object ScaleSoak {
     // gram-shuffle constant.
     time("dup_spans") {
       graft.llm.TextOps.dupSpans(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // q199 (round 17): the removal twin — same gram-digest shuffle
+    // shape as dup_spans plus the first-occurrence min agg and the
+    // per-doc cut lambda; the decade slope must stay ~linear (the cut
+    // adds no corpus-sized state, only per-doc runs arrays).
+    time("dup_span_remove") {
+      graft.llm.TextOps.dupSpanRemoveQuery(spark, dir)
         .write.format("noop").mode("overwrite").save()
     }
     // ExactSubstr (q85) — the steepest inherent curve in the catalog:

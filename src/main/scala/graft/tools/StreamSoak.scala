@@ -24,12 +24,14 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.StreamSoak
   *   [digest|band|posting|ivf|semdedup|classifier|media|audio|paragraph|sketch|graph]
-  *   [nBatches] [rowsPerSecond] [reportEvery] [compactEvery]
+  *   [nBatches] [rowsPerSecond] [reportEvery] [foldSegments]
   *
-  * `compactEvery` (default 500, 0 = off) is the maintainer's
-  * delta-segment compaction cadence; a run with it on should show the
-  * per-batch trigger time RESETTING at each fold point instead of the
-  * round-10 monotone listing creep.
+  * `foldSegments` (default 500 here — deliberately sparser than the
+  * harness default so single-family soaks still show the creep-and-
+  * reset shape; 0 = off) is the maintainer's live-segment fold
+  * threshold (r17: a count trigger, not a batch modulus); a run with
+  * it on should show the per-batch trigger time RESETTING at each fold
+  * point instead of the round-10 monotone listing creep.
   *
   * The stream maps rate-source values onto a bounded doc-id pool
   * (default 200k ids 10M-offset from the fixture space), so re-arrivals
@@ -57,7 +59,7 @@ object StreamSoak {
     val targetBatches = args.lift(1).map(_.toInt).getOrElse(2000)
     val rowsPerSecond = args.lift(2).map(_.toInt).getOrElse(2000)
     val reportEvery = args.lift(3).map(_.toInt).getOrElse(100)
-    val compactEvery = args.lift(4).map(_.toInt).getOrElse(500)
+    val foldSegments = args.lift(4).map(_.toInt).getOrElse(500)
     val poolSize = 200000L
     val idOffset = 10000000L
 
@@ -121,7 +123,7 @@ object StreamSoak {
           .groupBy(md5(col("text")).as("digest"))
           .agg(min(col("doc_id")).as("rep_id"))
         graft.streaming.StreamingIndexMaintenance.dedupMaintain(
-          base, delta, out, compactEvery) _
+          base, delta, out, foldSegments) _
       case "band" =>
         val idx = graft.llm.BandIndex.ensure(spark, sfDir,
           graft.llm.BandIndex.Boundary.all)
@@ -133,22 +135,22 @@ object StreamSoak {
           .unionByName(spark.range(idOffset, idOffset + poolSize)
             .select(col("id").as("doc_id"), synthText(col("id")).as("text")))
         graft.streaming.StreamingBandMaintenance.bandMaintain(
-          idx, store, delta, out, compactEvery) _
+          idx, store, delta, out, foldSegments) _
       // The purely-additive families: the batch write depends on
       // nothing but the batch, so their soak isolates the
       // segment-listing/compaction cost curve with no base-probe term.
       case "posting" =>
         graft.streaming.StreamingPostingMaintenance.postingMaintain(
-          delta, compactEvery) _
+          delta, foldSegments) _
       case "ivf" =>
         val idx = graft.llm.IvfIndex.ensure(spark, sfDir)
         val centroids = spark.read.parquet(s"$idx/centroids")
         graft.streaming.StreamingIvfMaintenance.ivfMaintain(
-          centroids, delta, compactEvery) _
+          centroids, delta, foldSegments) _
       case "semdedup" =>
         graft.llm.SemDedupIndex.ensure(spark, sfDir)
         graft.streaming.StreamingSemDedupMaintenance.semDedupMaintain(
-          graft.llm.SemDedupIndex.corpus(spark, sfDir), delta, compactEvery) _
+          graft.llm.SemDedupIndex.corpus(spark, sfDir), delta, foldSegments) _
       case "classifier" =>
         // no baseSeen: the soak starts from an empty base fit, so the
         // recycled id pool's re-deliveries are excluded by the
@@ -156,22 +158,22 @@ object StreamSoak {
         // r13 flagged as silently violating q185 ≡ q183 before the
         // exclusion was enforced in code.
         graft.streaming.StreamingClassifierMaintenance.classifierMaintain(
-          delta, compactEvery = compactEvery) _
+          delta, foldSegments = foldSegments) _
       case "media" =>
         graft.streaming.StreamingMediaMaintenance.mediaMaintain(
-          delta, compactEvery) _
+          delta, foldSegments) _
       case "audio" =>
         graft.streaming.StreamingAudioMaintenance.audioMaintain(
-          delta, compactEvery) _
+          delta, foldSegments) _
       case "paragraph" =>
         graft.streaming.StreamingParagraphMaintenance.paragraphMaintain(
-          delta, compactEvery) _
+          delta, foldSegments) _
       case "sketch" =>
         graft.streaming.StreamingSketchMaintenance.sketchMaintain(
-          delta, compactEvery) _
+          delta, foldSegments) _
       case "graph" =>
         graft.streaming.StreamingGraphMaintenance.graphMaintain(
-          delta, compactEvery) _
+          delta, foldSegments) _
       case other => sys.error(s"unknown maintainer: $other " +
         "(digest|band|posting|ivf|semdedup|classifier|media|audio|paragraph|sketch|graph)")
     }

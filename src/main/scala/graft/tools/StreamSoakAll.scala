@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
   * consecutive from 0 — so the probe needs no coverage assumption.
   *
   * Usage: runMain graft.tools.StreamSoakAll
-  *   [nBatches] [rowsPerSecond] [reportEvery] [compactEvery] */
+  *   [nBatches] [rowsPerSecond] [reportEvery] [foldSegments] */
 object StreamSoakAll {
 
   // Pool sizes bound the STATE each family accumulates (and therefore
@@ -75,7 +75,8 @@ object StreamSoakAll {
     val targetBatches = args.lift(0).map(_.toInt).getOrElse(2000)
     val rowsPerSecond = args.lift(1).map(_.toInt).getOrElse(500)
     val reportEvery = args.lift(2).map(_.toInt).getOrElse(100)
-    val compactEvery = args.lift(3).map(_.toInt).getOrElse(200)
+    val foldSegments = args.lift(3).map(_.toInt)
+      .getOrElse(graft.streaming.MaintainerHarness.FoldSegmentsDefault)
 
     // local[16] for cross-family job overlap; shuffle partitions 4
     // because per-batch frames are tiny (≤ pool-sized) and the soak's
@@ -93,7 +94,7 @@ object StreamSoakAll {
     val sfDir = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("streamsoakall").toString
     println(s"[soak-all] root=$root families=11 batches=$targetBatches " +
-      s"rows/s=$rowsPerSecond compactEvery=$compactEvery")
+      s"rows/s=$rowsPerSecond foldSegments=$foldSegments")
 
     val fams = Seq("digest", "band", "posting", "classifier", "media",
       "audio", "paragraph", "sketch", "ivf", "semdedup", "graph")
@@ -125,7 +126,7 @@ object StreamSoakAll {
         bandIdx, bandStore, d, s"$d-out", ce) _
       case "posting" => StreamingPostingMaintenance.postingMaintain(d, ce) _
       case "classifier" => StreamingClassifierMaintenance
-        .classifierMaintain(d, compactEvery = ce) _
+        .classifierMaintain(d, foldSegments = ce) _
       case "media" => StreamingMediaMaintenance.mediaMaintain(d, ce) _
       case "audio" => StreamingAudioMaintenance.audioMaintain(d, ce) _
       case "paragraph" => StreamingParagraphMaintenance.paragraphMaintain(d, ce) _
@@ -136,7 +137,7 @@ object StreamSoakAll {
       case "graph" => StreamingGraphMaintenance.graphMaintain(d, ce) _
       case other => sys.error(s"unknown family: $other")
     }
-    val fns = fams.map(f => f -> fnOf(f, delta(f), compactEvery)).toMap
+    val fns = fams.map(f => f -> fnOf(f, delta(f), foldSegments)).toMap
 
     // --- the combined foreachBatch: all ten families per micro-batch,
     // CONCURRENTLY — per-batch wall is max(family), not the sum, and

@@ -33,9 +33,9 @@ class CompactionSpec extends AnyFunSuite {
     val base = Seq((100L, "base doc text")).toDF("rep_id", "text")
       .select(md5(col("text")).as("digest"), col("rep_id"))
     val compacted = StreamingIndexMaintenance.dedupMaintain(
-      base, s"$root/dc", s"$root/oc", compactEvery = 1) _
+      base, s"$root/dc", s"$root/oc", foldSegments = 1) _
     val plain = StreamingIndexMaintenance.dedupMaintain(
-      base, s"$root/dp", s"$root/op", compactEvery = 0) _
+      base, s"$root/dp", s"$root/op", foldSegments = 0) _
     val batches = Seq(
       Seq(1L -> "alpha", 2L -> "alpha", 3L -> "base doc text"),
       Seq(11L -> "alpha", 12L -> "beta"),
@@ -67,7 +67,7 @@ class CompactionSpec extends AnyFunSuite {
     val base = Seq((100L, "base doc text")).toDF("rep_id", "text")
       .select(md5(col("text")).as("digest"), col("rep_id"))
     val fn = StreamingIndexMaintenance.dedupMaintain(
-      base, delta, out, compactEvery = 1) _
+      base, delta, out, foldSegments = 1) _
     fn(Seq(1L -> "alpha", 2L -> "alpha").toDF("doc_id", "text"), 0L)
     val b1 = Seq(11L -> "alpha", 12L -> "beta").toDF("doc_id", "text")
     fn(b1, 1L) // first attempt: compacts b0 → t0_0, then the commit is "lost"
@@ -97,9 +97,9 @@ class CompactionSpec extends AnyFunSuite {
     val corpusDocs = graft.Tables.tSpread(spark, dir, "documents")
       .select("doc_id", "text")
     val compacted = StreamingBandMaintenance.bandMaintain(
-      baseIdx, corpusDocs, s"$root/dc", s"$root/oc", compactEvery = 1) _
+      baseIdx, corpusDocs, s"$root/dc", s"$root/oc", foldSegments = 1) _
     val plain = StreamingBandMaintenance.bandMaintain(
-      baseIdx, corpusDocs, s"$root/dp", s"$root/op", compactEvery = 0) _
+      baseIdx, corpusDocs, s"$root/dp", s"$root/op", foldSegments = 0) _
     tertile.zipWithIndex.foreach { case (ids, i) =>
       val b = graft.Tables.t(spark, dir, "documents")
         .filter(col("doc_id").isin(ids: _*)).select("doc_id", "text")
@@ -118,5 +118,52 @@ class CompactionSpec extends AnyFunSuite {
         s"delta $sub drifted under compaction")
     }
     assert(entries(s"$root/dc") == Seq("b2", "t0_1"), entries(s"$root/dc"))
+  }
+
+  test("size-triggered fold (r16 verdict item 3): the trigger counts " +
+      "OBSERVED live segments, so a sparse landing schedule folds by " +
+      "accumulation, not by batch modulus, and reads stay row-identical") {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val schema = StructType(Seq(StructField("v", LongType)))
+    def run(root: String, landEvery: Int, upTo: Int): Unit = {
+      val step = graft.streaming.MaintainerHarness.maintain(
+        Seq("" -> schema), root, foldSegments = 3) { (_, b) =>
+        Map("" -> b)
+      } _
+      (0 to upTo).foreach { id =>
+        // a sparse family lands nothing on most batches: derive still
+        // runs but only every landEvery-th batch carries rows — and
+        // maintain writes a dir whenever derive returns the sub, so
+        // model sparseness by SKIPPING maintain entirely (the combined
+        // soak shape: a family's trigger simply doesn't fire that batch)
+        if (id % landEvery == 0)
+          step(Seq(id.toLong).toDF("v"), id.toLong)
+      }
+    }
+    // dense: lands every batch; with threshold 3 the first fold fires
+    // at batch 3 (live {0,1,2}) — a modulus would too, but the chain
+    // then stays bounded by count as the run ages
+    val dense = java.nio.file.Files.createTempDirectory("szt-d").toString
+    run(dense, landEvery = 1, upTo = 9)
+    assert(entries(dense).count(_.startsWith("b")) < 3 + 1,
+      s"dense live segments unbounded: ${entries(dense)}")
+    assert(entries(dense).exists(_.startsWith("t")), entries(dense))
+    // sparse: lands every 3rd batch id; a batch-modulus trigger keyed
+    // to those same ids would fold on a wall-clock-ish cadence, but the
+    // count trigger fires exactly when 3 live segments have ACCUMULATED
+    // (batch id 9: live {0,3,6}) — fold density tracks landed state
+    val sparse = java.nio.file.Files.createTempDirectory("szt-s").toString
+    run(sparse, landEvery = 3, upTo = 20)
+    assert(entries(sparse).exists(_.startsWith("t")),
+      s"sparse schedule never folded: ${entries(sparse)}")
+    assert(entries(sparse).count(_.startsWith("b")) < 3 + 1,
+      s"sparse live segments unbounded: ${entries(sparse)}")
+    // row preservation across both layouts
+    val denseRows = DeltaDirs.readSegs(spark, dense, "", schema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(denseRows == (0L to 9L), denseRows)
+    val sparseRows = DeltaDirs.readSegs(spark, sparse, "", schema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(sparseRows == (0L to 20L by 3L), sparseRows)
   }
 }

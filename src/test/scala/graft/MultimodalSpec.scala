@@ -374,7 +374,7 @@ class MultimodalSpec extends AnyFunSuite {
     // below break-even: C/D = 10(n-1)/2 ~ BE/2 -> the saturation
     // COUNTER fires (n > SaturatedBucket = 100 in all 10 shared-triple
     // buckets) but the candidate surplus does not pay for widening (a
-    // band-explode row costs ~15 candidate rows — see
+    // band-explode row costs ~40 candidate rows — see
     // WideBreakEvenCandPerFp's provenance). Saturation observability
     // and the width decision are different thresholds by design.
     val nBelow = math.max(151, (BE / 10).toInt + 1) // C/D ~ BE/2
