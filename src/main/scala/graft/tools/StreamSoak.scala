@@ -98,8 +98,9 @@ object StreamSoak {
     val arrivals: DataFrame = which match {
       case "ivf" | "semdedup" => vecArrivals
       // the sketch family aggregates per SOURCE — derive a stable
-      // 5-source label from the id so the state stays |sources| × 16
-      case "sketch" => textArrivals.withColumn("source",
+      // 5-source label from the id so the state stays |sources| × 16;
+      // the span family reports per source too, same shape
+      case "sketch" | "span" => textArrivals.withColumn("source",
         concat(lit("src"), pmod(col("doc_id"), lit(5))))
       // the graph family's arrival contract is WHOLE orders per batch:
       // one rate row = one complete order (3-7 parts from a 5000-part
@@ -174,8 +175,11 @@ object StreamSoak {
       case "graph" =>
         graft.streaming.StreamingGraphMaintenance.graphMaintain(
           delta, foldSegments) _
+      case "span" =>
+        graft.streaming.StreamingSpanMaintenance.spanMaintain(
+          delta, foldSegments) _
       case other => sys.error(s"unknown maintainer: $other " +
-        "(digest|band|posting|ivf|semdedup|classifier|media|audio|paragraph|sketch|graph)")
+        "(digest|band|posting|ivf|semdedup|classifier|media|audio|paragraph|sketch|graph|span)")
     }
 
     def loadavg: String =

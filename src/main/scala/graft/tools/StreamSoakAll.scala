@@ -93,11 +93,11 @@ object StreamSoakAll {
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("streamsoakall").toString
-    println(s"[soak-all] root=$root families=11 batches=$targetBatches " +
+    println(s"[soak-all] root=$root families=12 batches=$targetBatches " +
       s"rows/s=$rowsPerSecond foldSegments=$foldSegments")
 
     val fams = Seq("digest", "band", "posting", "classifier", "media",
-      "audio", "paragraph", "sketch", "ivf", "semdedup", "graph")
+      "audio", "paragraph", "sketch", "ivf", "semdedup", "graph", "span")
     def delta(f: String) = s"$root/$f/delta"
     def twin(f: String) = s"$root/$f/twin"
 
@@ -135,6 +135,7 @@ object StreamSoakAll {
       case "semdedup" => StreamingSemDedupMaintenance
         .semDedupMaintain(sdBase, d, ce) _
       case "graph" => StreamingGraphMaintenance.graphMaintain(d, ce) _
+      case "span" => StreamingSpanMaintenance.spanMaintain(d, ce) _
       case other => sys.error(s"unknown family: $other")
     }
     val fns = fams.map(f => f -> fnOf(f, delta(f), foldSegments)).toMap
@@ -178,7 +179,9 @@ object StreamSoakAll {
         Future(timed("sketch")(fns("sketch")(shapeSketch(raw), bid))),
         Future(timed("ivf")(fns("ivf")(shapeVec(raw), bid))),
         Future(timed("semdedup")(fns("semdedup")(shapeVec(raw), bid))),
-        Future(timed("graph")(fns("graph")(shapeGraph(raw), bid))))
+        Future(timed("graph")(fns("graph")(shapeGraph(raw), bid))),
+        // the span family reports per source — the sketch arrival shape
+        Future(timed("span")(fns("span")(shapeSketch(raw), bid))))
       Await.result(Future.sequence(digestThenPosting +: rest), Duration.Inf)
       if (bid > 0 && bid % 10 == 0) {
         val tot = famSecs.values.sum
@@ -291,6 +294,7 @@ object StreamSoakAll {
     twinFns("ivf")(vecAll, twinId)
     twinFns("semdedup")(vecAll, twinId)
     twinFns("graph")(shapeGraph(delivered), twinId)
+    twinFns("span")(shapeSketch(delivered).dropDuplicates("doc_id"), twinId)
 
     // streamed reads bounded at the last COMMITTED batch; twin reads
     // unbounded (the twin dir holds exactly one big-id segment)
@@ -351,6 +355,17 @@ object StreamSoakAll {
       segT(twin("semdedup"), "edges", "id_a bigint, id_b bigint"))
     cmp("graph/edges", segS(delta("graph"), "edges", "u bigint, v bigint"),
       segT(twin("graph"), "edges", "u bigint, v bigint"))
+    // span (TWELFTH family): counts are the SUM algebra (sum per
+    // digest, like classifier counts); runs/dgn segments differ in
+    // SPLIT between streamed and one-shot state by design (flips are
+    // resolved at probe time), so the canonical comparison is the
+    // summed counts plus the RESOLVED report itself
+    val spanDgnS = "dg string, n bigint, doc1 bigint, pos1 bigint"
+    def spanSum(df: DataFrame) = df.groupBy("dg").agg(sum(col("n")).as("n"))
+    cmp("span/dgn", spanSum(segS(delta("span"), "dgn", spanDgnS)),
+      spanSum(segT(twin("span"), "dgn", spanDgnS)))
+    cmp("span/report", StreamingSpanMaintenance.report(spark, delta("span")),
+      StreamingSpanMaintenance.report(spark, twin("span")))
     val (nRdd2, mem2, disk2) = storage
     println(f"[soak-all] EXIT persistent_rdds=$nRdd2 " +
       f"storage_mem=${mem2 / 1024 / 1024}MB storage_disk=${disk2 / 1024 / 1024}MB")
