@@ -77,8 +77,14 @@ object StreamingSpanMaintenance {
         .agg(count(lit(1)).as("n"),
           min(struct(col("doc_id"), col("pos"))).as("first")))
       // already-duplicated at arrival: >= 2 within the batch, or >= 1
-      // in strictly-earlier state (sum the landed per-batch counts)
+      // in strictly-earlier state. The earlier-state read is pruned to
+      // the BATCH's digests before aggregating (left-semi against the
+      // batch's own small digest set): the sum only matters for grams
+      // the batch carries, so the per-batch agg is O(matched rows),
+      // not O(every digest ever seen) — the difference between a
+      // batch-sized and a corpus-sized hash agg per micro-batch.
       val earlierN = ctx.earlier("dgn")
+        .join(bCnt.select("dg"), Seq("dg"), "left_semi")
         .groupBy("dg").agg(sum(col("n")).as("en"))
       val dupNow = bCnt.join(earlierN, Seq("dg"), "left")
         .filter(col("n") + coalesce(col("en"), lit(0L)) >= 2)
