@@ -62,9 +62,14 @@ object ScaleSoak {
       "fixed_batch_semdedup_probe", "embed_neardup_lsh")
     val liStages = Set("graph_index_build", "triangle_counts",
       "degree_add_batch")
+    // The hot-fingerprint stages synthesize their own (doc_id, fp)
+    // frame — a filtered run selecting only them must not replicate
+    // any fixture table.
+    val synthFpStages = Set("audio_hot_narrow", "audio_hot_wide")
     val needEmb = only.forall(_.exists(embStages.contains))
     val needLi = only.forall(_.exists(liStages.contains))
-    val needDocs = only.forall(_.exists(n => !embStages.contains(n) && !liStages.contains(n)))
+    val needDocs = only.forall(_.exists(n => !embStages.contains(n) &&
+      !liStages.contains(n) && !synthFpStages.contains(n)))
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
     if (!needDocs) ()
@@ -399,6 +404,46 @@ object ScaleSoak {
         spark.read.parquet(s"$dir/documents.parquet")))
       time("audio_neardup_wide") {
         graft.llm.MultimodalOps.fpNeighborReport(afps, wide = true)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // The SATURATED-narrow regime (round 17): the synthetic audio
+    // corpus above stays on the narrow side of the shipped break-even
+    // all the way to 14M docs (measured C/D = 3695 at that decade,
+    // `docs/soak_r17_scale2.log`), so no at-scale printout existed
+    // where the engine chooses WIDE and wide measures faster — the
+    // side of the dial the decision exists for. This fixture generates
+    // that regime directly: D = 2000·reps distinct 60-bit fingerprints
+    // whose narrow blocks 3–5 are CONSTANT (one saturated 30-bit
+    // bucket — the correlated-clone corpus shape MultimodalSpec pins
+    // in miniature) while the low 30 bits are hash-random, giving
+    // narrow candidates ≈ D²/2, i.e. C/D ≈ D/2 — past the 4000
+    // break-even from D ≈ 8000 up. Wide 6-bit blocks split the varying
+    // 30 bits across five blocks, so wide buckets stay sparse
+    // (expected wide candidates ≈ C(5,2)·D²/2^13). Both arms run on
+    // the SAME pin; the printed decision must name the measured faster
+    // arm. The fp frame is synthesized, not kernel-derived — the
+    // decision and both pair tails operate purely on (doc_id, fp), so
+    // the kernel is orthogonal to what this stage measures.
+    if (only.forall(o => o.contains("audio_hot_narrow") ||
+        o.contains("audio_hot_wide"))) {
+      val d = 2000L * reps
+      val hot = graft.Materialize.stable(
+        spark.range(d).select(col("id").as("doc_id"),
+          lit(0x0FFF7EA5L << 30).bitwiseOR(
+            xxhash64(col("id"), lit(99)).bitwiseAND(lit(0x3FFFFFFFL)))
+            .as("fp")))
+      val (cand, nFp) = graft.llm.MultimodalOps.narrowBandStats(hot)
+      val arm = graft.llm.MultimodalOps.wideWorthIt(cand, nFp,
+        graft.llm.MultimodalOps.bandBreakEven(spark))
+      println(s"[soak] audio_hot_fps            n_fp=$nFp narrow_cand=$cand " +
+        s"auto_chooses=${if (arm) "wide" else "narrow"}  load=$loadavg")
+      time("audio_hot_narrow") {
+        graft.llm.MultimodalOps.fpNeighborReport(hot, wide = false)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("audio_hot_wide") {
+        graft.llm.MultimodalOps.fpNeighborReport(hot, wide = true)
           .write.format("noop").mode("overwrite").save()
       }
     }
