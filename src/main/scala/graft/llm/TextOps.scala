@@ -778,7 +778,6 @@ object TextOps {
     *          fixes 8 to share q198's granularity, production sweeps
     *          ~50 BPE tokens per the paper). */
   private[graft] def dupSpanRemove(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = positionalGrams(docs, k)
     // one agg: digest -> (occurrence count, global first occurrence)
     val dupFirst = grams.groupBy("dg")
@@ -791,6 +790,21 @@ object TextOps {
     val cutPos = grams.join(dupFirst, Seq("dg"))
       .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select("doc_id", "pos")
+    spanCut(docs, cutPos, k)
+  }
+
+  /** The span-SURGERY tail shared by q199 (dedup removal) and q201
+    * (decontamination removal): given the cut windows — (doc_id, pos)
+    * of every k-gram occurrence to remove — merge them into maximal
+    * token runs (gaps-and-islands; the window partitions on doc_id so
+    * each task is bounded by one doc), then rebuild each doc's text
+    * with covered tokens removed via a per-row `filter`+`exists`
+    * lambda over the doc's OWN runs array. Only (doc_id, pos) rows
+    * ride the run shuffle; text rides no shuffle except the output
+    * ordering. */
+  private[graft] def spanCut(docs: DataFrame, cutPos: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // maximal runs of cut windows (gaps-and-islands, as in q198)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val runs = cutPos
@@ -820,6 +834,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q201 — SPAN-level benchmark decontamination (the surgical form of
+    * q68: instead of flagging or dropping a whole training document
+    * that shares an 8-gram with the eval slice, cut exactly the
+    * contaminated spans and keep the rest of the document — the
+    * removal practice for long documents where one quoted benchmark
+    * item would otherwise cost the entire doc). Rule: a training
+    * token is CUT iff it is covered by at least one k-gram window
+    * whose gram occurs ANYWHERE in the eval slice. Unlike q199 there
+    * is no first-occurrence protection — the eval copy lives outside
+    * the training corpus, so every training occurrence is
+    * contamination. Output per doc mirrors q199 (token counts, maximal
+    * cut-run count, cleaned text) over the TRAINING docs only.
+    *
+    * Scale shape: strictly cheaper than q199 — the eval side of an
+    * overlap check is always tiny (the q68 posture), so its distinct
+    * gram digests BROADCAST and the training grams are filtered in one
+    * map-side semi-join pass: the training corpus' grams never ride
+    * ANY shuffle. Only the contaminated (doc_id, pos) rows reach the
+    * run window, and the cut itself is the shared per-row lambda
+    * ([[spanCut]]). */
+  private[graft] def decontaminateSpans(train: DataFrame,
+      evalDocs: DataFrame, k: Int): DataFrame = {
+    val evalDg = positionalGrams(evalDocs, k).select("dg").distinct()
+    val cutPos = positionalGrams(train, k)
+      .join(broadcast(evalDg), Seq("dg"), "left_semi")
+      .select("doc_id", "pos")
+    spanCut(train, cutPos, k)
+  }
+
+  /** q201 over the documents table: eval slice = doc_id ≡ 0 mod 29
+    * (q68's stand-in — in production this is the benchmark table),
+    * k = 8 (the community-standard contamination gram width, shared
+    * with q68/q92 so the three decontamination forms agree on what
+    * "contaminated" means). */
+  def decontaminateSpansQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.tSpread(s, dir, "documents")
+    decontaminateSpans(docs.filter(col("doc_id") % 29 =!= 0),
+      docs.filter(col("doc_id") % 29 === 0), k = 8)
+  }
+
   /** q199 over the documents table at the q198 gram width. */
   def dupSpanRemoveQuery(s: SparkSession, dir: String): DataFrame =
     dupSpanRemove(graft.Tables.tSpread(s, dir, "documents"), k = 8)
@@ -828,6 +882,7 @@ object TextOps {
     "q198_dup_spans" -> dupSpans,
     "q199_dup_span_remove" -> dupSpanRemoveQuery,
     "q200_dup_spans_incremental" -> dupSpansIncremental,
+    "q201_decontaminate_spans" -> decontaminateSpansQuery,
     "q187_paragraph_dedup" -> ((s, dir) => paragraphDedup(s, dir)),
     "q189_paragraph_dedup_incremental" -> paragraphDedupIncremental,
     "q190_paragraph_staged" -> paragraphDedupStaged,
@@ -1108,6 +1163,61 @@ object TextOps {
         |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
         |  FROM gg),
         |cut AS (SELECT doc_id, pos FROM fo WHERE rn >= 2),
+        |runs AS (
+        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |  FROM (SELECT doc_id, pos,
+        |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM cut)
+        |  GROUP BY doc_id, grp),
+        |nr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_runs
+        |       FROM runs GROUP BY doc_id),
+        |toks AS (
+        |  SELECT doc_id, UNNEST(tks) AS tok,
+        |    CAST(UNNEST(generate_series(0, len(tks) - 1)) AS BIGINT) AS tpos
+        |  FROM tk),
+        |kept AS (
+        |  SELECT t.doc_id, t.tok, t.tpos FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM runs r
+        |    WHERE r.doc_id = t.doc_id AND t.tpos BETWEEN r.s AND r.e)),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    COALESCE(string_agg(tok, ' ' ORDER BY tpos), '') AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT k.doc_id, CAST(len(k.tks) AS BIGINT) AS n_tokens,
+        |  COALESCE(nr.n_cut_runs, 0) AS n_cut_runs,
+        |  CAST(len(k.tks) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_cut_tokens,
+        |  COALESCE(a.cleaned, '') AS cleaned_text
+        |FROM tk k
+        |LEFT JOIN nr USING (doc_id)
+        |LEFT JOIN agg a ON a.doc_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
+    // q201: span-surgical decontamination — q199's interval-probe CTE
+    // with the cut set defined by eval-gram MEMBERSHIP (any training
+    // occurrence of an eval gram is cut; no first-occurrence
+    // protection) and the output restricted to training docs.
+    "q201_decontaminate_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS tks
+        |  FROM documents WHERE doc_id % 29 <> 0),
+        |etk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS tks
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |eg AS (
+        |  SELECT DISTINCT tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||
+        |      tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7] AS gram
+        |  FROM (SELECT doc_id, UNNEST(generate_series(1, len(tks) - 7)) AS i, tks
+        |        FROM etk WHERE len(tks) >= 8)),
+        |g AS (
+        |  SELECT doc_id, UNNEST(generate_series(1, len(tks) - 7)) AS i, tks
+        |  FROM tk WHERE len(tks) >= 8),
+        |gg AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||
+        |      tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7] AS gram
+        |  FROM g),
+        |cut AS (SELECT gg.doc_id, gg.pos FROM gg JOIN eg ON gg.gram = eg.gram),
         |runs AS (
         |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
         |  FROM (SELECT doc_id, pos,

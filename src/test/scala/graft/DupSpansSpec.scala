@@ -185,4 +185,50 @@ class DupSpansSpec extends AnyFunSuite {
     assert(got(1L) == ((0L, 0L, 0L, "")))
     assert(got(2L) == ((3L, 0L, 0L, "x y z")))
   }
+
+  // ---- q201 span decontamination (round 17) -----------------------------
+
+  private def deconMap(train: Seq[(Long, String)],
+      evalDocs: Seq[(Long, String)], k: Int):
+      Map[Long, (Long, Long, Long, String)] =
+    graft.llm.TextOps.decontaminateSpans(
+      train.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"), k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+
+  test("q201 decontamination: every training occurrence of an eval gram " +
+      "is cut (no first-occurrence protection), train-internal " +
+      "duplicates survive untouched") {
+    val e1 = toks(8, "e1x") // the benchmark item: one 8-gram
+    val got = deconMap(Seq(
+      // quoted mid-doc: run [3,10] cut, surroundings survive
+      1L -> (toks(3, "a") ++ e1 ++ toks(3, "b")).mkString(" "),
+      // the doc IS the benchmark item — fully cut (q199 would have
+      // protected a first occurrence; decontamination protects none)
+      2L -> e1.mkString(" "),
+      // a WITHIN-TRAIN duplicated 8-gram: q201 is not dedup — kept
+      3L -> (toks(8, "d") ++ toks(8, "d")).mkString(" "),
+      4L -> toks(10, "c").mkString(" ")),
+      Seq(100L -> e1.mkString(" ")), k = 8)
+    assert(got(1L) == ((14L, 1L, 8L,
+      (toks(3, "a") ++ toks(3, "b")).mkString(" "))))
+    assert(got(2L) == ((8L, 1L, 8L, "")))
+    assert(got(3L) == ((16L, 0L, 0L,
+      (toks(8, "d") ++ toks(8, "d")).mkString(" "))))
+    assert(got(4L) == ((10L, 0L, 0L, toks(10, "c").mkString(" "))))
+  }
+
+  test("q201 decontamination: overlapping contaminated windows union " +
+      "into one cut run; null text cleans to the empty vector") {
+    // eval doc of 9 tokens -> two overlapping 8-grams; a train doc
+    // containing all 9 tokens has cut windows {0,1} -> ONE run [0,8]
+    val e = toks(9, "e")
+    val got = deconMap(Seq(
+      1L -> (e ++ toks(2, "t")).mkString(" "),
+      2L -> null.asInstanceOf[String]),
+      Seq(100L -> e.mkString(" ")), k = 8)
+    assert(got(1L) == ((11L, 1L, 9L, toks(2, "t").mkString(" "))))
+    assert(got(2L) == ((0L, 0L, 0L, "")))
+  }
 }
