@@ -874,6 +874,41 @@ object TextOps {
       docs.filter(col("doc_id") % 29 === 0), k = 8)
   }
 
+  /** q202 — q201 at BLOCKLIST scale: same contract and output as
+    * [[decontaminateSpans]], but the eval gram set reaches the training
+    * side as a BLOOM SKETCH + exact verify — the q92 pattern applied to
+    * span surgery. q201 broadcasts the eval digests, which is right for
+    * one benchmark suite and a scale-killer when the blocklist is
+    * itself corpus-sized (all of eval + held-out + licensed-content
+    * fingerprints: billions of grams). The sketch (~10 bits per gram at
+    * ~1% false positives) rides a scalar subquery to every scan task,
+    * and only the ~(true-hit-rate + 1% FP) fraction of training gram
+    * rows enters the exact digest join — which at blocklist scale is a
+    * shuffle join, the prefilter's point being that its train side is
+    * bounded by the contamination rate, not the corpus. False positives
+    * cannot reach the cut set: survivors go through the exact left-semi
+    * verify, so the composition stays exact ⇒ q201's oracle verbatim
+    * (the sketch is an optimization, not a semantic). */
+  private[graft] def bloomDecontaminateSpans(train: DataFrame,
+      evalDocs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.BloomFunctions.{bloom_filter_agg, in_bloom}
+    val evalDg = positionalGrams(evalDocs, k).select("dg").distinct()
+    val sketch = evalDg.select(
+      bloom_filter_agg(xxhash64(col("dg")), 1L << 20, 8L << 20).as("bf"))
+    val cutPos = positionalGrams(train, k)
+      .filter(in_bloom(sketch, xxhash64(col("dg"))))
+      .join(evalDg, Seq("dg"), "left_semi")
+      .select("doc_id", "pos")
+    spanCut(train, cutPos, k)
+  }
+
+  /** q202 over the documents table — q201's slices and gram width. */
+  def bloomDecontaminateSpansQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.tSpread(s, dir, "documents")
+    bloomDecontaminateSpans(docs.filter(col("doc_id") % 29 =!= 0),
+      docs.filter(col("doc_id") % 29 === 0), k = 8)
+  }
+
   /** q199 over the documents table at the q198 gram width. */
   def dupSpanRemoveQuery(s: SparkSession, dir: String): DataFrame =
     dupSpanRemove(graft.Tables.tSpread(s, dir, "documents"), k = 8)
@@ -883,6 +918,7 @@ object TextOps {
     "q199_dup_span_remove" -> dupSpanRemoveQuery,
     "q200_dup_spans_incremental" -> dupSpansIncremental,
     "q201_decontaminate_spans" -> decontaminateSpansQuery,
+    "q202_bloom_decontaminate_spans" -> bloomDecontaminateSpansQuery,
     "q187_paragraph_dedup" -> ((s, dir) => paragraphDedup(s, dir)),
     "q189_paragraph_dedup_incremental" -> paragraphDedupIncremental,
     "q190_paragraph_staged" -> paragraphDedupStaged,
@@ -910,6 +946,63 @@ object TextOps {
     * produce the EXACT rows the split-everything plan produces. */
   /** q198's oracle, shared verbatim by q200: the staged-index plan
     * must reproduce the fresh full-corpus span report. */
+  /** q201's oracle (shared verbatim by q202 — the sketch is an
+    * optimization, not a semantic): q199's interval-probe CTE with the
+    * cut set defined by eval-gram MEMBERSHIP (any training occurrence
+    * of an eval gram is cut; no first-occurrence protection) and the
+    * output restricted to training docs. */
+  private val q201OracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS tks
+      |  FROM documents WHERE doc_id % 29 <> 0),
+      |etk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS tks
+      |  FROM documents WHERE doc_id % 29 = 0),
+      |eg AS (
+      |  SELECT DISTINCT tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||
+      |      tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7] AS gram
+      |  FROM (SELECT doc_id, UNNEST(generate_series(1, len(tks) - 7)) AS i, tks
+      |        FROM etk WHERE len(tks) >= 8)),
+      |g AS (
+      |  SELECT doc_id, UNNEST(generate_series(1, len(tks) - 7)) AS i, tks
+      |  FROM tk WHERE len(tks) >= 8),
+      |gg AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||
+      |      tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7] AS gram
+      |  FROM g),
+      |cut AS (SELECT gg.doc_id, gg.pos FROM gg JOIN eg ON gg.gram = eg.gram),
+      |runs AS (
+      |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+      |  FROM (SELECT doc_id, pos,
+      |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |        FROM cut)
+      |  GROUP BY doc_id, grp),
+      |nr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_runs
+      |       FROM runs GROUP BY doc_id),
+      |toks AS (
+      |  SELECT doc_id, UNNEST(tks) AS tok,
+      |    CAST(UNNEST(generate_series(0, len(tks) - 1)) AS BIGINT) AS tpos
+      |  FROM tk),
+      |kept AS (
+      |  SELECT t.doc_id, t.tok, t.tpos FROM toks t
+      |  WHERE NOT EXISTS (SELECT 1 FROM runs r
+      |    WHERE r.doc_id = t.doc_id AND t.tpos BETWEEN r.s AND r.e)),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    COALESCE(string_agg(tok, ' ' ORDER BY tpos), '') AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT k.doc_id, CAST(len(k.tks) AS BIGINT) AS n_tokens,
+      |  COALESCE(nr.n_cut_runs, 0) AS n_cut_runs,
+      |  CAST(len(k.tks) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_cut_tokens,
+      |  COALESCE(a.cleaned, '') AS cleaned_text
+      |FROM tk k
+      |LEFT JOIN nr USING (doc_id)
+      |LEFT JOIN agg a ON a.doc_id = k.doc_id
+      |ORDER BY k.doc_id""".stripMargin
+
   private val q198OracleSql: String =
     """WITH tk AS (
       |  SELECT doc_id, source,
@@ -1195,57 +1288,11 @@ object TextOps {
     // with the cut set defined by eval-gram MEMBERSHIP (any training
     // occurrence of an eval gram is cut; no first-occurrence
     // protection) and the output restricted to training docs.
-    "q201_decontaminate_spans" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS tks
-        |  FROM documents WHERE doc_id % 29 <> 0),
-        |etk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS tks
-        |  FROM documents WHERE doc_id % 29 = 0),
-        |eg AS (
-        |  SELECT DISTINCT tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||
-        |      tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7] AS gram
-        |  FROM (SELECT doc_id, UNNEST(generate_series(1, len(tks) - 7)) AS i, tks
-        |        FROM etk WHERE len(tks) >= 8)),
-        |g AS (
-        |  SELECT doc_id, UNNEST(generate_series(1, len(tks) - 7)) AS i, tks
-        |  FROM tk WHERE len(tks) >= 8),
-        |gg AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||
-        |      tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7] AS gram
-        |  FROM g),
-        |cut AS (SELECT gg.doc_id, gg.pos FROM gg JOIN eg ON gg.gram = eg.gram),
-        |runs AS (
-        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
-        |  FROM (SELECT doc_id, pos,
-        |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |        FROM cut)
-        |  GROUP BY doc_id, grp),
-        |nr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_runs
-        |       FROM runs GROUP BY doc_id),
-        |toks AS (
-        |  SELECT doc_id, UNNEST(tks) AS tok,
-        |    CAST(UNNEST(generate_series(0, len(tks) - 1)) AS BIGINT) AS tpos
-        |  FROM tk),
-        |kept AS (
-        |  SELECT t.doc_id, t.tok, t.tpos FROM toks t
-        |  WHERE NOT EXISTS (SELECT 1 FROM runs r
-        |    WHERE r.doc_id = t.doc_id AND t.tpos BETWEEN r.s AND r.e)),
-        |agg AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-        |    COALESCE(string_agg(tok, ' ' ORDER BY tpos), '') AS cleaned
-        |  FROM kept GROUP BY doc_id)
-        |SELECT k.doc_id, CAST(len(k.tks) AS BIGINT) AS n_tokens,
-        |  COALESCE(nr.n_cut_runs, 0) AS n_cut_runs,
-        |  CAST(len(k.tks) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_cut_tokens,
-        |  COALESCE(a.cleaned, '') AS cleaned_text
-        |FROM tk k
-        |LEFT JOIN nr USING (doc_id)
-        |LEFT JOIN agg a ON a.doc_id = k.doc_id
-        |ORDER BY k.doc_id""".stripMargin,
+    "q201_decontaminate_spans" -> q201OracleSql,
+    // q202 composes Bloom-prefilter + exact verify ⇒ same answer as
+    // q201: the oracle is q201's SQL verbatim (the sketch is an
+    // optimization, not a semantic — the q92/q68 pattern).
+    "q202_bloom_decontaminate_spans" -> q201OracleSql,
     "q68_decontaminate" ->
       """WITH grams AS (
         |  SELECT doc_id,

@@ -219,6 +219,27 @@ class DupSpansSpec extends AnyFunSuite {
     assert(got(4L) == ((10L, 0L, 0L, toks(10, "c").mkString(" "))))
   }
 
+  test("q202 bloom-prefiltered decontamination equals the broadcast " +
+      "form exactly (false positives filtered by the exact verify)") {
+    val e1 = toks(8, "e1x")
+    val train = Seq(
+      1L -> (toks(3, "a") ++ e1 ++ toks(3, "b")).mkString(" "),
+      2L -> e1.mkString(" "),
+      3L -> (toks(8, "d") ++ toks(8, "d")).mkString(" "),
+      4L -> toks(10, "c").mkString(" "))
+    val evalDocs = Seq(100L -> e1.mkString(" "))
+    val exact = graft.llm.TextOps.decontaminateSpans(
+      train.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"), 8)
+      .collect().map(_.toSeq).toSeq
+    val bloom = graft.llm.TextOps.bloomDecontaminateSpans(
+      train.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"), 8)
+      .collect().map(_.toSeq).toSeq
+    assert(bloom == exact)
+    // non-vacuous: the corpus actually has cut AND kept docs
+    assert(exact.exists(_(3).asInstanceOf[Long] > 0L))
+    assert(exact.exists(_(3).asInstanceOf[Long] == 0L))
+  }
+
   test("q201 decontamination: overlapping contaminated windows union " +
       "into one cut run; null text cleans to the empty vector") {
     // eval doc of 9 tokens -> two overlapping 8-grams; a train doc
