@@ -33,6 +33,20 @@ object Materialize {
   /** Materialize `df` and cut its lineage, eagerly. */
   def stable(df: DataFrame): DataFrame = stableOwned(df)._1
 
+  /** [[stable]] without the eager `count()` job: the checkpoint blocks
+    * persist when the FIRST consumer action runs (Spark pins the
+    * marked RDD's partitions as that job computes them), so a caller
+    * whose very next statement aggregates the frame — the iterative
+    * loops (HITS' per-half-step max, PageRank-style score frames) —
+    * pays ONE job for compute+pin+aggregate instead of a pin job plus
+    * a cached re-read. Lineage is cut exactly as in [[stable]] once
+    * the first action fires. Use only where a consumer action
+    * IMMEDIATELY follows on the same thread and the frame cannot be
+    * swept before it runs (Bench/Verify sweep between queries only);
+    * multi-consumer frames read from the pinned blocks after that
+    * first action exactly as with [[stable]]. */
+  def stableLazy(df: DataFrame): DataFrame = doStableLazy(df)
+
   /** [[stable]], plus the EXACT set of persistent-RDD ids this
     * materialization pinned — the ownership primitive SessionMemo's
     * protected-set bookkeeping needs to be sound under concurrency.

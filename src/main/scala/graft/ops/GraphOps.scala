@@ -205,7 +205,13 @@ object GraphOps {
         .select(col("n").as("src"))
       val reached = sym.join(frontier, Seq("src"))
         .select(col("dst").as("n"), lit(k.toLong).as("dist"))
-      dist = graft.Materialize.stable(
+      // stableLazy (optimization r17): the hop frame is |reached-ball|
+      // rows of two longs — the eager count() job per hop cost more
+      // than any duplicate compute a concurrent double-reference could
+      // cause. Blocks pin when the first consumer (the next hop, or
+      // the final histogram) computes them; lineage is cut per hop
+      // exactly as before.
+      dist = graft.Materialize.stableLazy(
         dist.unionByName(reached)
           .groupBy("n").agg(min(col("dist")).as("dist")))
     }
@@ -383,12 +389,17 @@ object GraphOps {
       // normalize itself stays a lazy projection over the cached sums
       // (+ a broadcast 1-row max), so the next half-step's join input
       // is still lineage-bounded.
-      val hRaw = graft.Materialize.stable(
+      // stableLazy, not stable (optimization r17): the max aggregation
+      // on the next line is the first action over the checkpointed
+      // frame, so it both pins the blocks and computes the max in ONE
+      // job — stable()'s eager count() added a pin job plus a cached
+      // re-read per half-step (6 jobs per query at 3 iterations).
+      val hRaw = graft.Materialize.stableLazy(
         itByP.join(auth, Seq("p")).groupBy("o").agg(sum(col("a")).as("h")))
       val hMax = hRaw.agg(max(col("h")).as("hmax"))
       hub = hRaw.crossJoin(broadcast(hMax))
         .select(col("o"), expr("(h * 1000000) div hmax").as("h"))
-      val aRaw = graft.Materialize.stable(
+      val aRaw = graft.Materialize.stableLazy(
         itByO.join(hub, Seq("o")).groupBy("p").agg(sum(col("h")).as("a")))
       val aMax = aRaw.agg(max(col("a")).as("amax"))
       auth = aRaw.crossJoin(broadcast(aMax))

@@ -161,14 +161,13 @@ object WindowQueries {
     * rides `Prefix.groupedRank` — descending dimensions negate their
     * integral key (frequency; monetary in exact cents off the
     * DECIMAL(18,2) sum) — and `Prefix.ntileOf` reproduces NTILE(5)'s
-    * remainder rule exactly. The three rank frames join back on
-    * custkey; the orders aggregation exchange is reused across them.
+    * remainder rule exactly.
     *
     * Plan: one (custkey) aggregation of orders, one broadcast-joined
-    * customer dimension, three block-bounded rank scans, three custkey
-    * joins. */
+    * customer dimension, ONE melted block-bounded rank scan over all
+    * three dimensions (3|C| rows, groups = nation × dim), one pivot
+    * aggregation, one custkey join. */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Column
     val o = t(s, dir, "orders")
       .select(col("o_custkey").as("custkey"),
         col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -189,19 +188,36 @@ object WindowQueries {
       t(s, dir, "customer").select(col("c_custkey").as("custkey"),
         col("c_nationkey").as("nationkey")), Seq("custkey")))
     val n = withNation.groupBy("nationkey").agg(count(lit(1)).as("__n"))
-    def tileOn(key: Column, out: String) =
-      graft.ops.Prefix
-        .groupedRank(withNation.withColumn("__k", key)
-          .select(col("custkey"), col("nationkey"), col("__k")),
-          Seq("nationkey"), "__k", "custkey", "__r")
-        .join(broadcast(n), Seq("nationkey"))
-        .select(col("custkey"),
-          graft.ops.Prefix.ntileOf(col("__r"), col("__n"), 5).as(out))
-    val rT = tileOn(col("recency_days"), "r_tile")
-    val fT = tileOn(-col("frequency"), "f_tile")
-    val mT = tileOn((col("mon_dec") * 100).cast("long") * -1, "m_tile")
+    // ONE melted rank pass for all three dimensions (optimization r17):
+    // the three per-dimension groupedRank calls each ran the two-level
+    // scan machinery (two cumSumsBy = ~10 exchanges) plus a custkey
+    // join — 3× identical plan shape over the same |C|-row frame. Rank
+    // groups are independent per (nationkey, dimension), so melting to
+    // (custkey, nationkey, dim, key) — 3|C| rows, one codegen'd explode
+    // — computes all three quintiles in ONE groupedRank (same per-task
+    // block bound; 75 groups instead of 25) and pivots back with one
+    // hash aggregation. Same values, one third the stages; at scale the
+    // scan is one pass over 3|C| narrow rows instead of three passes
+    // over |C|.
+    val melted = withNation.select(col("custkey"), col("nationkey"),
+        explode(array(
+          struct(lit(1L).as("d"), col("recency_days").as("k")),
+          struct(lit(2L).as("d"), (-col("frequency")).as("k")),
+          struct(lit(3L).as("d"),
+            ((col("mon_dec") * 100).cast("long") * -1).as("k")))).as("dk"))
+      .select(col("custkey"), col("nationkey"),
+        col("dk.d").as("__dim"), col("dk.k").as("__k"))
+    val tiles = graft.ops.Prefix
+      .groupedRank(melted, Seq("nationkey", "__dim"), "__k", "custkey", "__r")
+      .join(broadcast(n), Seq("nationkey"))
+      .withColumn("__tile",
+        graft.ops.Prefix.ntileOf(col("__r"), col("__n"), 5))
+      .groupBy("custkey")
+      .agg(max(when(col("__dim") === 1, col("__tile"))).as("r_tile"),
+        max(when(col("__dim") === 2, col("__tile"))).as("f_tile"),
+        max(when(col("__dim") === 3, col("__tile"))).as("m_tile"))
     withNation
-      .join(rT, Seq("custkey")).join(fT, Seq("custkey")).join(mT, Seq("custkey"))
+      .join(tiles, Seq("custkey"))
       .select(col("custkey"), col("nationkey"), col("recency_days"),
         col("frequency"), col("mon_dec").cast("double").as("monetary"),
         col("r_tile"), col("f_tile"), col("m_tile"),
