@@ -394,6 +394,71 @@ object MinHashKernel {
       .map(x => UTF8String.fromString(x.asInstanceOf[String])))
   }
 
+  /** Positional word-k-gram MD5 digests: element i is the 16-byte MD5
+    * of the gram starting at token position i ("w_i … w_{i+k-1}" joined
+    * by single spaces — the [[graft.functions.Tokenize]] rule), EVERY
+    * occurrence kept in token order so `posexplode` recovers (pos, dg)
+    * exactly. The fused form of the span family's composed
+    * `posexplode(transform(sequence…, array_join(slice(tokens…))))
+    * + md5(gram)` pipeline, which ran interpreted (higher-order
+    * functions never enter whole-stage codegen) and shuffled 32-byte
+    * hex strings; this kernel stays in codegen and emits 16-byte
+    * binaries — digest grouping/joins are unchanged (MD5 is the same
+    * injective-in-practice map; only the rendering moved from hex to
+    * raw bytes). Empty array (not null) for docs with fewer than k
+    * tokens, mirroring the composed `size(tks) >= k` guard. */
+  def gramDigests(text: UTF8String, k: Int): ArrayData = {
+    // Stay on raw UTF-8 bytes end to end: a String round-trip
+    // (UTF-8 → UTF-16 toString/split, then getBytes back per gram)
+    // measured SLOWER than the interpreted composed form it replaces —
+    // the byte path is what makes the kernel a win. 0x20 never occurs
+    // inside a UTF-8 multi-byte sequence, so byte scanning tokenizes
+    // exactly like split(' ') + nonEmpty (maximal non-space runs).
+    val n = text.numBytes
+    val bytes = text.getBytes
+    // token start/length within `bytes`
+    var nTok = 0
+    var i = 0
+    val tokStart = new Array[Int](n / 2 + 1)
+    val tokLen = new Array[Int](n / 2 + 1)
+    while (i < n) {
+      if (bytes(i) != 0x20) {
+        val s = i
+        while (i < n && bytes(i) != 0x20) i += 1
+        tokStart(nTok) = s; tokLen(nTok) = i - s; nTok += 1
+      } else i += 1
+    }
+    if (nTok < k) return new GenericArrayData(Array.empty[Any])
+    // one normalized buffer: tokens joined by single spaces; each
+    // k-gram is then a CONTIGUOUS slice — one MD5 update per gram,
+    // zero per-gram allocation beyond the 16-byte digest itself
+    var normLen = nTok - 1
+    i = 0
+    while (i < nTok) { normLen += tokLen(i); i += 1 }
+    val norm = new Array[Byte](normLen)
+    val off = new Array[Int](nTok)
+    var p = 0
+    i = 0
+    while (i < nTok) {
+      if (i > 0) { norm(p) = 0x20; p += 1 }
+      off(i) = p
+      System.arraycopy(bytes, tokStart(i), norm, p, tokLen(i))
+      p += tokLen(i)
+      i += 1
+    }
+    val md = md5Local.get()
+    val out = new Array[AnyRef](nTok - k + 1)
+    var j = 0
+    while (j <= nTok - k) {
+      val s = off(j)
+      val e = off(j + k - 1) + tokLen(j + k - 1)
+      md.update(norm, s, e - s)
+      out(j) = md.digest()
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count sliding 3-byte windows of `text` whose packed key appears in
     * the sorted key array — every occurrence counts, matching
     * `len(list_filter(trigrams, t -> t IN set))` for ASCII profiles
@@ -630,6 +695,23 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Catalyst expression: text → array<binary> positional word-k-gram MD5
+  * digests (index = token start position; empty for short docs). */
+case class GramDigests(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.gramDigests(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.gramDigests($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Catalyst expression: text → L2-normalized array<float> embedding over
   * word n-gram features (nullable: null when too short to shingle). */
 case class ShingleTfVector(child: Expression, n: Int, dim: Int)
@@ -694,6 +776,9 @@ object HashKernels {
 
   def winnow_fingerprint(text: Column, n: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowFingerprint(GraftSqlBridge.expression(text), n, w))
+
+  def gram_digests(text: Column, k: Int): Column =
+    GraftSqlBridge.column(GramDigests(GraftSqlBridge.expression(text), k))
 
   def sampled_gram_digests(text: Column, k: Int): Column =
     GraftSqlBridge.column(SampledGramDigests(GraftSqlBridge.expression(text), k))

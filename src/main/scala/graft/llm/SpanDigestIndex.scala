@@ -37,7 +37,9 @@ import org.apache.spark.sql.functions._
   * [[TextOps.dupSpansIncremental]]). */
 object SpanDigestIndex {
 
-  private val LayoutVersion = 1
+  // v2: dg is a 16-byte BINARY MD5 (the fused gram_digests kernel),
+  // not 32-char hex — a v1 directory must never serve a v2 probe.
+  private val LayoutVersion = 2
 
   /** q198's gram width; the index is keyed on it, so a k change is a
     * new index version, never a silent mismatch. */

@@ -603,21 +603,30 @@ object TextOps {
     * larger than the corpus. k = 8 matches the decontamination gram
     * width (q68); production sweeps k per the paper (50 BPE tokens). */
   /** (doc_id, pos, dg) positional k-gram digests — every occurrence at
-    * its token position. Composed from built-ins (NOT the fused
-    * shingle_array kernel, which dedups within-doc by design for the
-    * decontamination/minhash semantics — span mining needs every
-    * occurrence). Shared by q198 (inventory) and q199 (removal) so the
-    * two forms can never gram differently. */
+    * its token position (NOT the fused shingle_array kernel, which
+    * dedups within-doc by design for the decontamination/minhash
+    * semantics — span mining needs every occurrence). Shared by q198
+    * (inventory) and q199 (removal) so the two forms can never gram
+    * differently.
+    *
+    * Fused (optimization r17): the first cut composed
+    * `posexplode(transform(sequence…, array_join(slice(tokens…))))`
+    * + `md5(gram)` — higher-order lambdas that run INTERPRETED per
+    * gram (the round-4 lesson the rest of the text family already
+    * applies) and shuffled digests as 32-byte hex strings. The
+    * [[graft.functions.HashKernels.gram_digests]] kernel emits the
+    * same grams' MD5s as 16-byte binaries in ONE codegen'd pass
+    * (array index = token position, so `posexplode` recovers the
+    * position), halving digest shuffle bytes; every consumer groups /
+    * joins on the digest value only, so the hex→binary rendering is
+    * invisible to results (oracle hash-matches re-verified). */
   private[graft] def positionalGrams(docs: DataFrame, k: Int): DataFrame =
     docs
-      .select(col("doc_id"), tokens(col("text")).as("tks"))
-      .filter(size(col("tks")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("tks")) - k),
-        i => array_join(slice(col("tks"), i + 1, lit(k)), " ")))
-        .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(col("gram")).as("dg"))
+      .select(col("doc_id"),
+        graft.functions.HashKernels.gram_digests(col("text"), k).as("dgs"))
+      .filter(size(col("dgs")) >= 1)
+      .select(col("doc_id"), posexplode(col("dgs")).as(Seq("pos", "dg")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("dg"))
 
   /** Gaps-and-islands: duplicated gram positions (doc_id, pos) →
     * maximal position runs (doc_id, s, e). The window partitions on

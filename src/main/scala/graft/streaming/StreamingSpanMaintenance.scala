@@ -48,7 +48,8 @@ object StreamingSpanMaintenance {
   val K: Int = graft.llm.SpanDigestIndex.K
 
   private[graft] val dgnSchema = StructType(Seq(
-    StructField("dg", StringType),
+    // 16-byte MD5 binary (the fused gram_digests kernel, r17)
+    StructField("dg", BinaryType),
     StructField("n", LongType),
     StructField("doc1", LongType),
     StructField("pos1", LongType)))
