@@ -317,42 +317,89 @@ object MinHashKernel {
     * of O(len) — the price of auditability; the Karp-Rabin form remains
     * the throughput path. Sorted distinct array; null below n chars. */
   def winnowFingerprintMd5(text: UTF8String, n: Int, w: Int): ArrayData = {
-    val s = text.toString
-    val starts = codePointStarts(s)
-    val cpLen = starts.length - 1
-    if (cpLen < n) return null
-    val md = md5Local.get()
-    val nHashes = cpLen - n + 1
-    val hashes = new Array[String](nHashes)
+    // The selection runs on LONGS (optimization r17): the emitted value
+    // is the 16-hex-char rendering of each selected gram's first 8 MD5
+    // bytes, and fixed-width lowercase hex compares lexicographically
+    // exactly as the 8 bytes compare as an UNSIGNED 64-bit integer —
+    // so the window minima can be taken with Long.compareUnsigned and
+    // only the few distinct SELECTED values are ever hex-rendered. The
+    // first cut rendered a hex String per gram position (one String +
+    // one StringBuilder per char of corpus text) and compared strings
+    // in every window; grams also ran through substring+getBytes. Here
+    // the text's own UTF-8 bytes are grammed in place (code-point byte
+    // offsets — a UTF-8 continuation byte is (b & 0xC0) == 0x80 — keep
+    // ANSI substr parity on non-BMP text) and the MD5 writes into one
+    // reused 16-byte buffer. Output is bit-identical.
+    val nb = text.numBytes
+    val bytes = text.getBytes
+    // byte offset of each code point start + sentinel end
+    var cpLen = 0
     var i = 0
-    while (i < nHashes) {
-      md.reset()
-      val d = md.digest(s.substring(starts(i), starts(i + n))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val sb = new java.lang.StringBuilder(16)
-      var b = 0
-      while (b < 8) {
-        val v = d(b) & 0xff
-        sb.append(Character.forDigit(v >> 4, 16))
-        sb.append(Character.forDigit(v & 0xf, 16))
-        b += 1
-      }
-      hashes(i) = sb.toString
+    while (i < nb) { if ((bytes(i) & 0xC0) != 0x80) cpLen += 1; i += 1 }
+    if (cpLen < n) return null
+    val off = new Array[Int](cpLen + 1)
+    var cp = 0
+    i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { off(cp) = i; cp += 1 }
       i += 1
     }
-    val sel = scala.collection.mutable.SortedSet[String]()
+    off(cpLen) = nb
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val nHashes = cpLen - n + 1
+    val hashes = new Array[Long](nHashes)
+    i = 0
+    while (i < nHashes) {
+      md.reset()
+      md.update(bytes, off(i), off(i + n) - off(i))
+      md.digest(dig, 0, 16)
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      hashes(i) = h
+      i += 1
+    }
     val lastStart = math.max(0, nHashes - w)
+    val mins = new Array[Long](lastStart + 1)
     var start = 0
     while (start <= lastStart) {
       val end = math.min(start + w, nHashes)
       var m = hashes(start)
       var j = start + 1
-      while (j < end) { if (hashes(j).compareTo(m) < 0) m = hashes(j); j += 1 }
-      sel += m
+      while (j < end) {
+        if (java.lang.Long.compareUnsigned(hashes(j), m) < 0) m = hashes(j)
+        j += 1
+      }
+      mins(start) = m ^ Long.MinValue // sign-flip: signed sort == unsigned
       start += 1
     }
-    new GenericArrayData(sel.toArray[Any](scala.reflect.ClassTag.Any)
-      .map(x => UTF8String.fromString(x.asInstanceOf[String])))
+    java.util.Arrays.sort(mins)
+    var distinct = 0
+    i = 0
+    while (i < mins.length) {
+      if (i == 0 || mins(i) != mins(i - 1)) distinct += 1
+      i += 1
+    }
+    val out = new Array[AnyRef](distinct)
+    var o = 0
+    i = 0
+    while (i < mins.length) {
+      if (i == 0 || mins(i) != mins(i - 1)) {
+        val h = mins(i) ^ Long.MinValue
+        val hex = new Array[Byte](16)
+        var b = 0
+        while (b < 16) {
+          val v = ((h >>> ((15 - b) * 4)) & 0xf).toInt
+          hex(b) = (if (v < 10) '0' + v else 'a' + v - 10).toByte
+          b += 1
+        }
+        out(o) = UTF8String.fromBytes(hex)
+        o += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Deterministic 1/16 sample of a document's char-k-gram MD5 digests
