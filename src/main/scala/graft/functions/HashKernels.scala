@@ -506,6 +506,57 @@ object MinHashKernel {
     new GenericArrayData(out)
   }
 
+  /** Non-overlapping `size`-token chunks of `text`, each rendered as
+    * its tokens joined by single spaces (the [[graft.functions.Tokenize]]
+    * rule; the last chunk may be shorter) — the fused form of the
+    * paragraph family's composed `transform(sequence…,
+    * array_join(slice(tokens…)))`, which runs interpreted. Same
+    * byte-path as [[gramDigests]]: tokenize by byte scan, one
+    * normalized buffer, each chunk a contiguous slice. Empty array for
+    * token-less docs (mirrors the composed `size(toks) > 0` guard). */
+  def tokenChunks(text: UTF8String, size: Int): ArrayData = {
+    val nb = text.numBytes
+    val bytes = text.getBytes
+    var nTok = 0
+    var i = 0
+    val tokStart = new Array[Int](nb / 2 + 1)
+    val tokLen = new Array[Int](nb / 2 + 1)
+    while (i < nb) {
+      if (bytes(i) != 0x20) {
+        val s = i
+        while (i < nb && bytes(i) != 0x20) i += 1
+        tokStart(nTok) = s; tokLen(nTok) = i - s; nTok += 1
+      } else i += 1
+    }
+    if (nTok == 0) return new GenericArrayData(Array.empty[Any])
+    var normLen = nTok - 1
+    i = 0
+    while (i < nTok) { normLen += tokLen(i); i += 1 }
+    val norm = new Array[Byte](normLen)
+    val off = new Array[Int](nTok + 1)
+    var p = 0
+    i = 0
+    while (i < nTok) {
+      if (i > 0) { norm(p) = 0x20; p += 1 }
+      off(i) = p
+      System.arraycopy(bytes, tokStart(i), norm, p, tokLen(i))
+      p += tokLen(i)
+      i += 1
+    }
+    off(nTok) = normLen + 1 // virtual start of a token past the end
+    val nChunks = (nTok + size - 1) / size
+    val out = new Array[AnyRef](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val s = off(c * size)
+      val lastTok = math.min(c * size + size - 1, nTok - 1)
+      val e = off(lastTok) + tokLen(lastTok)
+      out(c) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(norm, s, e))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count sliding 3-byte windows of `text` whose packed key appears in
     * the sorted key array — every occurrence counts, matching
     * `len(list_filter(trigrams, t -> t IN set))` for ASCII profiles
@@ -759,6 +810,24 @@ case class GramDigests(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Catalyst expression: text → array<string> non-overlapping
+  * `size`-token chunks (tokens joined by single spaces; empty for
+  * token-less docs). */
+case class TokenChunks(child: Expression, size: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.tokenChunks(input.asInstanceOf[UTF8String], size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.tokenChunks($c, $size)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Catalyst expression: text → L2-normalized array<float> embedding over
   * word n-gram features (nullable: null when too short to shingle). */
 case class ShingleTfVector(child: Expression, n: Int, dim: Int)
@@ -823,6 +892,9 @@ object HashKernels {
 
   def winnow_fingerprint(text: Column, n: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowFingerprint(GraftSqlBridge.expression(text), n, w))
+
+  def token_chunks(text: Column, size: Int): Column =
+    GraftSqlBridge.column(TokenChunks(GraftSqlBridge.expression(text), size))
 
   def gram_digests(text: Column, k: Int): Column =
     GraftSqlBridge.column(GramDigests(GraftSqlBridge.expression(text), k))

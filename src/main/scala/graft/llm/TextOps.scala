@@ -443,17 +443,18 @@ object TextOps {
     * the frame would only add a checkpoint round-trip. */
   private[graft] def paraUnits(docs: DataFrame): DataFrame = {
     val paraTok = 10
+    // Fused (optimization r17): the composed
+    // `transform(sequence…, array_join(slice(tokens…)))` ran its
+    // per-paragraph lambdas INTERPRETED; the token_chunks kernel emits
+    // the identical 10-token blocks in one codegen'd byte pass (same
+    // normalized-buffer trick as gram_digests). Digest stays
+    // md5(para) — paragraph state representation unchanged everywhere
+    // (index layouts, maintainer schemas, oracles).
     docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0L),
-            ceil(size(col("toks")).cast("double") / paraTok)
-              .cast("long") - 1),
-          i => array_join(
-            slice(col("toks"), (i * paraTok + 1).cast("int"), lit(paraTok)),
-            " "))))
+        graft.functions.HashKernels.token_chunks(col("text"), paraTok)
+          .as("ps"))
+      .select(col("doc_id"), posexplode(col("ps")))
       .toDF("doc_id", "para_idx", "para")
       .withColumn("dg", md5(col("para")))
   }
