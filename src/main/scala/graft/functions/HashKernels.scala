@@ -557,6 +557,67 @@ object MinHashKernel {
     new GenericArrayData(out)
   }
 
+  /** Span surgery: tokens of `text` (the Tokenize rule) with every
+    * token whose 0-based position falls inside any [s, e] run removed,
+    * returned as (n_tokens, n_cut_tokens, cleaned_text) where
+    * cleaned_text is the survivors joined by single spaces — the fused
+    * form of the span family's per-row `filter`+`exists` lambda pair,
+    * which evaluated an interpreted predicate per token × run. Runs
+    * are disjoint (the caller merges them maximal) but arrive in
+    * arbitrary collect_list order; one sort + a two-pointer walk makes
+    * the cut O(T + R log R). */
+  def spanSurgery(text: UTF8String, runs: ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val nb = text.numBytes
+    val bytes = text.getBytes
+    var nTok = 0
+    var i = 0
+    val tokStart = new Array[Int](nb / 2 + 1)
+    val tokLen = new Array[Int](nb / 2 + 1)
+    while (i < nb) {
+      if (bytes(i) != 0x20) {
+        val s = i
+        while (i < nb && bytes(i) != 0x20) i += 1
+        tokStart(nTok) = s; tokLen(nTok) = i - s; nTok += 1
+      } else i += 1
+    }
+    val nR = runs.numElements()
+    val rs = new Array[Long](nR)
+    val re = new Array[Long](nR)
+    i = 0
+    while (i < nR) {
+      val r = runs.getStruct(i, 2)
+      rs(i) = r.getLong(0); re(i) = r.getLong(1); i += 1
+    }
+    // sort runs by start (parallel insertion sort — R is per-doc small)
+    i = 1
+    while (i < nR) {
+      val ks = rs(i); val ke = re(i)
+      var j = i - 1
+      while (j >= 0 && rs(j) > ks) { rs(j + 1) = rs(j); re(j + 1) = re(j); j -= 1 }
+      rs(j + 1) = ks; re(j + 1) = ke
+      i += 1
+    }
+    val out = new Array[Byte](nb + 1)
+    var p = 0
+    var cut = 0L
+    var r = 0
+    var t = 0
+    while (t < nTok) {
+      while (r < nR && re(r) < t) r += 1
+      if (r < nR && rs(r) <= t && t <= re(r)) cut += 1
+      else {
+        if (p > 0) { out(p) = 0x20; p += 1 }
+        System.arraycopy(bytes, tokStart(t), out, p, tokLen(t))
+        p += tokLen(t)
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok.toLong, cut,
+        UTF8String.fromBytes(java.util.Arrays.copyOfRange(out, 0, p))))
+  }
+
   /** Count sliding 3-byte windows of `text` whose packed key appears in
     * the sorted key array — every occurrence counts, matching
     * `len(list_filter(trigrams, t -> t IN set))` for ASCII profiles
@@ -810,6 +871,29 @@ case class GramDigests(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Catalyst expression: (text, runs array<struct<s,e>>) →
+  * struct(n_tokens, n_cut_tokens, cleaned_text) span surgery. */
+case class SpanSurgery(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_cut_tokens", LongType, nullable = false),
+    StructField("cleaned_text", StringType, nullable = false)))
+
+  override def nullSafeEval(text: Any, runs: Any): Any =
+    MinHashKernel.spanSurgery(
+      text.asInstanceOf[UTF8String], runs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, r) =>
+      s"graft.functions.MinHashKernel.spanSurgery($t, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Catalyst expression: text → array<string> non-overlapping
   * `size`-token chunks (tokens joined by single spaces; empty for
   * token-less docs). */
@@ -892,6 +976,10 @@ object HashKernels {
 
   def winnow_fingerprint(text: Column, n: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowFingerprint(GraftSqlBridge.expression(text), n, w))
+
+  def span_surgery(text: Column, runs: Column): Column =
+    GraftSqlBridge.column(SpanSurgery(
+      GraftSqlBridge.expression(text), GraftSqlBridge.expression(runs)))
 
   def token_chunks(text: Column, size: Int): Column =
     GraftSqlBridge.column(TokenChunks(GraftSqlBridge.expression(text), size))

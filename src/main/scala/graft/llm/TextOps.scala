@@ -825,22 +825,24 @@ object TextOps {
       .agg(count(lit(1)).as("n_cut_runs"),
         collect_list(struct(col("s"), (col("e") + (k - 1)).as("e")))
           .as("cut"))
+    // Fused (optimization r17): the cut was a per-row `filter`+`exists`
+    // lambda pair — an INTERPRETED predicate per token × run. The
+    // span_surgery kernel sorts the doc's runs once and two-pointer
+    // walks its tokens in codegen; output identical (survivors joined
+    // by single spaces, the same counts).
     docs
       // null text tokenizes to the empty vector (cleaned_text '', counts
       // 0) — the q187 COALESCE contract, oracle-matched
-      .select(col("doc_id"),
-        tokens(coalesce(col("text"), lit(""))).as("tks"))
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .join(runs, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        size(col("tks")).cast("long").as("n_tokens"),
         coalesce(col("n_cut_runs"), lit(0L)).as("n_cut_runs"),
-        when(col("cut").isNull, col("tks"))
-          .otherwise(filter(col("tks"), (_, i) =>
-            !exists(col("cut"), r => i >= r("s") && i <= r("e"))))
-          .as("kept"))
-      .select(col("doc_id"), col("n_tokens"), col("n_cut_runs"),
-        (col("n_tokens") - size(col("kept"))).cast("long").as("n_cut_tokens"),
-        array_join(col("kept"), " ").as("cleaned_text"))
+        graft.functions.HashKernels.span_surgery(col("t"),
+          coalesce(col("cut"),
+            array().cast("array<struct<s:bigint,e:bigint>>"))).as("sc"))
+      .select(col("doc_id"), col("sc.n_tokens").as("n_tokens"),
+        col("n_cut_runs"), col("sc.n_cut_tokens").as("n_cut_tokens"),
+        col("sc.cleaned_text").as("cleaned_text"))
       .orderBy("doc_id")
   }
 
