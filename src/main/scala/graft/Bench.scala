@@ -48,6 +48,7 @@ object Bench {
       graft.llm.MediaFpIndex.ensure(spark, sfDir)
       graft.llm.ParaDigestIndex.ensure(spark, sfDir)
       graft.llm.OverlapSketchIndex.ensure(spark, sfDir)
+      graft.llm.SpanDigestIndex.ensure(spark, sfDir)
       graft.ops.GraphIndex.ensure(spark, sfDir)
     } catch { case _: Throwable => () }
     // Machine-day calibration probe (r12 verdict item 5): identical

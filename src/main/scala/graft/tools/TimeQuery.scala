@@ -55,6 +55,7 @@ object TimeQuery {
       graft.llm.MediaFpIndex.ensure(spark, sfDir)
       graft.llm.ParaDigestIndex.ensure(spark, sfDir)
       graft.llm.OverlapSketchIndex.ensure(spark, sfDir)
+      graft.llm.SpanDigestIndex.ensure(spark, sfDir)
       graft.ops.GraphIndex.ensure(spark, sfDir)
     } catch { case _: Throwable => () }
     for (n <- names; r <- 1 to reps) {
