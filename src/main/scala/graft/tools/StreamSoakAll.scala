@@ -360,7 +360,7 @@ object StreamSoakAll {
     // SPLIT between streamed and one-shot state by design (flips are
     // resolved at probe time), so the canonical comparison is the
     // summed counts plus the RESOLVED report itself
-    val spanDgnS = "dg string, n bigint, doc1 bigint, pos1 bigint"
+    val spanDgnS = "dg binary, n bigint, doc1 bigint, pos1 bigint"
     def spanSum(df: DataFrame) = df.groupBy("dg").agg(sum(col("n")).as("n"))
     cmp("span/dgn", spanSum(segS(delta("span"), "dgn", spanDgnS)),
       spanSum(segT(twin("span"), "dgn", spanDgnS)))
