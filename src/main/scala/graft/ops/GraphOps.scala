@@ -42,6 +42,14 @@ object GraphOps {
     * blocks, and no session ever re-derives the graph from the fact
     * table (before staging, the first graph query of EVERY session
     * paid the lineitem distinct + self-join + distinct). */
+  /** shuffle_hash hint on the small (score/frontier) side of the
+    * iterative joins, gated on a session conf so the A/B harness
+    * (tools.ABConf) can flip it in one session; default ON. */
+  private def shj(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.shjHints", "1") == "1")
+      df.hint("shuffle_hash")
+    else df
+
   private def memo(s: SparkSession, name: String, dir: String)
       (build: => DataFrame): DataFrame =
     graft.SessionMemo.materialized(s,
@@ -159,8 +167,16 @@ object GraphOps {
     // edge frame below it is the one materialized leaf. One job, AQE
     // over the whole chain, no per-round scheduling overhead.
     for (_ <- 1 to 5) {
+      // shuffle_hash on the rank side (guide §3.1): the default
+      // SortMergeJoin re-SORTS the reused |E|-row edge exchange every
+      // iteration; hashing the |V|-row rank frame per partition streams
+      // the edges unsorted. The build side is the per-partition slice of
+      // the rank frame — proportional at any scale (never the edge
+      // list), unlike a rank-frame broadcast which dies when |V|
+      // outgrows the driver. Measured at sf0.1/32 cores: per-iteration
+      // stage taskSum 6.2 s → see plans/r18 + OPTIMIZATION_r18.md.
       val contrib = edgesWithDeg
-        .join(r.select(col("n").as("src"), col("r")), Seq("src"))
+        .join(shj(r.select(col("n").as("src"), col("r"))), Seq("src"))
         .select(col("dst"),
           floor(lit(0.85) * (col("r") / col("outdeg")) + lit(0.5))
             .cast("long").as("c"))
@@ -203,7 +219,10 @@ object GraphOps {
     for (k <- 1 to 4) {
       val frontier = dist.filter(col("dist") === (k - 1))
         .select(col("n").as("src"))
-      val reached = sym.join(frontier, Seq("src"))
+      // shuffle_hash on the frontier (the q129 rationale): no SMJ sort
+      // of the symmetric edge frame per hop; the build side is the hop
+      // frontier's per-partition slice, bounded by the ball.
+      val reached = sym.join(shj(frontier), Seq("src"))
         .select(col("dst").as("n"), lit(k.toLong).as("dist"))
       // stableLazy (optimization r17): the hop frame is |reached-ball|
       // rows of two longs — the eager count() job per hop cost more
@@ -394,13 +413,21 @@ object GraphOps {
       // frame, so it both pins the blocks and computes the max in ONE
       // job — stable()'s eager count() added a pin job plus a cached
       // re-read per half-step (6 jobs per query at 3 iterations).
+      // shuffle_hash on the score side (the q129 rationale): SMJ
+      // re-sorted the fact-scaled incidence every half-step; hashing
+      // the |O|-/|P|-row score frame per partition streams the
+      // incidence unsorted. Build side is the per-partition score
+      // slice — bounded at any scale by the partition count, never the
+      // incidence.
       val hRaw = graft.Materialize.stableLazy(
-        itByP.join(auth, Seq("p")).groupBy("o").agg(sum(col("a")).as("h")))
+        itByP.join(shj(auth), Seq("p"))
+          .groupBy("o").agg(sum(col("a")).as("h")))
       val hMax = hRaw.agg(max(col("h")).as("hmax"))
       hub = hRaw.crossJoin(broadcast(hMax))
         .select(col("o"), expr("(h * 1000000) div hmax").as("h"))
       val aRaw = graft.Materialize.stableLazy(
-        itByO.join(hub, Seq("o")).groupBy("p").agg(sum(col("h")).as("a")))
+        itByO.join(shj(hub), Seq("o"))
+          .groupBy("p").agg(sum(col("h")).as("a")))
       val aMax = aRaw.agg(max(col("a")).as("amax"))
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("p"), expr("(a * 1000000) div amax").as("a"))

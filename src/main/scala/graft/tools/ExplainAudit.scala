@@ -17,7 +17,14 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq
+    // Optional leading --conf key=value args (A/B seam flags) so a
+    // "before" plan can be dumped without reverting the code.
+    val (confs, rest) = args.partition(_.startsWith("--conf"))
+    confs.map(_.stripPrefix("--conf").stripPrefix("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    }
+    val names = if (rest.nonEmpty) rest.toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n===================== $n =====================")
