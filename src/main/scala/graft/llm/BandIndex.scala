@@ -67,8 +67,11 @@ object BandIndex {
   /** Bump on any change to staged schemas or kernel code. Band
     * parameters and the boundary are IN the identity string already —
     * this covers what the string cannot see. v3 added `tfbands/`; v4
-    * replaced it with the narrow `tfcodes/`. */
-  private val LayoutVersion = 4
+    * replaced it with the narrow `tfcodes/`; v5 moved band digests to
+    * the fused [[NearDupOps.bandHashes]] (xxhash64 over the signature
+    * slice longs instead of over a rendered band string — same column
+    * type, different values, so a v4 dir must never serve a v5 probe). */
+  private val LayoutVersion = 5
 
   /** MinHash band shape staged in `bands/` — must match
     * [[NearDupOps.mhBandedFor]] (k hashes, b bands). Part of the cache

@@ -42,14 +42,29 @@ object NearDupOps {
   def minhashSignature(shingleCol: Column, k: Int): Column =
     graft.functions.HashKernels.minhash_signature(shingleCol, k)
 
-  /** LSH band keys: the k-length signature split into `bands` slices,
-    * each rendered as "band_sig-values". Docs sharing any band key are
-    * candidates. */
-  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+  /** LSH band digests: the k-length signature split into `bands`
+    * slices, each digested to ONE long — xxhash64 over (band index,
+    * slice values). Docs sharing any band digest are candidates.
+    *
+    * Fused (optimization r18, VERDICT item 4): the previous form
+    * rendered each band as a "b_v1,v2,…" STRING through an interpreted
+    * `transform` lambda (16 lambda evaluations + 16 ~90-char string
+    * builds per doc) and hashed the strings. `bands` and `rows` are
+    * plan-time constants, so the array can be built STATICALLY — a
+    * codegen'd CreateArray of xxhash64 calls straight over the
+    * signature longs, no lambda, no strings. A digest collision between
+    * different band contents can only ADD a candidate pair, and every
+    * candidate is exact-verified downstream, so the emitted result set
+    * is unchanged (same argument the hashed-string form already made);
+    * equal band contents hash equal under any deterministic hash.
+    * Digest VALUES differ from the string form — BandIndex layout
+    * version bumped so a pre-fusion index can never serve a post-fusion
+    * probe. */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
     val rows = k / bands
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      concat_ws("_", b.cast("string"),
-        concat_ws(",", slice(sig, b * rows + 1, lit(rows)).cast("array<string>"))))
+    array((0 until bands).map(b =>
+      xxhash64(lit(b) +:
+        (0 until rows).map(j => element_at(sig, b * rows + 1 + j)): _*)): _*)
   }
 
   /** Saturated-band guard bound: a band with more members than this
@@ -167,22 +182,21 @@ object NearDupOps {
         size(graft.functions.HashKernels.shingle_array(col("text"), 3))
           .cast("long").as("n_sh"))
 
-  /** Per-doc exploded LSH band keys for the MinHash path (k hashes in
-    * `bands` bands) — shared by the diagnostic pair view and the
-    * verified near-dup query. The shuffle key is the xxhash64 digest of
-    * the rendered band, not the band string itself ("digests, never
-    * text"): at the 5M-doc soak point the string keys alone were ~5× the
-    * shuffle payload. A digest collision between different bands can
-    * only ADD a candidate pair, and every candidate is exact-verified
-    * downstream, so correctness is unaffected. */
+  /** Per-doc exploded LSH band digests for the MinHash path (k hashes
+    * in `bands` bands) — shared by the diagnostic pair view and the
+    * verified near-dup query. The shuffle key is the fused
+    * [[bandHashes]] long digest, never band text ("digests, never
+    * text"): at the 5M-doc soak point rendered string keys alone were
+    * ~5× the shuffle payload. A digest collision between different
+    * bands can only ADD a candidate pair, and every candidate is
+    * exact-verified downstream, so correctness is unaffected. */
   private def mhBandedOf(docs: DataFrame, k: Int, bands: Int): DataFrame =
     docs
       .select(col("doc_id"),
         graft.functions.HashKernels.shingle_minhash(col("text"), 3, k).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id"),
-        explode(transform(bandKeys(col("sig"), k, bands), b => xxhash64(b)))
-          .as("band"))
+        explode(bandHashes(col("sig"), k, bands)).as("band"))
 
   private def mhBanded(s: SparkSession, dir: String, k: Int, bands: Int): DataFrame =
     mhBandedOf(graft.Tables.tSpread(s, dir, "documents"), k, bands)
@@ -1159,7 +1173,7 @@ object NearDupOps {
         .filter(size(shingle_array(col("chunk_text"), 3)) > 0)
     val banded = chunks
       .select(col("doc_id"), col("chunk_id"),
-        explode(bandKeys(shingle_minhash(col("chunk_text"), 3, k), k, bands))
+        explode(bandHashes(shingle_minhash(col("chunk_text"), 3, k), k, bands))
           .as("band"))
     val a = banded.select(col("band"), col("doc_id").as("doc_a"),
       col("chunk_id").as("chunk_a"))
