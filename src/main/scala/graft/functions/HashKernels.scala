@@ -618,6 +618,45 @@ object MinHashKernel {
         UTF8String.fromBytes(java.util.Arrays.copyOfRange(out, 0, p))))
   }
 
+  /** Join the `para` field of (para_idx, para) structs in ascending
+    * para_idx order with single spaces — the fused form of the
+    * paragraph-dedup tail's `array_join(transform(array_sort(
+    * collect_list(...))))` cleaned-text rebuild, whose sort comparator
+    * and field-pluck lambdas ran INTERPRETED per doc. para_idx is
+    * unique within a doc, so the composed form's (para_idx, para)
+    * struct order reduces to para_idx order; null elements (none occur
+    * — collect_list skips them) would sort last and be dropped by
+    * array_join, so they are skipped here too. */
+  def sortedParaJoin(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val key = new Array[Int](n)
+    val para = new Array[UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val st = arr.getStruct(i, 2)
+        key(m) = st.getInt(0)
+        para(m) = st.getUTF8String(1)
+        m += 1
+      }
+      i += 1
+    }
+    // insertion sort on para_idx (per-doc arrays are tens of entries)
+    i = 1
+    while (i < m) {
+      val k = key(i); val p = para(i)
+      var j = i - 1
+      while (j >= 0 && key(j) > k) {
+        key(j + 1) = key(j); para(j + 1) = para(j); j -= 1
+      }
+      key(j + 1) = k; para(j + 1) = p
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "),
+      java.util.Arrays.copyOfRange(para, 0, m): _*)
+  }
+
   /** Count sliding 3-byte windows of `text` whose packed key appears in
     * the sorted key array — every occurrence counts, matching
     * `len(list_filter(trigrams, t -> t IN set))` for ASCII profiles
@@ -998,6 +1037,27 @@ object HashKernels {
 
   def char_stats(text: Column): Column =
     GraftSqlBridge.column(CharStats(GraftSqlBridge.expression(text)))
+
+  def sorted_para_join(arr: Column): Column =
+    GraftSqlBridge.column(SortedParaJoin(GraftSqlBridge.expression(arr)))
+}
+
+/** Catalyst expression: array<struct<para_idx:int, para:string>> →
+  * the para fields joined by single spaces in para_idx order (the
+  * paragraph-dedup cleaned-text rebuild, one codegen'd pass per doc). */
+case class SortedParaJoin(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.sortedParaJoin(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.sortedParaJoin($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Catalyst expression: text → struct(n_chars, n_distinct_chars,

@@ -492,9 +492,19 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_paras"),
         sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(
-          when(col("is_first"), struct(col("para_idx"), col("para"))))),
-          x => x.getField("para")), " ").as("cleaned_text"))
+        // Fused (optimization r18): the composed
+        // array_join(transform(array_sort(collect_list(...)))) rebuild
+        // ran its sort comparator + field-pluck lambdas INTERPRETED per
+        // doc; the kernel does one codegen'd sort+join pass. para_idx
+        // is unique per doc, so ordering is identical. Seam for the
+        // A/B harness only; default ON.
+        (if (paras.sparkSession.conf.get("spark.graft.paraJoinFuse", "1") == "1")
+          graft.functions.HashKernels.sorted_para_join(collect_list(
+            when(col("is_first"), struct(col("para_idx"), col("para")))))
+        else
+          array_join(transform(array_sort(collect_list(
+            when(col("is_first"), struct(col("para_idx"), col("para"))))),
+            x => x.getField("para")), " ")).as("cleaned_text"))
     outDocs.select(col("doc_id"))
       .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
