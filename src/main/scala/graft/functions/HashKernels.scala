@@ -657,6 +657,39 @@ object MinHashKernel {
       java.util.Arrays.copyOfRange(para, 0, m): _*)
   }
 
+  /** Adjacent-token pairs of `text` (the Tokenize rule) as
+    * (w1, w2) structs in document order, duplicates preserved — the
+    * fused form of the q89/q95 `explode(zip_with(slice(tokens…),
+    * slice(tokens…)))` bigram emission, whose zip_with lambda ran
+    * INTERPRETED per pair. One byte pass; each token is an immutable
+    * UTF8String view over the row's byte array (no per-token copy). */
+  def tokenBigrams(text: UTF8String): ArrayData = {
+    val nb = text.numBytes
+    val bytes = text.getBytes
+    var nTok = 0
+    var i = 0
+    val tokStart = new Array[Int](nb / 2 + 1)
+    val tokLen = new Array[Int](nb / 2 + 1)
+    while (i < nb) {
+      if (bytes(i) != 0x20) {
+        val s = i
+        while (i < nb && bytes(i) != 0x20) i += 1
+        tokStart(nTok) = s; tokLen(nTok) = i - s; nTok += 1
+      } else i += 1
+    }
+    val nPairs = math.max(nTok - 1, 0)
+    val out = new Array[Any](nPairs)
+    var t = 0
+    while (t < nPairs) {
+      out(t) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          UTF8String.fromBytes(bytes, tokStart(t), tokLen(t)),
+          UTF8String.fromBytes(bytes, tokStart(t + 1), tokLen(t + 1))))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Count sliding 3-byte windows of `text` whose packed key appears in
     * the sorted key array — every occurrence counts, matching
     * `len(list_filter(trigrams, t -> t IN set))` for ASCII profiles
@@ -1040,6 +1073,28 @@ object HashKernels {
 
   def sorted_para_join(arr: Column): Column =
     GraftSqlBridge.column(SortedParaJoin(GraftSqlBridge.expression(arr)))
+
+  def token_bigrams(text: Column): Column =
+    GraftSqlBridge.column(TokenBigrams(GraftSqlBridge.expression(text)))
+}
+
+/** Catalyst expression: text → array<struct<w1,w2>> adjacent-token
+  * pairs (document order, duplicates preserved; empty below 2 tokens). */
+case class TokenBigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.tokenBigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.tokenBigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Catalyst expression: array<struct<para_idx:int, para:string>> →

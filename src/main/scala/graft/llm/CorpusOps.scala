@@ -349,16 +349,35 @@ object CorpusOps {
     * a partial-agg pair), and the top-20 plans as TakeOrderedAndProject
     * — per-partition heads, no global sort. Count-desc then pair-asc
     * makes the cut deterministic cross-engine. */
+  /** Per-doc adjacent-token-pair rows (doc_id, w1, w2) — the shared
+    * emission of q89/q95. Fused (optimization r18): the composed
+    * zip_with-over-two-slice-views form ran its lambda INTERPRETED per
+    * pair; the token_bigrams kernel emits the identical pairs in one
+    * codegen'd byte pass (and explode of an empty array drops <2-token
+    * docs, so the size-filter tokenize pass is gone too). Composed form
+    * kept behind the A/B seam only; default fused. */
+  private def bigramRows(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.tSpread(s, dir, "documents")
+    if (s.conf.get("spark.graft.bigramFuse", "1") == "1")
+      docs.select(col("doc_id"),
+          explode(graft.functions.HashKernels.token_bigrams(col("text"))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    else {
+      val tk = tokens(col("text"))
+      docs.select(col("doc_id"), tk.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    }
+  }
+
   def tokenPairMerges(s: SparkSession, dir: String): DataFrame = {
-    val tk = tokens(col("text"))
-    graft.Tables.tSpread(s, dir, "documents")
-      .select(col("doc_id"), tk.as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("tk"), lit(1), size(col("tk")) - 1),
-          slice(col("tk"), lit(2), size(col("tk")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("pair"))
+    bigramRows(s, dir)
+      .select(col("doc_id"), concat(col("w1"), lit(" "), col("w2")).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -391,18 +410,11 @@ object CorpusOps {
     * identical term order. */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
     val tk = tokens(col("text"))
-    // Per-doc bigram counts: pairs emitted map-side via zip_with over
-    // two slice views (q89's shape), aggregated per (doc, w1, w2).
+    // Per-doc bigram counts: pairs emitted map-side by the fused
+    // token_bigrams kernel (q89's shared bigramRows emission),
+    // aggregated per (doc, w1, w2).
     val docPair = graft.Materialize.stable(
-      graft.Tables.tSpread(s, dir, "documents")
-        .select(col("doc_id"), tk.as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"),
-          explode(zip_with(
-            slice(col("tk"), lit(1), size(col("tk")) - 1),
-            slice(col("tk"), lit(2), size(col("tk")) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      bigramRows(s, dir)
         .groupBy("doc_id", "w1", "w2")
         .agg(count(lit(1)).as("n")))
     val c12 = docPair.groupBy("w1", "w2").agg(sum(col("n")).as("c12"))
