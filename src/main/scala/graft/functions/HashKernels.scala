@@ -657,6 +657,68 @@ object MinHashKernel {
       java.util.Arrays.copyOfRange(para, 0, m): _*)
   }
 
+  /** The whitespace tokens of `text` (the Tokenize rule: split on
+    * single spaces, drop empties) as an array of UTF8String views over
+    * the row's byte array — the fused form of
+    * `filter(split(c, " "), x => x =!= "")`, whose ArrayFilter lambda
+    * ran INTERPRETED per element on every composed tokenize in the
+    * catalog. */
+  def tokenArray(text: UTF8String): ArrayData = {
+    val nb = text.numBytes
+    val bytes = text.getBytes
+    var nTok = 0
+    var i = 0
+    val tokStart = new Array[Int](nb / 2 + 1)
+    val tokLen = new Array[Int](nb / 2 + 1)
+    while (i < nb) {
+      if (bytes(i) != 0x20) {
+        val s = i
+        while (i < nb && bytes(i) != 0x20) i += 1
+        tokStart(nTok) = s; tokLen(nTok) = i - s; nTok += 1
+      } else i += 1
+    }
+    val out = new Array[Any](nTok)
+    var t = 0
+    while (t < nTok) {
+      out(t) = UTF8String.fromBytes(bytes, tokStart(t), tokLen(t))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Count whitespace tokens of `text` (the Tokenize rule) that equal
+    * any of the fixed `words` — the fused form of
+    * `size(filter(tokens(c), x => x.isin(words…)))`, whose ArrayFilter
+    * lambda ran INTERPRETED per token (q31/q36/q102/classifier stop
+    * counts). One byte pass, bytewise compares against the precomputed
+    * word byte arrays, zero per-token allocation. */
+  def tokenHits(text: UTF8String, words: Array[Array[Byte]]): Int = {
+    val nb = text.numBytes
+    val bytes = text.getBytes
+    var hits = 0
+    var i = 0
+    while (i < nb) {
+      if (bytes(i) != 0x20) {
+        val s = i
+        while (i < nb && bytes(i) != 0x20) i += 1
+        val len = i - s
+        var w = 0
+        var matched = false
+        while (w < words.length && !matched) {
+          val wb = words(w)
+          if (wb.length == len) {
+            var j = 0
+            while (j < len && bytes(s + j) == wb(j)) j += 1
+            matched = j == len
+          }
+          w += 1
+        }
+        if (matched) hits += 1
+      } else i += 1
+    }
+    hits
+  }
+
   /** Adjacent-token pairs of `text` (the Tokenize rule) as
     * (w1, w2) structs in document order, duplicates preserved — the
     * fused form of the q89/q95 `explode(zip_with(slice(tokens…),
@@ -1076,6 +1138,59 @@ object HashKernels {
 
   def token_bigrams(text: Column): Column =
     GraftSqlBridge.column(TokenBigrams(GraftSqlBridge.expression(text)))
+
+  def token_array(text: Column): Column =
+    GraftSqlBridge.column(TokenArray(GraftSqlBridge.expression(text)))
+
+  /** `size(filter(tokens(text), _.isin(words…)))` fused; the composed
+    * form stays behind the shared text-stat A/B seam (default fused). */
+  def token_hits(text: Column, words: Seq[String]): Column =
+    if (org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.textStatFuse", "1") == "1")
+      GraftSqlBridge.column(TokenHits(GraftSqlBridge.expression(text), words))
+    else
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter(
+          Tokenize.tokens(text), x => x.isin(words: _*)))
+}
+
+/** Catalyst expression: count of whitespace tokens equal to any of the
+  * fixed word list, one codegen'd byte pass per row. */
+case class TokenHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val wordBytes: Array[Array[Byte]] =
+    words.map(_.getBytes("UTF-8")).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.tokenHits(input.asInstanceOf[UTF8String], wordBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("tokenHitWords", wordBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.tokenHits($c, $wordsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Catalyst expression: text → array<string> whitespace tokens (the
+  * Tokenize rule), one codegen'd byte pass per row. */
+case class TokenArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.tokenArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.tokenArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Catalyst expression: text → array<struct<w1,w2>> adjacent-token

@@ -70,13 +70,24 @@ object QualityOps {
   def gopherQuality(s: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "to", "and", "in", "is")
     t(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 1)
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_words"),
-        aggregate(transform(col("tk"), w => length(w)),
-          lit(0L), (acc, x) => acc + x).as("sum_wlen"),
-        size(filter(col("tk"), w => w.isin(stop: _*))).cast("long").as("n_stop"))
+        // Fused (optimization r18): sum of token lengths = the
+        // non-space char count (SelectionOps.labeled's trick) and the
+        // stop count rides the token_hits kernel — the composed
+        // aggregate/filter lambdas ran interpreted per token. Composed
+        // forms behind the shared text-stat seam (token_hits gates
+        // itself).
+        (if (org.apache.spark.sql.internal.SQLConf.get
+            .getConfString("spark.graft.textStatFuse", "1") == "1")
+          length(translate(col("text"), " ", "")).cast("long")
+        else
+          aggregate(transform(col("tk"), w => length(w)),
+            lit(0L), (acc, x) => acc + x)).as("sum_wlen"),
+        graft.functions.HashKernels.token_hits(col("text"), stop)
+          .cast("long").as("n_stop"))
       .withColumn("mean_word_len",
         round(col("sum_wlen").cast("double") / col("n_words"), 4))
       .withColumn("stop_frac",

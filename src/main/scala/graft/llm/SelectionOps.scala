@@ -242,7 +242,8 @@ object SelectionOps {
       .select(col("text"),
         size(tk).cast("long").as("n_words"),
         length(translate(col("text"), " ", "")).cast("long").as("sum_wlen"),
-        size(filter(tk, w => w.isin(stopWords: _*))).cast("long").as("n_stop"))
+        graft.functions.HashKernels.token_hits(col("text"), stopWords)
+          .cast("long").as("n_stop"))
       .withColumn("keep",
         col("n_words").between(30, 80) && col("n_stop") >= 2 &&
           col("sum_wlen") * 10 >= col("n_words") * 40 &&

@@ -35,7 +35,17 @@ object TextOps {
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_pieces"),
         when(size(toks) === 0, 0.0)
           .otherwise(
-            aggregate(transform(toks, x => length(x).cast("long")), lit(0L), _ + _)
+            // Fused (optimization r18): sum of token lengths = the
+            // non-space char count (the SelectionOps labeled() trick) —
+            // length(translate(...)) is codegen'd where the composed
+            // aggregate(transform(...)) ran interpreted per token.
+            // Composed form behind the shared text-stat seam.
+            (if (org.apache.spark.sql.internal.SQLConf.get
+                .getConfString("spark.graft.textStatFuse", "1") == "1")
+              length(translate(col("text"), " ", "")).cast("long")
+            else
+              aggregate(transform(toks, x => length(x).cast("long")),
+                lit(0L), _ + _))
               .cast("double") / size(toks))
           .as("mean_token_len"))
       .orderBy("doc_id")
@@ -46,7 +56,8 @@ object TextOps {
     * token counts divide exactly, so the ratio is oracle-stable. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val stop = size(filter(toks, x => x.isin("the", "a", "of", "and", "to")))
+    val stop = graft.functions.HashKernels.token_hits(col("text"),
+      Seq("the", "a", "of", "and", "to"))
     t(s, dir, "documents")
       .select(
         col("doc_id"),
@@ -112,7 +123,8 @@ object TextOps {
     * no shuffle. */
   def langId(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val enHits = size(filter(toks, x => x.isin("the", "a", "of", "and")))
+    val enHits = graft.functions.HashKernels.token_hits(col("text"),
+      Seq("the", "a", "of", "and"))
     t(s, dir, "documents")
       .select(
         col("doc_id"),
