@@ -57,6 +57,54 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (x−c)² over (array<float> v, array<double> centroid), accumulated
+  * in double left to right — the fused form of the composed
+  * `aggregate(zip_with(v.cast(array<double>), centroid,
+  * (x,y) => (x−y)·(x−y)))` centroid distance (IVF assign/probe,
+  * centroid outliers), whose two lambdas ran INTERPRETED per element.
+  * Bit-identical: float→double widening is exact and the accumulation
+  * order is unchanged. */
+case class L2SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** cosine(a, b) fused in one pass: dot and both norms in a single loop. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -387,6 +435,12 @@ object VectorFunctions {
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Σ(x−c)² of an array<float> vector against an array<double>
+    * centroid (fused, bit-identical to the composed zip_with form). */
+  def l2sq_fd(v: Column, centroid: Column): Column =
+    GraftSqlBridge.column(
+      L2SqDist(GraftSqlBridge.expression(v), GraftSqlBridge.expression(centroid)))
+
   def hyperplane_bucket(v: Column, bits: Int, table: Int = 0): Column =
     GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(v), bits, table))
 
@@ -403,13 +457,16 @@ object VectorFunctions {
 
   /** Band keys from a precomputed codes column: table index folded into
     * the code so keys never collide across tables. */
+  /** Per-table band keys `t·2^bits + code` from the packed code array.
+    * Fused (optimization r18): `tables` is a plan-time constant, so the
+    * array is a STATIC CreateArray of codegen'd element_at arithmetic —
+    * the previous zip_with-over-sequence form ran its lambda
+    * INTERPRETED per table per row (q48/q49 banding). Same values,
+    * same int type, same order. */
   def codeBandKeys(codes: Column, bits: Int, tables: Int): Column =
-    org.apache.spark.sql.functions.zip_with(
-      codes,
-      org.apache.spark.sql.functions.sequence(
-        org.apache.spark.sql.functions.lit(0),
-        org.apache.spark.sql.functions.lit(tables - 1)),
-      (code, t) => t * (1 << bits) + code)
+    org.apache.spark.sql.functions.array((0 until tables).map(t =>
+      org.apache.spark.sql.functions.element_at(codes, t + 1)
+        + org.apache.spark.sql.functions.lit(t * (1 << bits))): _*)
 
   def lshBandKeys(v: Column, bits: Int, tables: Int): Column =
     codeBandKeys(hyperplane_codes(v, bits, tables), bits, tables)

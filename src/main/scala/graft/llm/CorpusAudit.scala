@@ -44,11 +44,12 @@ object CorpusAudit {
     // n2 is the TOTAL bigram count — computed before the support filter,
     // so p(w1w2) is a real probability, not one renormalized over the
     // surviving pairs.
-    val pairsAll = toks.filter(size(col("tk")) >= 2)
-      .select(explode(zip_with(
-        slice(col("tk"), lit(1), size(col("tk")) - 1),
-        slice(col("tk"), lit(2), size(col("tk")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+    // Fused (optimization r18): adjacent pairs ride the token_bigrams
+    // kernel (q89/q95's emission) instead of an interpreted zip_with
+    // lambda per pair; explode of an empty array drops <2-token docs.
+    val pairsAll = graft.Tables.tSpread(s, dir, "documents")
+      .select(explode(
+        graft.functions.HashKernels.token_bigrams(col("text"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
     val n2 = pairsAll.agg(sum(col("c12")).as("n2"))

@@ -858,7 +858,12 @@ object NearDupOps {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docSh = t(s, dir, "documents")
       .filter(col("doc_id") < 60)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      // Fused (optimization r18): the composed shingles() ran its
+      // n-gram lambda interpreted per position; the shingle_array
+      // kernel (spec-pinned equal, already the verify-path form) emits
+      // the identical distinct-shingle array codegen'd.
+      .select(col("doc_id"),
+        graft.functions.HashKernels.shingle_array(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     val sizes = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val ex = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))

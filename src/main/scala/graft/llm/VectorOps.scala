@@ -480,10 +480,7 @@ object VectorOps {
     val twins = lists.filter(col("vec_id") < 25)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
         col("v"), col("norm"))
-    val dist = aggregate(
-      zip_with(col("v").cast("array<double>"), col("centroid"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    val dist = graft.functions.VectorFunctions.l2sq_fd(col("v"), col("centroid"))
     val assigned = twins.crossJoin(broadcast(centroids))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
@@ -516,10 +513,7 @@ object VectorOps {
     val q = lists.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"))
-    val dist = aggregate(
-      zip_with(col("qv").cast("array<double>"), col("centroid"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    val dist = graft.functions.VectorFunctions.l2sq_fd(col("qv"), col("centroid"))
     val probed = q.crossJoin(broadcast(centroids))
       .withColumn("cell_rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(dist, col("cell"))))
@@ -575,10 +569,7 @@ object VectorOps {
     val batch = t(s, dir, "embeddings").filter(isNew)
       .select(col("vec_id"), col("embedding").as("v"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
-    val dist = aggregate(
-      zip_with(col("v").cast("array<double>"), col("centroid"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    val dist = graft.functions.VectorFunctions.l2sq_fd(col("v"), col("centroid"))
     val assigned = batch.crossJoin(broadcast(centroids))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
@@ -602,10 +593,7 @@ object VectorOps {
     val isNew = pmod(col("vec_id"), lit(10)) === 7
     val batch = t(s, dir, "embeddings").filter(isNew)
       .select(col("vec_id"), col("embedding").as("v"))
-    val dist = aggregate(
-      zip_with(col("v").cast("array<double>"), col("centroid"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    val dist = graft.functions.VectorFunctions.l2sq_fd(col("v"), col("centroid"))
     batch.crossJoin(broadcast(centroids))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(dist, col("cell"))))
@@ -893,10 +881,7 @@ object VectorOps {
     val dist = graft.Materialize.stable(
       e.join(broadcast(cent), Seq("label"))
         .select(col("vec_id"), col("label"),
-          round(sqrt(aggregate(
-            zip_with(col("embedding"), col("cv"),
-              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-            lit(0.0), (acc, v) => acc + v)), 6).as("dist6")))
+          round(sqrt(graft.functions.VectorFunctions.l2sq_fd(col("embedding"), col("cv"))), 6).as("dist6")))
     val n = dist.agg(count(lit(1)).as("n"))
     // Median as an order statistic over the value histogram, with the
     // cumulative count on Prefix.cumSums rather than Window.orderBy —

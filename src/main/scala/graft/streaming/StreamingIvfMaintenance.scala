@@ -68,10 +68,7 @@ object StreamingIvfMaintenance {
     MaintainerHarness.maintain(Seq("lists" -> listSchema), deltaDir,
       foldSegments) { (ctx, b) =>
       import graft.functions.VectorFunctions.dot_product
-      val dist = aggregate(
-        zip_with(col("v").cast("array<double>"), col("centroid"),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d)
+      val dist = graft.functions.VectorFunctions.l2sq_fd(col("v"), col("centroid"))
       val seenBefore = ctx.earlier("lists").select(col("vec_id"))
       val seen = baseSeen.fold(seenBefore)(x =>
         seenBefore.unionByName(x.select(col("vec_id"))))
